@@ -1,0 +1,170 @@
+"""Deterministic hashing / sketching primitives for dedup & fingerprinting.
+
+Everything is built on md5 so the identical computation is expressible in
+Spark SQL *and* in the DuckDB oracle SQL (both expose ``md5(text) → hex``),
+making every sketch hash-checkable cross-engine.  All of it is column
+arithmetic — no Python UDFs.
+
+- ``char_shingles``  — k-character shingles of normalized text
+- ``word_shingles``  — n-word shingles
+- ``minhash_sig``    — MinHash signature: per seed i, min over shingles of
+                        md5(i || shingle) (hex strings compare
+                        lexicographically = uniform 128-bit ints)
+- ``lsh_bands``      — banding of the signature for LSH candidate buckets
+- ``simhash64``      — 64-bit SimHash over word tokens (bit-majority of
+                        per-token md5 bits)
+- ``fingerprint``    — md5 of whitespace/case-normalized text (rolling-hash
+                        analog for exact-after-normalization dedup)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def norm_text(text: Column) -> Column:
+    """Whitespace-collapse + lowercase — normalization used before hashing."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def norm_text_sql(text: str) -> str:
+    return f"lower(trim(regexp_replace({text}, '\\s+', ' ', 'g')))"
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint (md5 of normalized text)."""
+    return F.md5(norm_text(text))
+
+
+def fingerprint_sql(text: str) -> str:
+    return f"md5({norm_text_sql(text)})"
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """array<string> of n-word shingles of the normalized text (distinct).
+
+    Texts with fewer than ``n`` words yield a single shingle (the whole
+    normalized text); empty text yields an empty array.
+    """
+    t = norm_text(text)
+    words = F.filter(F.split(t, " "), lambda w: w != "")
+    cnt = F.size(words)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    full = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(words, i + j) for j in range(n)])
+    )
+    return F.array_distinct(
+        F.when(cnt == 0, F.array().cast("array<string>"))
+        .when(cnt < n, F.array(t))
+        .otherwise(full)
+    )
+
+
+def char_shingles(text: Column, k: int = 5) -> Column:
+    """array<string> of k-char shingles of the normalized text (distinct);
+    texts shorter than ``k`` chars yield a single whole-text shingle and
+    empty text yields an empty array."""
+    t = norm_text(text)
+    ln = F.length(t)
+    idx = F.sequence(F.lit(1), ln - (k - 1))
+    full = F.transform(idx, lambda i: t.substr(i, F.lit(k)))
+    return F.array_distinct(
+        F.when(ln == 0, F.array().cast("array<string>"))
+        .when(ln < k, F.array(t))
+        .otherwise(full)
+    )
+
+
+def minhash_sig(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<string> of length ``num_hashes``.
+
+    h_i(doc) = min over shingles s of md5(CONCAT(i, ':', s)).  md5 hex is
+    fixed-width lowercase, so lexicographic min == numeric min of the
+    128-bit hash — identical semantics in DuckDB.
+    """
+    def one(i: int) -> Column:
+        return F.array_min(
+            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+        )
+
+    return F.array(*[one(i) for i in range(num_hashes)])
+
+
+def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
+    """array<string> of band keys 'b|h(band slice)' for LSH bucketing."""
+    keys = []
+    for b in range(bands):
+        sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)
+        keys.append(F.concat(F.lit(f"{b}|"), F.md5(F.concat_ws(",", sl))))
+    return F.array(*keys)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two array<string> sets."""
+    inter = F.size(F.array_intersect(a, b))
+    un = F.size(F.array_union(a, b))
+    return F.when(un == 0, F.lit(0.0)).otherwise(inter.cast("double") / un.cast("double"))
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _hex_digit_val(c: Column) -> Column:
+    """hex char → 0..15 via position in the hex alphabet (portable SQL)."""
+    return F.instr(F.lit(_HEX), c) - 1
+
+
+def _md5_bits(h: Column, nbits: int) -> Column:
+    """array<int> of the first ``nbits`` bits of an md5 hex string,
+    most-significant first within each nibble."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(nbits - 1)),
+        lambda bit: (
+            F.floor(
+                _hex_digit_val(h.substr((bit / 4).cast("int") + 1, F.lit(1)))
+                / F.pow(F.lit(2.0), (F.lit(3) - bit % 4).cast("double"))
+            ) % 2
+        ).cast("int"),
+    )
+
+
+def simhash64(text: Column, prefix_bits: int = 64) -> Column:
+    """SimHash over word tokens, returned as a bigint column.
+
+    Single pass: the aggregate accumulator is an array of per-bit vote
+    counters (+1 when md5(token) has the bit set, −1 otherwise); the sign
+    of each counter is the output bit (ties → 0).  Pure column
+    arithmetic, one traversal of the token array.
+    """
+    words = F.array_distinct(F.filter(F.split(norm_text(text), " "), lambda w: w != ""))
+    zero = F.array_repeat(F.lit(0), prefix_bits)
+    votes = F.aggregate(
+        words,
+        zero,
+        lambda acc, w: F.zip_with(
+            acc, _md5_bits(F.md5(w), prefix_bits),
+            lambda a, bit: a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    # weight of bit at position pos is 2^(prefix_bits-1-pos); the top bit of
+    # a 64-bit hash is the sign bit, added as -2^63 (two's complement)
+    weighted = F.zip_with(
+        votes,
+        F.sequence(F.lit(0), F.lit(prefix_bits - 1)),
+        lambda v, pos: F.when(v <= 0, F.lit(0).cast("bigint")).otherwise(
+            F.when(
+                F.lit(prefix_bits - 1) - pos == 63, F.lit(-(2 ** 63)).cast("bigint")
+            ).otherwise(
+                F.pow(F.lit(2.0), (F.lit(prefix_bits - 1) - pos).cast("double")).cast("bigint")
+            )
+        ),
+    )
+    return F.aggregate(weighted, F.lit(0).cast("bigint"), lambda a, b: a + b)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two bigint hash values."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,119 @@
+"""Text / name-similarity scalar functions.
+
+Column-expression re-implementations of the reference's string kit
+(SURVEY.md §2.9, MergeUtil.java / OprExprEvaluatorExt.java).  Everything
+here is a pure Spark SQL expression — JVM-side, codegen-friendly, no UDFs.
+
+- ``simple_name``        — opr:simple_name (OprExprEvaluatorExt.java:70-78)
+- ``tokenize_words``     — space-split + punctuation trim (MergeUtil.java:28,243-252)
+- ``normalized``         — lowercase + accent-strip (Collator.PRIMARY approx,
+                            MergeUtil.java:171-172; Spark has no ICU collation
+                            so we approximate with translate of common accents)
+- ``lev_threshold``      — length-scaled Levenshtein threshold
+                            (MergeUtil.java:270-284: ≤4→1, ≤6→2, ≤8→3, else 4)
+- ``words_fuzzy_subset`` — every word of the smaller list matches some word
+                            of the bigger (MergeUtil.java:254-268)
+- ``check_names``        — the full name-equivalence cascade
+                            (MergeUtil.java:166-195)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Accent folding table approximating java.text.Collator PRIMARY strength for
+# Latin scripts.  (Spark has no ICU collation; divergence documented in
+# SURVEY.md §7 "Collator semantics".)
+_ACCENTS_SRC = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿžšœæðø"
+_ACCENTS_DST = "aaaaaaceeeeiiiinooooouuuuyyzsoaedo"
+
+#: leading/trailing punctuation trimmed from each word (MergeUtil.java:28)
+_PUNCT_TRIM = r"(^[\p{Punct}]+)|([\p{Punct}]+$)"
+
+
+def normalized(name: Column) -> Column:
+    """Lowercase + accent-fold — the Collator.PRIMARY equality proxy."""
+    return F.translate(F.lower(name), _ACCENTS_SRC, _ACCENTS_DST)
+
+
+def simple_name(name: Column) -> Column:
+    """opr:simple_name — strip spaces and hyphens, lowercase
+    (OprExprEvaluatorExt.java:70-78)."""
+    return F.lower(F.regexp_replace(name, r"[ \-]", ""))
+
+
+def simple_name_sql(name: str) -> str:
+    return f"lower(regexp_replace({name}, '[ -]', '', 'g'))"
+
+
+def tokenize_words(name: Column) -> Column:
+    """array<string> of words: split on whitespace, trim punctuation from
+    both ends of each word, drop empties (MergeUtil.java:243-252)."""
+    words = F.split(F.trim(name), r"\s+")
+    trimmed = F.transform(words, lambda w: F.regexp_replace(w, _PUNCT_TRIM, ""))
+    return F.filter(trimmed, lambda w: w != "")
+
+
+def lev_threshold(a: Column, b: Column) -> Column:
+    """Levenshtein tolerance scaled by the shorter word's length
+    (MergeUtil.java:270-284)."""
+    min_len = F.least(F.length(a), F.length(b))
+    return (
+        F.when(min_len <= 4, F.lit(1))
+        .when(min_len <= 6, F.lit(2))
+        .when(min_len <= 8, F.lit(3))
+        .otherwise(F.lit(4))
+    )
+
+
+def words_match(a: Column, b: Column) -> Column:
+    """Two words match if normalized-equal OR levenshtein within threshold."""
+    na, nb = normalized(a), normalized(b)
+    return (na == nb) | (F.levenshtein(na, nb) <= lev_threshold(na, nb))
+
+
+def words_fuzzy_subset(sub: Column, main: Column) -> Column:
+    """Every word of ``sub`` fuzzy-matches some word of ``main``
+    (MergeUtil.java:254-268).  Both args are array<string>."""
+    return F.forall(sub, lambda w: F.exists(main, lambda m: words_match(w, m)))
+
+
+def check_names(a: Column, b: Column) -> Column:
+    """The full name-equivalence cascade of MergeUtil.checkNames
+    (MergeUtil.java:166-195), as one boolean column:
+
+    1. collator-PRIMARY equality (normalized equality);
+    2. whitespace/hyphen-stripped equality (simple_name);
+    3. sorted-word-bag equality (order-insensitive);
+    4. fuzzy word-subset in either direction.
+    """
+    eq_norm = normalized(a) == normalized(b)
+    eq_simple = simple_name(a) == simple_name(b)
+    wa = F.transform(tokenize_words(a), normalized)
+    wb = F.transform(tokenize_words(b), normalized)
+    eq_bag = F.array_sort(wa) == F.array_sort(wb)
+    subset = (
+        F.when(F.size(wa) <= F.size(wb), words_fuzzy_subset(wa, wb))
+        .otherwise(words_fuzzy_subset(wb, wa))
+    )
+    non_empty = (F.size(wa) > 0) & (F.size(wb) > 0)
+    return eq_norm | eq_simple | eq_bag | (non_empty & subset)
+
+
+def tag_equal_non_empty(a: Column, b: Column) -> Column:
+    """wikidata/website equality, both non-empty (MergeUtil.java:121-126)."""
+    return a.isNotNull() & b.isNotNull() & (a != "") & (a == b)
+
+
+def first_not_empty(*cols: Column) -> Column:
+    """str:first_not_empty — concat args, each truncated at first ';'
+    (OprExprEvaluatorExt.java:40-58)."""
+    parts = [F.split(c, ";").getItem(0) for c in cols]
+    return F.concat_ws("", *[F.coalesce(p, F.lit("")) for p in parts])
+
+
+def display_place_type(pt: Column) -> Column:
+    """Capitalize + underscore→space (BaseOprPlaceDataProvider.java:174-175)."""
+    base = F.replace(pt, F.lit("_"), F.lit(" "))
+    return F.concat(F.upper(F.substring(base, 1, 1)), F.substring(base, 2, 2147483646))
