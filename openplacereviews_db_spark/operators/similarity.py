@@ -1,0 +1,119 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
+(random-hyperplane signs, derived deterministically from md5 so it is
+oracle-checkable) is the scale path: candidates meet in buckets, turning
+the all-pairs scan into an equi-join.
+
+All vector math is `zip_with`/`aggregate` column arithmetic — JVM-side,
+no Python in the row path.  At 1000-executor scale the query side is
+small and broadcast; the corpus side streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def as_double(v: Column) -> Column:
+    """Cast array<float> → array<double> so both engines do f64 math."""
+    return v.cast("array<double>")
+
+
+def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                round_digits: int = 4) -> DataFrame:
+    """Exact brute-force top-k: for each query vector, the k most cosine-
+    similar corpus vectors (excluding itself).
+
+    The query side is broadcast (it is small by construction); the corpus
+    streams through one stage.  Similarity is rounded *before* ranking so
+    ties break on id deterministically — required for oracle parity and
+    for reproducible pipelines generally.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double(F.col(vec_col)).alias("c_vec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("sim"),
+        )
+    )
+    w = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    )
+    return scored.withColumn("rank", w).where(F.col("rank") <= k)
+
+
+def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+    """Deterministic random-hyperplane LSH bucket id (0..2^planes-1).
+
+    Hyperplane h_i's j-th component is ±1 chosen by a bit of
+    md5('i:j') — reproducible everywhere, no RNG state.  sign(dot) per
+    plane forms the bucket bits.
+    """
+    def plane_sign(i: int) -> Column:
+        prod = F.zip_with(
+            vec,
+            F.sequence(F.lit(0), F.size(vec) - 1),
+            lambda x, j: x * F.when(
+                # first hex nibble of md5("i:j") even → +1 else −1
+                F.instr(F.lit("0123456789abcdef"),
+                        F.substring(F.md5(F.concat_ws(":", F.lit(i), j)), 1, 1)) % 2 == 1,
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+        s = F.aggregate(prod, F.lit(0.0), lambda acc, v: acc + v)
+        return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
+
+    bucket = F.lit(0)
+    for i in range(planes):
+        bucket = bucket * 2 + plane_sign(i)
+    return bucket
+
+
+def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    planes: int = 6, round_digits: int = 4) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's hyperplane
+    bucket.  Same output schema as ``cosine_topk``; recall < 1 by design
+    (scale path: bucket equi-join instead of all-pairs)."""
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
+    ).withColumn("bucket", hyperplane_bucket(F.col("q_vec"), planes))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double(F.col(vec_col)).alias("c_vec")
+    ).withColumn("bucket", hyperplane_bucket(F.col("c_vec"), planes))
+    scored = (
+        c.join(F.broadcast(q), on="bucket")
+        .where(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id", "c_id",
+            F.round(cosine(F.col("q_vec"), F.col("c_vec")), round_digits).alias("sim"),
+        )
+    )
+    w = F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id")))
+    return scored.withColumn("rank", w).where(F.col("rank") <= k)

@@ -1,0 +1,138 @@
+"""Text-analysis operators: language ID, quality scoring, token counting,
+fingerprinting.
+
+All pure column arithmetic over the ``documents`` table shape
+(doc_id, text, ...).  Patterns are kept to the regex subset that behaves
+identically in Java (Spark) and RE2 (DuckDB) so every operator is
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately small and hard-coded: the heuristic is the
+# operator; real deployments would swap in richer tables (broadcast dim).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "los", "por"],
+    "de": ["der", "die", "das", "und", "zu", "in", "ist", "ein", "nicht", "mit"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "les", "pour"],
+}
+
+
+def _words(text: Column) -> Column:
+    return F.filter(F.split(H.norm_text(text), " "), lambda w: w != "")
+
+
+def _stopword_hits(words: Column, lang: str) -> Column:
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+
+
+def language_id(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Predict language by stopword-hit ratio; deterministic tie-break on
+    language code.  Output: (id, pred_lang, best_ratio)."""
+    words = _words(F.col(text_col))
+    n = F.greatest(F.size(words), F.lit(1))
+    out = df.select(F.col(id_col).alias("id"), words.alias("w"), n.alias("n"))
+    for lang in sorted(STOPWORDS):
+        out = out.withColumn(
+            f"r_{lang}", F.round(_stopword_hits(F.col("w"), lang) / F.col("n"), 6)
+        )
+    langs = sorted(STOPWORDS)
+    best = F.greatest(*[F.col(f"r_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"r_{lang}") == best, F.lit(lang)) for lang in langs]
+    )
+    return out.select(
+        "id",
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        best.alias("best_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Heuristic document-quality features + compound score.
+
+    Features: char length, word count, mean word length, punctuation
+    ratio, english-stopword ratio.  Score = clipped linear combination —
+    the standard shape of pre-training corpus filters.
+    """
+    t = F.col(text_col)
+    words = _words(t)
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    mean_wlen = F.round(
+        F.aggregate(words, F.lit(0), lambda a, w: a + F.length(w)).cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        4,
+    )
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(
+        _stopword_hits(F.transform(words, F.lower), "en").cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.3)
+                + F.lit(0.4) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+                + F.lit(0.3) * stop_ratio
+                - F.lit(0.5) * punct_ratio,
+            ),
+        ),
+        6,
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        mean_wlen.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + BPE-ish subword proxy count.
+
+    The subword proxy splits on non-alphanumerics and counts ceil(len/4)
+    per word — a deterministic, vocabulary-free stand-in for a BPE
+    tokenizer's token count (≈4 chars/token), useful for budget math.
+    """
+    t = F.col(text_col)
+    ws_tokens = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+    alnum_words = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: w != "")
+    subword = F.aggregate(
+        alnum_words, F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        ws_tokens.alias("ws_tokens"),
+        F.size(alnum_words).alias("alnum_words"),
+        subword.alias("subword_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(id, md5 fingerprint of normalized text, simhash) per document."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        H.fingerprint(F.col(text_col)).alias("fingerprint"),
+        H.simhash64(F.col(text_col)).alias("simhash"),
+    )

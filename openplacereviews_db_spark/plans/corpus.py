@@ -1,0 +1,286 @@
+"""Corpus-curation query plans: dedup, similarity search, text analysis
+over the ``documents`` and ``embeddings`` tables — the training-data
+pipeline operators (driver brief), each with a DuckDB oracle.
+
+All hashing is md5-based column arithmetic (functions.hashing) so the
+oracle can reproduce every sketch bit-for-bit; float similarity is rounded
+before ranking/filtering so cross-engine summation order can't flip the
+value hash.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup, similarity, textstats
+from ..sources.testdata import load_table
+
+# Normalized text / word list, as DuckDB SQL fragments (must mirror
+# functions.hashing.norm_text exactly).
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = f"list_filter(string_split({_NORM}, ' '), w -> w <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir).where(F.length("text") > 0)
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "embeddings", sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def dd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), shingle_words=2, num_hashes=16, bands=8,
+        min_jaccard=0.1,
+    )
+
+
+def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_table(_docs(spark, sf_dir))
+
+
+def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.ngram_jaccard_pairs(
+        _docs(spark, sf_dir), block_col="lang", shingle_words=2,
+        min_jaccard=0.15,
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    embs = _embs(spark, sf_dir)
+    queries = embs.where(F.col("vec_id") < 10)
+    return similarity.cosine_topk(embs, queries, k=5)
+
+
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (threshold tuned to the
+    synthetic corpus' similarity distribution)."""
+    e = _embs(spark, sf_dir).select(
+        F.col("vec_id"), similarity.as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    sim = F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .withColumn("sim", sim)
+        .where(F.col("sim") >= 0.40)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "sim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def tx_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.language_id(_docs(spark, sf_dir))
+
+
+def tx_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.quality_score(_docs(spark, sf_dir))
+
+
+def tx_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.token_counts(_docs(spark, sf_dir))
+
+
+def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return textstats.fingerprints(_docs(spark, sf_dir))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dd_exact": dd_exact,
+    "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_simhash": dd_simhash,
+    "dd_ngram_jaccard": dd_ngram_jaccard,
+    "ann_cosine_topk": ann_cosine_topk,
+    "emb_neardup_pairs": emb_neardup_pairs,
+    "tx_language_id": tx_language_id,
+    "tx_quality_score": tx_quality_score,
+    "tx_token_counts": tx_token_counts,
+    "tx_fingerprints": tx_fingerprints,
+}
+
+# --- shared SQL fragments ---------------------------------------------------
+
+# 2-word shingles of the normalized text (mirrors hashing.word_shingles n=2)
+_SHINGLES2 = f"""
+    CASE WHEN len({_WORDS}) = 0 THEN []::VARCHAR[]
+         WHEN len({_WORDS}) < 2 THEN [{_NORM}]
+         ELSE list_distinct(list_transform(
+              generate_series(1, len({_WORDS}) - 1),
+              i -> {_WORDS}[i] || ' ' || {_WORDS}[i + 1]))
+    END
+"""
+
+_SIMHASH_SQL = """
+    WITH w AS (
+        SELECT doc_id, unnest(list_distinct({words})) AS word
+        FROM documents WHERE length(text) > 0),
+    hx AS (SELECT doc_id, md5(word) AS h FROM w),
+    bits AS (
+        SELECT doc_id, bit,
+               CASE WHEN CAST(floor(
+                        (strpos('0123456789abcdef', substr(h, CAST(bit // 4 AS INT) + 1, 1)) - 1)
+                        / power(2, 3 - (bit % 4))) AS INT) % 2 = 1
+                    THEN 1 ELSE -1 END AS v
+        FROM hx, generate_series(0, 63) AS t(bit)),
+    votes AS (SELECT doc_id, bit, sum(v) AS s FROM bits GROUP BY doc_id, bit)
+    SELECT doc_id AS id,
+           CAST(sum(CASE WHEN s > 0 THEN
+                    (CASE WHEN bit = 0 THEN CAST(-9223372036854775808 AS HUGEINT)
+                          ELSE CAST(power(2, 63 - bit) AS HUGEINT) END)
+                    ELSE 0 END) AS BIGINT) AS simhash
+    FROM votes GROUP BY doc_id
+""".format(words=_WORDS)
+
+ORACLES: dict[str, str] = {
+    "dd_exact": f"""
+        SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id,
+               count(*) AS group_size
+        FROM documents WHERE length(text) > 0
+        GROUP BY 1
+    """,
+    "dd_minhash_lsh": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SHINGLES2} AS shingles
+            FROM documents WHERE length(text) > 0),
+        mins AS (
+            SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+            FROM sh, unnest(sh.shingles) AS u(s), generate_series(0, 15) AS g(seed)
+            GROUP BY doc_id, seed),
+        bands AS (
+            SELECT doc_id, (seed // 2) AS b,
+                   (seed // 2)::VARCHAR || '|' || md5(string_agg(mh, ',' ORDER BY seed)) AS band
+            FROM mins GROUP BY doc_id, (seed // 2)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band)
+            WHERE a.doc_id < b.doc_id)
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                     / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                    / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.1
+    """,
+    "dd_simhash": _SIMHASH_SQL,
+    "dd_ngram_jaccard": f"""
+        WITH sh AS (
+            SELECT doc_id, lang, {_SHINGLES2} AS shingles
+            FROM documents WHERE length(text) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                     / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
+        FROM sh a JOIN sh b ON a.lang = b.lang
+        WHERE a.doc_id < b.doc_id
+          AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.15
+    """,
+    "ann_cosine_topk": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+            FROM e q, e c
+            WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+        ranked AS (
+            SELECT q_id, c_id, sim,
+                   row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id ASC) AS rank
+            FROM scored)
+        SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank
+        FROM ranked WHERE rank <= 5
+    """,
+    "emb_neardup_pairs": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.40
+    """,
+    "tx_language_id": f"""
+        WITH base AS (
+            SELECT doc_id AS id, {_WORDS} AS w,
+                   greatest(len({_WORDS}), 1) AS n
+            FROM documents WHERE length(text) > 0),
+        ratios AS (
+            SELECT id,
+                   round(len(list_filter(w, x -> list_contains(['der','die','das','und','zu','in','ist','ein','nicht','mit'], x)))::DOUBLE / n, 6) AS r_de,
+                   round(len(list_filter(w, x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x)))::DOUBLE / n, 6) AS r_en,
+                   round(len(list_filter(w, x -> list_contains(['el','la','de','y','que','en','un','una','los','por'], x)))::DOUBLE / n, 6) AS r_es,
+                   round(len(list_filter(w, x -> list_contains(['le','la','de','et','que','en','un','une','les','pour'], x)))::DOUBLE / n, 6) AS r_fr
+            FROM base)
+        SELECT id,
+               CASE WHEN greatest(r_de, r_en, r_es, r_fr) > 0 THEN
+                    (CASE WHEN r_de = greatest(r_de, r_en, r_es, r_fr) THEN 'de'
+                          WHEN r_en = greatest(r_de, r_en, r_es, r_fr) THEN 'en'
+                          WHEN r_es = greatest(r_de, r_en, r_es, r_fr) THEN 'es'
+                          ELSE 'fr' END)
+                    ELSE 'und' END AS pred_lang,
+               greatest(r_de, r_en, r_es, r_fr) AS best_ratio
+        FROM ratios
+    """,
+    "tx_quality_score": f"""
+        WITH base AS (
+            SELECT doc_id AS id, text, {_WORDS} AS w FROM documents
+            WHERE length(text) > 0)
+        SELECT id,
+               CAST(length(text) AS INTEGER) AS n_chars,
+               CAST(len(w) AS INTEGER) AS n_words,
+               round(CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE)
+                     / greatest(len(w), 1), 4) AS mean_word_len,
+               round(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+               round(CAST(len(list_filter(list_transform(w, x -> lower(x)),
+                     x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+                     / greatest(len(w), 1), 6) AS stopword_ratio,
+               round(least(1.0, greatest(0.0,
+                     0.3 + 0.4 * least(len(w) / 100.0, 1.0)
+                     + 0.3 * round(CAST(len(list_filter(list_transform(w, x -> lower(x)),
+                           x -> list_contains(['the','a','of','and','to','in','is','it','that','for'], x))) AS DOUBLE)
+                           / greatest(len(w), 1), 6)
+                     - 0.5 * round(CAST(length(text) - length(regexp_replace(text, '[!-/:-@\\[-`{{-~]', '', 'g')) AS DOUBLE)
+                           / greatest(length(text), 1), 6))), 6) AS quality_score
+        FROM base
+    """,
+    "tx_token_counts": """
+        SELECT doc_id AS id,
+               CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS INTEGER) AS ws_tokens,
+               CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INTEGER) AS alnum_words,
+               CAST(list_sum(list_transform(
+                    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''),
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_tokens
+        FROM documents WHERE length(text) > 0
+    """,
+    "tx_fingerprints": f"""
+        WITH sh AS ({_SIMHASH_SQL})
+        SELECT d.doc_id AS id, md5({_NORM}) AS fingerprint, sh.simhash
+        FROM documents d JOIN sh ON sh.id = d.doc_id
+        WHERE length(text) > 0
+    """,
+}
