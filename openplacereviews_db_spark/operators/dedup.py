@@ -25,8 +25,45 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..functions import hashing as H
+
+
+def exploded_shingles(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      extra_cols: list[str] | None = None) -> DataFrame:
+    """(id, s [, extra_cols...]) — one row per distinct n-word shingle.
+
+    Semantically identical to ``functions.hashing.word_shingles`` (docs
+    with fewer than n words yield the whole normalized text; empty docs
+    yield nothing) but built from posexplode + lead windows so the whole
+    pipeline stays in codegen — the array higher-order form is interpreted
+    and an order of magnitude slower on wide corpora.
+    """
+    extra = extra_cols or []
+    words = df.select(
+        F.col(id_col).alias("id"), *extra,
+        F.posexplode(
+            F.filter(F.split(H.norm_text(F.col(text_col)), " "),
+                     lambda w: w != "")
+        ).alias("pos", "w"),
+    )
+    w_win = Window.partitionBy("id").orderBy("pos")
+    parts = [F.col("w")] + [F.lead("w", k).over(w_win) for k in range(1, n)]
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    shingled = words.select(
+        "id", *extra,
+        F.concat_ws(" ", *parts).alias("s"),
+        F.lead("w", n - 1).over(w_win).isNotNull().alias("full"),
+        (F.col("pos") == 0).alias("first"),
+        (cnt < n).alias("short"),
+    )
+    return (
+        shingled.where(F.col("full") | (F.col("first") & F.col("short")))
+        .select("id", *extra, "s")
+        .distinct()
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -59,40 +96,75 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     verifies each candidate once (dropDuplicates on the pair).
     """
     rows = num_hashes // bands
-    base = df.select(
-        F.col(id_col).alias("id"),
-        H.word_shingles(F.col(text_col), shingle_words).alias("shingles"),
-    ).withColumn("sig", H.minhash_sig(F.col("shingles"), num_hashes))
-    banded = base.select(
-        "id", "shingles",
-        F.explode(H.lsh_bands(F.col("sig"), bands, rows)).alias("band"),
+    # One codegen'd pass builds the distinct (id, shingle) rows; it feeds
+    # the signature, and the verify step rebuilds per-doc shingle sets
+    # from it.  Persisted because three branches consume it.
+    exploded = exploded_shingles(df, text_col, id_col, shingle_words).persist()
+    sig = exploded.groupBy("id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]).select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    banded = sig.select(
+        "id", F.explode(H.lsh_bands(F.col("sig"), bands, rows)).alias("band")
     )
-    left = banded.alias("a")
-    right = banded.alias("b")
     cand = (
-        left.join(right, on="band")
+        banded.alias("a").join(banded.alias("b"), on="band")
         .where(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        cand.withColumn("jaccard", F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+    sets = exploded.groupBy("id").agg(F.collect_set("s").alias("shingles"))
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("shingles").alias("sh_a")), on="id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("shingles").alias("sh_b")), on="id_b")
+        .withColumn("jaccard", F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 64) -> DataFrame:
-    """(id, simhash bigint) per document."""
-    return df.select(
+    """(id, simhash bigint) per document.
+
+    Explode-based plan: one row per distinct token, 64 codegen'd
+    sum-aggregates for the per-bit votes, then one weighted combine.
+    Semantically identical to ``functions.hashing.simhash64`` (which is
+    the per-column expression form) but stays in whole-stage codegen.
+    Documents with no tokens get simhash 0.
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    words = df.select(
         F.col(id_col).alias("id"),
-        H.simhash64(F.col(text_col), bits).alias("simhash"),
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(H.norm_text(F.col(text_col)), " "),
+                         lambda w: w != ""))
+        ).alias("w"),
+    ).withColumn("h", F.md5("w"))
+
+    def bit_vote(b: int):
+        nib = F.instr(F.lit("0123456789abcdef"),
+                      F.substring(F.col("h"), b // 4 + 1, 1)) - 1
+        bit = F.shiftright(nib, 3 - (b % 4)).bitwiseAND(F.lit(1))
+        return F.sum(bit * 2 - 1).alias(f"v{b}")
+
+    votes = words.groupBy("id").agg(*[bit_vote(b) for b in range(bits)])
+    weights = [
+        F.when(F.col(f"v{b}") > 0,
+               F.lit(-(2 ** 63) if (bits - 1 - b) == 63 else 2 ** (bits - 1 - b))
+               .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        for b in range(bits)
+    ]
+    acc = weights[0]
+    for w in weights[1:]:
+        acc = acc + w
+    hashed = votes.select("id", acc.alias("simhash"))
+    return ids.join(hashed, on="id", how="left").select(
+        "id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
     )
 
 
@@ -129,21 +201,66 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         min_jaccard: float = 0.2) -> DataFrame:
     """Exact n-gram Jaccard pairs within blocks.
 
-    ``block_col`` limits the candidate join to same-block pairs (the
-    reference's tile-blocking generalized); None = single block (exact but
-    quadratic — only for small/sampled inputs).
+    Plan: dictionary-encode shingles (distinct-shingle dimension table,
+    broadcast), gather each document's shingle-id set, then one
+    ``applyInPandas`` per block computing all pairwise intersection counts
+    as a single binary-matrix GEMM (``M @ M.T``) — exact counts, vectorized,
+    ~1000x the throughput of per-pair array intersection.  Blocks are the
+    unit of parallelism (the reference's tile-blocking generalized), so the
+    shuffle key is ``block_col`` and no block ever needs more than one task.
+
+    The final round + threshold happens in Spark (JVM `round`) so results
+    are bit-identical with a SQL oracle computing `round(i/u, 6)`.
     """
-    blk: Column = F.col(block_col) if block_col else F.lit(0)
-    base = df.select(
-        F.col(id_col).alias("id"),
-        blk.alias("blk"),
-        H.word_shingles(F.col(text_col), shingle_words).alias("shingles"),
+    base = df.withColumn("blk", F.col(block_col) if block_col else F.lit(0))
+    exploded = exploded_shingles(
+        base, text_col, id_col, shingle_words, extra_cols=["blk"]
+    ).persist()
+    vocab = (
+        exploded.select("s").distinct()
+        .select("s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid"))
     )
-    a, b = base.alias("a"), base.alias("b")
+    encoded = (
+        exploded.join(F.broadcast(vocab), on="s")
+        .groupBy("blk", "id")
+        .agg(F.collect_list("sid").alias("sids"))
+    )
+
+    emit_floor = min_jaccard - 1e-6
+    out_schema = "id_a long, id_b long, jac_raw double"
+
+    def gemm(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "jac_raw": []})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy()
+        local = sorted({int(s) for row in pdf["sids"] for s in row})
+        remap = {s: i for i, s in enumerate(local)}
+        m = np.zeros((n, len(local)), dtype=np.float32)
+        for r, row in enumerate(pdf["sids"]):
+            m[r, [remap[int(s)] for s in row]] = 1.0
+        # float32 GEMM is exact for integer counts < 2^24; divide in
+        # float64 so round(i/u, 6) is bit-identical with the SQL oracle
+        inter = (m @ m.T).astype(np.float64)
+        sizes = m.sum(axis=1, dtype=np.float64)
+        union = sizes[:, None] + sizes[None, :] - inter
+        with np.errstate(divide="ignore", invalid="ignore"):
+            jac = np.where(union > 0, inter / union, 0.0)
+        iu, ju = np.triu_indices(n, 1)
+        keep = jac[iu, ju] >= emit_floor
+        return pd.DataFrame({
+            "id_a": ids[iu[keep]],
+            "id_b": ids[ju[keep]],
+            "jac_raw": jac[iu, ju][keep],
+        })
+
+    pairs = encoded.groupBy("blk").applyInPandas(gemm, schema=out_schema)
     return (
-        a.join(b, F.col("a.blk") == F.col("b.blk"))
-        .where(F.col("a.id") < F.col("b.id"))
-        .withColumn("jaccard", F.round(H.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6))
+        pairs.withColumn("jaccard", F.round("jac_raw", 6))
         .where(F.col("jaccard") >= min_jaccard)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "jaccard")
+        .select("id_a", "id_b", "jaccard")
     )

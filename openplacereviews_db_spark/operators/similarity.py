@@ -68,6 +68,65 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", w).where(F.col("rank") <= k)
 
 
+def cosine_pairs_gemm(embs: DataFrame, threshold: float,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      round_digits: int = 4) -> DataFrame:
+    """All pairs (a < b) with cosine >= threshold, via blocked matrix
+    multiply.
+
+    The reference side (full normalized matrix) is collected and broadcast
+    — the corpus streams through ``mapInPandas`` and each Arrow batch does
+    one ``chunk @ ref.T``.  This is the right shape whenever one side is
+    bounded (dedup against a canonical set, query batches); for unbounded
+    all-pairs at 100 TB, block by LSH bucket first (``hyperplane_bucket``)
+    and run this per bucket.
+
+    Rounding/threshold semantics: the kernel emits raw similarities above
+    ``threshold - 1e-6``; the final JVM-side round + filter makes results
+    comparable with a SQL oracle computing ``round(cos, round_digits)``.
+    """
+    import numpy as np
+
+    rows = (
+        embs.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .collect()
+    )
+    ref_ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    ref = np.array([r["v"] for r in rows], dtype=np.float64)
+    ref_norm = ref / np.linalg.norm(ref, axis=1, keepdims=True)
+    spark = embs.sparkSession
+    b_ids = spark.sparkContext.broadcast(ref_ids)
+    b_ref = spark.sparkContext.broadcast(ref_norm)
+    emit_floor = threshold - 1e-6
+
+    def kernel(batches):
+        import pandas as pd
+
+        rids = b_ids.value
+        rmat = b_ref.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            a_ids = pdf["id"].to_numpy(dtype=np.int64)
+            a = np.array(list(pdf["v"]), dtype=np.float64)
+            a = a / np.linalg.norm(a, axis=1, keepdims=True)
+            sims = a @ rmat.T
+            ii, jj = np.nonzero((sims >= emit_floor) & (a_ids[:, None] < rids[None, :]))
+            yield pd.DataFrame({
+                "id_a": a_ids[ii],
+                "id_b": rids[jj],
+                "sim_raw": sims[ii, jj],
+            })
+
+    src = embs.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+    pairs = src.mapInPandas(kernel, schema="id_a long, id_b long, sim_raw double")
+    return (
+        pairs.withColumn("sim", F.round("sim_raw", round_digits))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0..2^planes-1).
 

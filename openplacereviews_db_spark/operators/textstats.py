@@ -131,8 +131,12 @@ def token_counts(df: DataFrame, text_col: str = "text",
 def fingerprints(df: DataFrame, text_col: str = "text",
                  id_col: str = "doc_id") -> DataFrame:
     """(id, md5 fingerprint of normalized text, simhash) per document."""
-    return df.select(
+    from .dedup import simhash_table
+
+    fp = df.select(
         F.col(id_col).alias("id"),
         H.fingerprint(F.col(text_col)).alias("fingerprint"),
-        H.simhash64(F.col(text_col)).alias("simhash"),
+    )
+    return fp.join(simhash_table(df, text_col, id_col), on="id").select(
+        "id", "fingerprint", "simhash"
     )

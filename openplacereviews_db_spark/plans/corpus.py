@@ -70,18 +70,8 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to the
-    synthetic corpus' similarity distribution)."""
-    e = _embs(spark, sf_dir).select(
-        F.col("vec_id"), similarity.as_double(F.col("embedding")).alias("v")
-    )
-    a, b = e.alias("a"), e.alias("b")
-    sim = F.round(similarity.cosine(F.col("a.v"), F.col("b.v")), 4)
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .withColumn("sim", sim)
-        .where(F.col("sim") >= 0.40)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), "sim")
-    )
+    synthetic corpus' similarity distribution), via the GEMM kernel."""
+    return similarity.cosine_pairs_gemm(_embs(spark, sf_dir), threshold=0.40)
 
 
 # ---------------------------------------------------------------------------

@@ -248,13 +248,24 @@ def j4_fuzzy_name_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Name-similarity join (J4, MergeUtil.java match cascade): part-name
     pairs within levenshtein ≤ 2, blocked by brand (the reference blocks by
     tile; blocking turns the fuzzy join into an equi-join + cheap verify)."""
-    part = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = part.alias("a"), part.alias("b")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.lower(F.col("p_name")).alias("lname"),
+        F.length("p_name").alias("nlen"),
+    )
+    # The probe side is re-partitioned by key so the quadratic verify work
+    # spreads across all cores; the build side is broadcast (small dim).
+    # Without this the broadcast join would run in the scan's single task.
+    n_parts = spark.sparkContext.defaultParallelism
+    a = part.repartition(n_parts, "p_partkey").alias("a")
+    b = F.broadcast(part).alias("b")
     return (
         a.join(b, F.col("a.p_brand") == F.col("b.p_brand"))
         .where(F.col("a.p_partkey") < F.col("b.p_partkey"))
-        .withColumn("lev", F.levenshtein(F.lower(F.col("a.p_name")),
-                                         F.lower(F.col("b.p_name"))))
+        # lev <= 2 implies |len(a)-len(b)| <= 2: cheap prune before the
+        # O(len^2) edit-distance (same predicate in the oracle)
+        .where(F.abs(F.col("a.nlen") - F.col("b.nlen")) <= 2)
+        .withColumn("lev", F.levenshtein(F.col("a.lname"), F.col("b.lname")))
         .where(F.col("lev") <= 2)
         .select(F.col("a.p_partkey").alias("key_a"),
                 F.col("b.p_partkey").alias("key_b"),
@@ -545,6 +556,7 @@ ORACLES: dict[str, str] = {
                CAST(levenshtein(lower(a.p_name), lower(b.p_name)) AS INTEGER) AS lev
         FROM part a JOIN part b ON a.p_brand = b.p_brand
         WHERE a.p_partkey < b.p_partkey
+          AND abs(length(a.p_name) - length(b.p_name)) <= 2
           AND levenshtein(lower(a.p_name), lower(b.p_name)) <= 2
     """,
     "p2_main_element": """
