@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from openplacereviews_db_spark.plans import corpus, relational
+from openplacereviews_db_spark.plans import corpus, oplog, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -24,6 +24,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     out.update(relational.QUERIES)
     out.update(corpus.QUERIES)
+    out.update(oplog.QUERIES)
     return out
 
 
@@ -31,4 +32,5 @@ def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     out.update(relational.ORACLES)
     out.update(corpus.ORACLES)
+    out.update(oplog.ORACLES)
     return out

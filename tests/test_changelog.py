@@ -1,0 +1,185 @@
+"""Golden + property tests for the changelog core (M9/E1).
+
+Golden cases model the reference's path/diff semantics
+(PlaceOpObjectHelper.java:120-169 generateDiff; path quoting
+:140-148 and its golden test PlaceOpObjectHelperTest.java:14-33) with
+our own fixtures — quoted keys, unicode, nested arrays.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from openplacereviews_db_spark.operators import changelog as C
+
+
+# ---------------------------------------------------------------------------
+# path grammar
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("path,parts", [
+    ("source.osm[0].tags.name", ["source", "osm", 0, "tags", "name"]),
+    ("a[1][2].b", ["a", 1, 2, "b"]),
+    ("tags.{addr.city}", ["tags", "addr.city"]),
+    ("{a[0]}.b", ["a[0]", "b"]),
+    ("deleted", ["deleted"]),
+    ("images.{café münchen}.x", ["images", "café münchen", "x"]),
+])
+def test_path_roundtrip(path, parts):
+    assert C.parse_path(path) == parts
+    assert C.parse_path(C.format_path(parts)) == parts
+
+
+def test_format_quotes_unsafe_keys():
+    assert C.format_path(["tags", "addr.city"]) == "tags.{addr.city}"
+    assert C.format_path(["a", 0, "b"]) == "a[0].b"
+
+
+# ---------------------------------------------------------------------------
+# edit kernel
+# ---------------------------------------------------------------------------
+
+def test_set_append_delete():
+    doc = {"source": {"osm": [{"tags": {"name": "Blue Cafe"}}]}}
+    C.apply_change_op(doc, "source.osm[0].tags.name", {"set": "Red Cafe"})
+    assert doc["source"]["osm"][0]["tags"]["name"] == "Red Cafe"
+    C.apply_change_op(doc, "source.osm[0].deleted", {"set": "2021-09-14"})
+    assert doc["source"]["osm"][0]["deleted"] == "2021-09-14"
+    C.apply_change_op(doc, "source.osm", {"append": {"id": 7}})
+    assert doc["source"]["osm"][1] == {"id": 7}
+    C.apply_change_op(doc, "source.osm", {"appendmany": [{"id": 8}, {"id": 9}]})
+    assert [e.get("id") for e in doc["source"]["osm"][1:]] == [7, 8, 9]
+    C.apply_change_op(doc, "source.osm[0].tags.name", "delete")
+    assert "name" not in doc["source"]["osm"][0]["tags"]
+    C.apply_change_op(doc, "nope.missing", "delete")  # no-op, no raise
+
+
+def test_set_creates_intermediates():
+    doc: dict = {}
+    C.apply_change_op(doc, "a.b[1].c", {"set": 5})
+    assert doc == {"a": {"b": [{}, {"c": 5}]}}
+
+
+def test_quoted_key_edit():
+    doc = {"tags": {}}
+    C.apply_change_op(doc, "tags.{addr.city}", {"set": "Paris"})
+    assert doc["tags"]["addr.city"] == "Paris"
+
+
+def test_current_values():
+    doc = {"tags": {"name": "X", "web": "y"}}
+    cur = C.current_values(doc, {"tags.name": {"set": "Z"},
+                                 "tags.missing": {"set": 1},
+                                 "tags.web": "delete"})
+    assert cur == {"tags.name": "X", "tags.web": "y"}
+
+
+# ---------------------------------------------------------------------------
+# diff golden cases (modeled on the reference's generateDiff behavior)
+# ---------------------------------------------------------------------------
+
+def test_generate_diff_golden():
+    old = {"tags": {"name": "Caffé", "amenity": "cafe", "old": "x"},
+           "version": "1"}
+    new = {"tags": {"name": "Caffè", "amenity": "cafe", "web": "http://a"},
+           "version": "2"}
+    change, current = C.generate_diff(old, new)
+    assert change == {
+        "tags.old": "delete",
+        "tags.name": {"set": "Caffè"},
+        "tags.web": {"set": "http://a"},
+        "version": {"set": "2"},
+    }
+    assert current == {"tags.old": "x", "tags.name": "Caffé", "version": "1"}
+
+
+def test_diff_quotes_dotted_keys():
+    change, _ = C.generate_diff({"tags": {}}, {"tags": {"addr.city": "P"}})
+    assert change == {"tags.{addr.city}": {"set": "P"}}
+
+
+def test_lists_set_wholesale():
+    change, current = C.generate_diff({"a": [1, 2]}, {"a": [1, 3]})
+    assert change == {"a": {"set": [1, 3]}}
+    assert current == {"a": [1, 2]}
+
+
+# hypothesis: apply(diff(a, b)) on a == b for nested string dicts
+_json_scalars = st.one_of(st.integers(-5, 5), st.text(max_size=4),
+                          st.booleans())
+_docs = st.recursive(
+    _json_scalars,
+    lambda children: st.dictionaries(
+        st.text(st.characters(codec="utf-8",
+                              exclude_characters="{}[].\x00"),
+                min_size=1, max_size=4),
+        children, max_size=4),
+    max_leaves=12,
+).filter(lambda d: isinstance(d, dict))
+
+
+@settings(max_examples=150, deadline=None)
+@given(_docs, _docs)
+def test_diff_apply_roundtrip(a, b):
+    change, _ = C.generate_diff(a, b)
+    got = C.apply_change_map(json.loads(json.dumps(a)), change)
+    assert got == b
+
+
+# ---------------------------------------------------------------------------
+# distributed fold + CDC extract
+# ---------------------------------------------------------------------------
+
+def test_apply_operations_fold(spark):
+    docs = spark.createDataFrame(
+        [("p1", json.dumps({"v": 1, "tags": {"name": "A"}})),
+         ("p2", json.dumps({"v": 1}))],
+        "obj_id string, doc string")
+    ops = spark.createDataFrame(
+        [
+            ("p1", 1, 0, "edit", None, json.dumps({"tags.name": {"set": "B"}})),
+            ("p1", 2, 0, "edit", None, json.dumps({"tags.alt": {"set": "C"},
+                                                   "v": {"set": 2}})),
+            ("p2", 1, 0, "delete", None, None),
+            ("p3", 1, 0, "create", json.dumps({"v": 9}), None),
+            ("p3", 1, 1, "edit", None, json.dumps({"v": {"set": 10}})),
+        ],
+        "obj_id string, block_id long, op_seq long, action string, "
+        "doc string, change string")
+    out = {r["obj_id"]: json.loads(r["doc"])
+           for r in C.apply_operations(docs, ops).collect()}
+    assert set(out) == {"p1", "p3"}
+    assert out["p1"] == {"v": 2, "tags": {"name": "B", "alt": "C"}}
+    assert out["p3"] == {"v": 10}
+
+
+def test_extract_diff_then_apply_roundtrip(spark):
+    old = spark.createDataFrame(
+        [("a", json.dumps({"x": 1, "t": {"k": "v"}})),
+         ("b", json.dumps({"x": 2})),
+         ("c", json.dumps({"x": 3}))],
+        "obj_id string, doc string")
+    new = spark.createDataFrame(
+        [("a", json.dumps({"x": 1, "t": {"k": "w", "n": 1}})),
+         ("c", json.dumps({"x": 3})),
+         ("d", json.dumps({"x": 4}))],
+        "obj_id string, doc string")
+    diff = C.extract_diff(old, new)
+    rows = {r["obj_id"]: r for r in diff.collect()}
+    assert rows["a"]["action"] == "edit"
+    assert rows["b"]["action"] == "delete"
+    assert rows["d"]["action"] == "create"
+    assert "c" not in rows
+    # replay the diff as a changelog: old + diff == new
+    from pyspark.sql import functions as F
+    ops = diff.select(
+        "obj_id", F.lit(1).alias("block_id"), F.lit(0).alias("op_seq"),
+        "action", "doc", "change")
+    got = {r["obj_id"]: json.loads(r["doc"])
+           for r in C.apply_operations(old, ops).collect()}
+    want = {r["obj_id"]: json.loads(r["doc"]) for r in new.collect()}
+    assert got == want
