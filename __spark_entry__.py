@@ -12,7 +12,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from openplacereviews_db_spark.plans import corpus, oplog, relational
+from openplacereviews_db_spark.plans import corpus, oplog, places_reports, relational
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -25,6 +25,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational.QUERIES)
     out.update(corpus.QUERIES)
     out.update(oplog.QUERIES)
+    out.update(places_reports.QUERIES)
     return out
 
 
@@ -33,4 +34,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational.ORACLES)
     out.update(corpus.ORACLES)
     out.update(oplog.ORACLES)
+    out.update(places_reports.ORACLES)
     return out

@@ -73,15 +73,20 @@ def olc_encode_py(lat: float, lon: float, code_length: int = 6) -> str:
         lat = 90.0 - 1e-10
     lat_v = lat + 90.0
     lon_v = lon + 180.0
+    # Closed-form digit extraction: digit at resolution r is
+    # floor(v / r) % 20.  The same IEEE-double expression is used by the
+    # column and SQL variants below so all three agree bit-for-bit.
+    # NB: floor(v / r), not v // r — float floor-division is fmod-based
+    # and disagrees with floor-of-quotient in edge cases (90.0 // 0.05 ==
+    # 1799 but floor(90.0 / 0.05) == 1800); SQL/column engines compute
+    # the latter.
+    import math
+
     code = []
     lat_res, lon_res = 20.0, 20.0  # first pair resolution in degrees
     for _ in range(code_length // 2):
-        d_lat = int(lat_v // lat_res) % OLC_BASE
-        d_lon = int(lon_v // lon_res) % OLC_BASE
-        code.append(OLC_ALPHABET[d_lat])
-        code.append(OLC_ALPHABET[d_lon])
-        lat_v = lat_v - int(lat_v // lat_res) * lat_res
-        lon_v = lon_v - int(lon_v // lon_res) * lon_res
+        code.append(OLC_ALPHABET[int(math.floor(lat_v / lat_res)) % OLC_BASE])
+        code.append(OLC_ALPHABET[int(math.floor(lon_v / lon_res)) % OLC_BASE])
         lat_res /= OLC_BASE
         lon_res /= OLC_BASE
     return "".join(code)
@@ -118,17 +123,57 @@ def olc_encode(lat: Column, lon: Column, code_length: int = 6) -> Column:
     parts: list[Column] = []
     lat_res, lon_res = 20.0, 20.0
     alpha = F.lit(OLC_ALPHABET)
-    lat_v, lon_v = lat_c, lon_c
     for _ in range(code_length // 2):
-        d_lat = (F.floor(lat_v / F.lit(lat_res)) % OLC_BASE).cast("int")
-        d_lon = (F.floor(lon_v / F.lit(lon_res)) % OLC_BASE).cast("int")
-        parts.append(F.substring(alpha, 1, OLC_BASE).substr(d_lat + 1, F.lit(1)))
-        parts.append(F.substring(alpha, 1, OLC_BASE).substr(d_lon + 1, F.lit(1)))
-        lat_v = lat_v - F.floor(lat_v / F.lit(lat_res)) * F.lit(lat_res)
-        lon_v = lon_v - F.floor(lon_v / F.lit(lon_res)) * F.lit(lon_res)
+        d_lat = (F.floor(lat_c / F.lit(lat_res)) % OLC_BASE).cast("int")
+        d_lon = (F.floor(lon_c / F.lit(lon_res)) % OLC_BASE).cast("int")
+        parts.append(alpha.substr(d_lat + 1, F.lit(1)))
+        parts.append(alpha.substr(d_lon + 1, F.lit(1)))
         lat_res /= OLC_BASE
         lon_res /= OLC_BASE
     return F.concat(*parts)
+
+
+def olc_encode_sql(lat: str, lon: str, code_length: int = 6) -> str:
+    """The same closed-form OLC encode as ANSI/DuckDB SQL text.
+
+    Mirrors :func:`olc_encode` digit-for-digit (same IEEE-double ops) so
+    a DuckDB oracle computes identical codes.
+    """
+    lat_c = f"(least(90.0 - 1e-10, greatest(-90.0, {lat})) + 90.0)"
+    lon_c = f"(((({lon}) + 180.0) % 360.0 + 360.0) % 360.0)"
+    parts: list[str] = []
+    lat_res, lon_res = 20.0, 20.0
+    for _ in range(code_length // 2):
+        for v, res in ((lat_c, lat_res), (lon_c, lon_res)):
+            d = (f"(CAST(floor({v} / CAST({res!r} AS DOUBLE)) AS BIGINT)"
+                 f" % {OLC_BASE})")
+            parts.append(f"substr('{OLC_ALPHABET}', CAST({d} AS INTEGER) + 1, 1)")
+        lat_res /= OLC_BASE
+        lon_res /= OLC_BASE
+    return "(" + " || ".join(parts) + ")"
+
+
+def olc_decode_center_sql(code: str, code_length: int = 6) -> tuple[str, str]:
+    """(center_lat, center_lon) SQL text for a truncated OLC code column."""
+    def dbl(x: float) -> str:
+        # plain decimal literals become DECIMAL in DuckDB; force doubles
+        return f"CAST({x!r} AS DOUBLE)"
+
+    lat_terms = [dbl(-90.0)]
+    lon_terms = [dbl(-180.0)]
+    lat_res, lon_res = 400.0, 400.0
+    for i in range(0, code_length, 2):
+        lat_res /= OLC_BASE
+        lon_res /= OLC_BASE
+        lat_terms.append(
+            f"(strpos('{OLC_ALPHABET}', substr(upper({code}), {i + 1}, 1)) - 1)"
+            f" * {dbl(lat_res)}")
+        lon_terms.append(
+            f"(strpos('{OLC_ALPHABET}', substr(upper({code}), {i + 2}, 1)) - 1)"
+            f" * {dbl(lon_res)}")
+    lat_sql = "(" + " + ".join(lat_terms) + f" + {dbl(lat_res / 2)})"
+    lon_sql = "(" + " + ".join(lon_terms) + f" + {dbl(lon_res / 2)})"
+    return lat_sql, lon_sql
 
 
 def olc_decode_center(code: Column, code_length: int = 6) -> tuple[Column, Column]:

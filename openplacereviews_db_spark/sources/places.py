@@ -1,0 +1,168 @@
+"""The `opr.place` document model and a deterministic synthetic corpus.
+
+Schema reconstructed from the reference's object builder
+(``PlaceOpObjectHelper.java:55-103``, field constants :39-53) and test
+fixture (``openplacereviews-core/src/test/resources/merge/places.json``)
+— see SURVEY.md §1.1.  The 2-part compound key is (6-char OLC tile,
+6-char suffix); the tile doubles as the partition/blocking key
+(``OsmLocationTool.java:95-100``).
+
+``synthetic_places`` derives a worldwide place corpus from the driver's
+``customer`` table with **pure closed-form arithmetic** (integer mod +
+IEEE-double division + closed-form OLC), so the exact same rows are
+derivable in DuckDB SQL — ``PLACES_SQL_CTE`` is that mirror, giving
+every geo-report plan a value-exact oracle.  The reference's random id
+suffix (``OsmLocationTool.java:97``) is replaced by a deterministic
+md5-derived suffix (SURVEY.md §7 "deterministic-id mode").
+
+Layout decisions for 100 TB:
+- the corpus is keyed and (at scale) partitioned by ``tile_id`` — every
+  geo query prunes partitions by tile prefix;
+- the nested ``source.osm`` array stays one column (documents travel
+  whole), while hot scalar projections (lat/lon/placetype/deleted) are
+  materialized top-level so scans prune to a few columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions import geo
+from .testdata import load_table
+
+#: one source.osm element (SURVEY.md §1.1)
+OSM_REF_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("type", T.StringType()),
+    T.StructField("osm_tag", T.StringType()),
+    T.StructField("osm_value", T.StringType()),
+    T.StructField("tags", T.MapType(T.StringType(), T.StringType())),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lon", T.DoubleType()),
+    T.StructField("version", T.StringType()),
+    T.StructField("changeset", T.StringType()),
+    T.StructField("timestamp", T.StringType()),
+    T.StructField("deleted", T.StringType()),
+])
+
+PLACE_SCHEMA = T.StructType([
+    T.StructField("tile_id", T.StringType(), False),
+    T.StructField("suffix", T.StringType(), False),
+    T.StructField("lat", T.DoubleType()),
+    T.StructField("lon", T.DoubleType()),
+    T.StructField("placetype", T.StringType()),
+    T.StructField("deleted", T.StringType()),
+    T.StructField("source", T.StructType([
+        T.StructField("osm", T.ArrayType(OSM_REF_SCHEMA)),
+    ])),
+    T.StructField("images", T.MapType(
+        T.StringType(), T.ArrayType(T.MapType(T.StringType(), T.StringType())))),
+])
+
+#: tombstones used by the synthetic corpus
+DELETED_PLACE_TS = "2021-06-01T00:00:00"
+DELETED_OSM_TS = "2021-01-01T00:00:00"
+
+# closed-form coordinate derivation (mirrored in SQL below)
+_LAT_MUL, _LAT_MOD = 7919, 16000
+_LON_MUL, _LON_MOD = 104729, 36000
+
+
+def synthetic_lat(key: Column) -> Column:
+    return ((key * _LAT_MUL) % _LAT_MOD) / 100.0 - 80.0
+
+
+def synthetic_lon(key: Column) -> Column:
+    return ((key * _LON_MUL) % _LON_MOD) / 100.0 - 180.0
+
+
+def synthetic_lat_py(key: int) -> float:
+    return ((key * _LAT_MUL) % _LAT_MOD) / 100.0 - 80.0
+
+
+def synthetic_lon_py(key: int) -> float:
+    return ((key * _LON_MUL) % _LON_MOD) / 100.0 - 180.0
+
+
+def synthetic_places(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic `opr.place` corpus derived from `customer`.
+
+    Per customer key k:
+    - lat/lon: closed-form hash arithmetic (above);
+    - k % 11 == 0  → place-level tombstone (F_DELETED_PLACE);
+    - k % 13 == 0  → source.osm = [deleted ref(k), live ref(k + 5e6)]
+      (main-element selection must skip the dead first element — P2);
+    - k % 7 == 0 (and not %13) → [live ref(k), deleted ref(k + 5e6)];
+    - otherwise one live ref(k).
+    """
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    lat, lon = synthetic_lat(k), synthetic_lon(k)
+    ptype = F.lower(F.col("c_mktsegment"))
+
+    def ref(idc: Column, deleted: Column | None) -> Column:
+        return F.struct(
+            idc.cast("long").alias("id"),
+            F.lit("node").alias("type"),
+            F.lit("amenity").alias("osm_tag"),
+            ptype.alias("osm_value"),
+            F.create_map(F.lit("name"), F.col("c_name"),
+                         F.lit("amenity"), ptype).alias("tags"),
+            lat.alias("lat"), lon.alias("lon"),
+            F.concat(F.lit(""), (1 + k % 5).cast("string")).alias("version"),
+            F.lit(None).cast("string").alias("changeset"),
+            F.lit("2021-01-01T00:00:00").alias("timestamp"),
+            (deleted if deleted is not None
+             else F.lit(None).cast("string")).alias("deleted"),
+        )
+
+    live_main = ref(k, None)
+    live_alt = ref(k + 5000000, None)
+    dead_main = ref(k, F.lit(DELETED_OSM_TS))
+    dead_alt = ref(k + 5000000, F.lit(DELETED_OSM_TS))
+    osm = (
+        F.when(k % 13 == 0, F.array(dead_main, live_alt))
+        .when(k % 7 == 0, F.array(live_main, dead_alt))
+        .otherwise(F.array(live_main))
+    )
+    return c.select(
+        geo.olc_encode(lat, lon, 6).alias("tile_id"),
+        F.substring(F.md5(k.cast("string")), 1, 6).alias("suffix"),
+        lat.alias("lat"), lon.alias("lon"),
+        ptype.alias("placetype"),
+        F.when(k % 11 == 0, F.lit(DELETED_PLACE_TS))
+        .cast("string").alias("deleted"),
+        F.struct(osm.alias("osm")).alias("source"),
+        F.create_map().cast(PLACE_SCHEMA["images"].dataType).alias("images"),
+    )
+
+
+def places_sql_cte() -> str:
+    """DuckDB CTE producing the flat mirror of :func:`synthetic_places`.
+
+    Exposes (tile_id, suffix, lat, lon, name, placetype, deleted,
+    main_osm_id, version, n_osm) — main_osm_id already applies the P2
+    main-element rule, which in this corpus reduces to the k%13 case.
+    """
+    lat = (f"(((c_custkey * {_LAT_MUL}) % {_LAT_MOD})"
+           " / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE))")
+    lon = (f"(((c_custkey * {_LON_MUL}) % {_LON_MOD})"
+           " / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE))")
+    tile = geo.olc_encode_sql(lat, lon, 6)
+    return f"""
+    places AS (
+        SELECT {tile} AS tile_id,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS suffix,
+               {lat} AS lat, {lon} AS lon,
+               c_name AS name,
+               lower(c_mktsegment) AS placetype,
+               CASE WHEN c_custkey % 11 = 0 THEN '{DELETED_PLACE_TS}' END AS deleted,
+               CASE WHEN c_custkey % 13 = 0 THEN c_custkey + 5000000
+                    ELSE c_custkey END AS main_osm_id,
+               CAST(1 + c_custkey % 5 AS VARCHAR) AS version,
+               CASE WHEN c_custkey % 13 = 0 OR c_custkey % 7 = 0
+                    THEN 2 ELSE 1 END AS n_osm
+        FROM customer
+    )"""
