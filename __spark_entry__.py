@@ -12,7 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from openplacereviews_db_spark.plans import corpus, oplog, places_reports, relational
+from openplacereviews_db_spark.plans import (corpus, merge_plans, oplog,
+                                             places_reports, relational)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -26,6 +27,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(corpus.QUERIES)
     out.update(oplog.QUERIES)
     out.update(places_reports.QUERIES)
+    out.update(merge_plans.QUERIES)
     return out
 
 
@@ -35,4 +37,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(corpus.ORACLES)
     out.update(oplog.ORACLES)
     out.update(places_reports.ORACLES)
+    out.update(merge_plans.ORACLES)
     return out

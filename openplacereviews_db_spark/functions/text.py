@@ -117,3 +117,67 @@ def display_place_type(pt: Column) -> Column:
     """Capitalize + underscore→space (BaseOprPlaceDataProvider.java:174-175)."""
     base = F.replace(pt, F.lit("_"), F.lit(" "))
     return F.concat(F.upper(F.substring(base, 1, 1)), F.substring(base, 2, 2147483646))
+
+
+# ---------------------------------------------------------------------------
+# DuckDB SQL mirrors — the same cascade as SQL text, for value-exact
+# oracles of the fuzzy-match operators.  Built as generators because the
+# nested-lambda SQL is verbose; semantics mirror the column versions
+# above expression-for-expression.
+# ---------------------------------------------------------------------------
+
+def normalized_sql(x: str) -> str:
+    return f"translate(lower({x}), '{_ACCENTS_SRC}', '{_ACCENTS_DST}')"
+
+
+def tokenize_words_sql(x: str) -> str:
+    r"""list of words: \s+ split, per-word edge-punctuation trim, drop
+    empties — mirrors :func:`tokenize_words` (RE2 [[:punct:]] ==
+    Java \p{Punct} on ASCII)."""
+    split = rf"regexp_split_to_array(trim({x}), '\s+')"
+    trimmed = (f"list_transform({split}, "
+               "w -> regexp_replace(w, '(^[[:punct:]]+)|([[:punct:]]+$)', "
+               "'', 'g'))")
+    return f"list_filter({trimmed}, w -> w != '')"
+
+
+def norm_tokens_sql(x: str) -> str:
+    return (f"list_transform({tokenize_words_sql(x)}, "
+            f"w -> {normalized_sql('w')})")
+
+
+def lev_threshold_sql(a: str, b: str) -> str:
+    return (f"(CASE WHEN least(length({a}), length({b})) <= 4 THEN 1 "
+            f"WHEN least(length({a}), length({b})) <= 6 THEN 2 "
+            f"WHEN least(length({a}), length({b})) <= 8 THEN 3 "
+            f"ELSE 4 END)")
+
+
+def words_match_sql(w: str, m: str) -> str:
+    """Both args must already be normalized tokens."""
+    return (f"({w} = {m} OR levenshtein({w}, {m}) <= "
+            f"{lev_threshold_sql(w, m)})")
+
+
+def words_fuzzy_subset_sql(sub: str, main: str) -> str:
+    return (f"(len(list_filter({sub}, w -> len(list_filter({main}, "
+            f"m -> {words_match_sql('w', 'm')})) > 0)) = len({sub}))")
+
+
+def check_names_sql(a: str, b: str) -> str:
+    """:func:`check_names` as DuckDB SQL (MergeUtil.java:166-195)."""
+    ta, tb = norm_tokens_sql(a), norm_tokens_sql(b)
+    eq_norm = f"({normalized_sql(a)} = {normalized_sql(b)})"
+    eq_simple = f"({simple_name_sql(a)} = {simple_name_sql(b)})"
+    eq_bag = f"(list_sort({ta}) = list_sort({tb}))"
+    subset = (f"(CASE WHEN len({ta}) <= len({tb}) "
+              f"THEN {words_fuzzy_subset_sql(ta, tb)} "
+              f"ELSE {words_fuzzy_subset_sql(tb, ta)} END)")
+    non_empty = f"(len({ta}) > 0 AND len({tb}) > 0)"
+    return (f"({eq_norm} OR {eq_simple} OR {eq_bag} "
+            f"OR ({non_empty} AND {subset}))")
+
+
+def tag_equal_non_empty_sql(a: str, b: str) -> str:
+    return (f"({a} IS NOT NULL AND {b} IS NOT NULL AND {a} != '' "
+            f"AND {a} = {b})")

@@ -1,0 +1,119 @@
+"""Grouping / clustering operators (SURVEY.md §2.8).
+
+- ``greedy_proximity_groups`` (G2): the reference's per-tile greedy
+  150 m clustering (``OprHistoryChangesProvider.java:171-209``) —
+  deleted feature pulls nearby created features (nearest first), then
+  nearby other deleted ones; groups keep the [deleted…, created…]
+  invariant (:205).  Groups are tile-local and small, so the Spark shape
+  is ``groupBy(tile).applyInPandas`` with the exact greedy loop inside —
+  bit-compatible with the reference's iteration order (TreeMap ⇒ we sort
+  by id).  The shuffle key is the tile: at 100 TB every tile is an
+  independent task and no task sees more than one tile's features.
+- ``segment_groups`` (G1, ``MergeUtil.java:99-113``): split an ordered
+  feature sequence into groups at each live→deleted boundary, as a
+  lag + cumulative-sum window.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.geo import HAVERSINE_R_KM
+
+STATUS_DELETED = "deleted"
+STATUS_CREATED = "created"
+
+
+def _haversine_py(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
+    """Same constants/shape as functions.geo.haversine_m
+    (OsmMapUtils.java:96-110)."""
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (math.sin(dlat / 2) ** 2
+         + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+         * math.sin(dlon / 2) ** 2)
+    return 2 * HAVERSINE_R_KM * 1000 * math.asin(math.sqrt(a))
+
+
+def greedy_group_rows(rows: list[dict], dist_m: float = 150.0) -> list[dict]:
+    """The greedy loop on one tile's features (pure Python, unit-testable).
+
+    ``rows``: dicts with id, lat, lon, status ('deleted'|'created').
+    Returns rows with added group_id (first deleted id of the group) and
+    seq (position; deleted members first — the reference's invariant).
+    Iteration order is id-sorted (the reference iterates TreeMaps).
+    """
+    deleted = sorted((r for r in rows if r["status"] == STATUS_DELETED),
+                     key=lambda r: r["id"])
+    created = sorted((r for r in rows if r["status"] == STATUS_CREATED),
+                     key=lambda r: r["id"])
+    used: set = set()
+    out: list[dict] = []
+    for d in deleted:
+        if d["id"] in used:
+            continue
+        used.add(d["id"])
+        group_del = [d]
+        # nearest-first created pull (findNearestPointAndDelete analog)
+        cands = sorted(
+            ((_haversine_py(d["lat"], d["lon"], c["lat"], c["lon"]), c["id"], c)
+             for c in created if c["id"] not in used),
+            key=lambda t: (t[0], t[1]))
+        group_new = []
+        for dist, cid, c in cands:
+            if dist < dist_m:
+                group_new.append(c)
+                used.add(cid)
+        # then other deleted features near the seed
+        for d2 in deleted:
+            if d2["id"] not in used and _haversine_py(
+                    d["lat"], d["lon"], d2["lat"], d2["lon"]) < dist_m:
+                group_del.append(d2)
+                used.add(d2["id"])
+        for seq, r in enumerate(group_del + group_new):
+            out.append({**r, "group_id": d["id"], "seq": seq})
+    # created features never pulled into a group stay ungrouped
+    for c in created:
+        if c["id"] not in used:
+            out.append({**c, "group_id": None, "seq": 0})
+    return out
+
+
+def greedy_proximity_groups(df: DataFrame, dist_m: float = 150.0,
+                            tile_col: str = "tile", id_col: str = "id",
+                            ) -> DataFrame:
+    """G2 over a features DataFrame (tile, id, lat, lon, status)."""
+    import pandas as pd
+
+    cols = [tile_col, "id", "lat", "lon", "status", "group_id", "seq"]
+
+    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        grouped = greedy_group_rows(pdf.to_dict("records"), dist_m)
+        if not grouped:
+            return pd.DataFrame(columns=cols)
+        return pd.DataFrame(grouped)[cols]
+
+    id_type = dict(df.dtypes)[id_col]
+    schema = (f"{tile_col} string, id {id_type}, lat double, "
+              f"lon double, status string, group_id {id_type}, seq int")
+    return (
+        df.select(tile_col, F.col(id_col).alias("id"), "lat", "lon", "status")
+        .groupBy(tile_col)
+        .applyInPandas(per_tile, schema=schema)
+    )
+
+
+def segment_groups(df: DataFrame, order_col: str, deleted_col: str,
+                   part_col: str | None = None) -> DataFrame:
+    """G1: group id = cumulative count of live→deleted boundaries along
+    ``order_col`` (optionally per ``part_col``).  Adds ``group_id``."""
+    w = (Window.partitionBy(part_col) if part_col else
+         Window.partitionBy(F.lit(0))).orderBy(order_col)
+    is_del = F.col(deleted_col).cast("boolean")
+    prev = F.lag(is_del, 1, False).over(w)
+    boundary = (is_del & ~prev).cast("long")
+    return df.withColumn("group_id", F.sum(boundary).over(w))

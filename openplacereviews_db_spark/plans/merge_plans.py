@@ -1,0 +1,147 @@
+"""Merge-pipeline query plans (J3/J4/J5, J8/M6, G2) with DuckDB oracles.
+
+The match cascade runs over the deterministic flat snapshots
+(`sources.places.synthetic_active_flat` / `synthetic_closed_flat`)
+whose SQL mirror plus the `functions.text.check_names_sql` cascade
+makes the fuzzy join value-checkable end to end — tile blocking,
+haversine threshold, Levenshtein tiers and all.
+
+``g2_proximity_groups`` (greedy clustering) is genuinely non-SQL
+(order-dependent greedy loop) — it ships as a rows-only query; its
+semantics are pinned by unit goldens in tests/test_merge.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+from ..functions.geo import haversine_m_sql
+from ..operators import cluster, place_merge
+from ..sources import places as P
+
+CLOSE_NOW_ISO = "2021-06-01T00:00:00"
+
+
+def j4_match_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 distance join + J4 cascade over the flat snapshots."""
+    closed = P.synthetic_closed_flat(spark, sf_dir)
+    active = P.synthetic_active_flat(spark, sf_dir)
+    cands = place_merge.merge_candidates(closed, active)
+    return cands.select(
+        "c_id", "a_id", "match_type",
+        F.round("dist_m", 2).alias("dist_m"),
+    )
+
+
+def j5_pick_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 ambiguity guard + best-candidate pick on top of the cascade."""
+    closed = P.synthetic_closed_flat(spark, sf_dir)
+    active = P.synthetic_active_flat(spark, sf_dir)
+    picks = place_merge.pick_merges(
+        place_merge.merge_candidates(closed, active))
+    return picks.select("c_id", "a_id", "match_type",
+                        F.round("dist_m", 2).alias("dist_m"))
+
+
+def m6_close_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 safety anti-join + age gate: which closed places get the
+    permanent-close op (M6)."""
+    closed = P.synthetic_closed_flat(spark, sf_dir)
+    active = P.synthetic_active_flat(spark, sf_dir)
+    cands = place_merge.merge_candidates(closed, active)
+    ops = place_merge.close_ops(closed, cands, CLOSE_NOW_ISO)
+    return ops.select("obj_id", "action", "change")
+
+
+def g2_proximity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2 greedy 150 m clustering per 4-char tile (rows-only check —
+    greedy order-dependence is not SQL-expressible)."""
+    closed = P.synthetic_closed_flat(spark, sf_dir).select(
+        F.substring("tile_id", 1, 4).alias("tile"),
+        F.col("id"), "lat", "lon", F.lit("deleted").alias("status"))
+    created = P.synthetic_active_flat(spark, sf_dir).select(
+        F.substring("tile_id", 1, 4).alias("tile"),
+        F.col("id"), "lat", "lon", F.lit("created").alias("status"))
+    feats = closed.unionByName(created)
+    return cluster.greedy_proximity_groups(feats, dist_m=150.0)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "j4_match_cascade": j4_match_cascade,
+    "j5_pick_merges": j5_pick_merges,
+    "m6_close_report": m6_close_report,
+    "g2_proximity_groups": g2_proximity_groups,
+}
+
+
+def _cascade_sql(c: str, a: str) -> str:
+    """match_type CASE mirroring operators.place_merge.match_type_col."""
+    c_name, a_name = f"{c}.name", f"{a}.name"
+    c_empty = f"({c_name} IS NULL OR trim({c_name}) = '')"
+    a_empty = f"({a_name} IS NULL OR trim({a_name}) = '')"
+    tier1 = (f"(NOT {c_empty} AND NOT {a_empty} AND "
+             f"{TX.check_names_sql(c_name, a_name)})")
+    tier2 = (f"({TX.tag_equal_non_empty_sql(f'{c}.wikidata', f'{a}.wikidata')}"
+             f" OR {TX.tag_equal_non_empty_sql(f'{c}.website', f'{a}.website')})")
+    tier3 = (f"(len(list_filter({c}.alt_names, cn -> len(list_filter("
+             f"{a}.alt_names, an -> {TX.check_names_sql('cn', 'an')})) > 0)) > 0)")
+    tier4 = f"({c_empty} AND {a_empty})"
+    return (f"(CASE WHEN {tier1} THEN 1 WHEN {tier2} THEN 2 "
+            f"WHEN {tier3} THEN 3 WHEN {tier4} THEN 4 END)")
+
+
+_DIST = haversine_m_sql("c.lat", "c.lon", "a.lat", "a.lon")
+
+_CANDS_SQL = f"""
+    cands AS (
+        SELECT c.id AS c_id, a.id AS a_id,
+               {_cascade_sql('c', 'a')} AS match_type,
+               {_DIST} AS dist_m
+        FROM closed c JOIN active a
+          ON substr(c.tile_id, 1, 4) = substr(a.tile_id, 1, 4)
+         AND c.id != a.id
+        WHERE {_DIST} <= 100.0
+          AND {_cascade_sql('c', 'a')} IS NOT NULL
+    )"""
+
+ORACLES: dict[str, str] = {
+    "j4_match_cascade": f"""
+        WITH {P.flat_snapshots_sql_ctes()},
+        {_CANDS_SQL}
+        SELECT c_id, a_id, match_type, round(dist_m, 2) AS dist_m
+        FROM cands
+    """,
+    "j5_pick_merges": f"""
+        WITH {P.flat_snapshots_sql_ctes()},
+        {_CANDS_SQL},
+        best AS (
+            SELECT *, MIN(match_type) OVER (PARTITION BY c_id) AS best_type
+            FROM cands
+        ),
+        at_best AS (
+            SELECT *, COUNT(*) OVER (PARTITION BY c_id) AS n_at_best
+            FROM best WHERE match_type = best_type
+        )
+        SELECT c_id, a_id, match_type, round(dist_m, 2) AS dist_m
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_id ORDER BY dist_m, a_id) AS rk
+            FROM at_best
+            WHERE NOT (best_type = 4 AND n_at_best > 1)
+        ) WHERE rk = 1
+    """,
+    "m6_close_report": f"""
+        WITH {P.flat_snapshots_sql_ctes()},
+        {_CANDS_SQL}
+        SELECT c.id AS obj_id, 'edit' AS action,
+               '{{"deleted":{{"set":"{CLOSE_NOW_ISO}"}}}}' AS change
+        FROM closed c
+        WHERE date_diff('day', CAST(replace(c.deleted_ts, 'T', ' ') AS TIMESTAMP),
+                        CAST('{CLOSE_NOW_ISO.replace("T", " ")}' AS TIMESTAMP)) >= 10
+          AND NOT EXISTS (SELECT 1 FROM cands WHERE cands.c_id = c.id)
+    """,
+}

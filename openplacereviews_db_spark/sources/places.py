@@ -166,3 +166,110 @@ def places_sql_cte() -> str:
                     THEN 2 ELSE 1 END AS n_osm
         FROM customer
     )"""
+
+
+# ---------------------------------------------------------------------------
+# Flat snapshots for the merge pipeline (J3/J4) — active places and a
+# "closed places under review" set with controlled name variants, both
+# mirrored in SQL so the match cascade is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+#: jitter step ≈ 11 m of latitude
+_JITTER_DEG = 1e-4
+
+
+def synthetic_active_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live flat view: one row per live place with merge-relevant fields."""
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    lat, lon = synthetic_lat(k), synthetic_lon(k)
+    name = F.concat_ws(" ", F.col("c_name"), F.lower(F.col("c_mktsegment")))
+    return c.where(~(k % 11 == 0)).select(
+        F.concat_ws(",", geo.olc_encode(lat, lon, 6),
+                    F.substring(F.md5(k.cast("string")), 1, 6)).alias("id"),
+        geo.olc_encode(lat, lon, 6).alias("tile_id"),
+        lat.alias("lat"), lon.alias("lon"),
+        name.alias("name"),
+        F.when(k % 10 == 0,
+               F.concat(F.lit("Q"), k.cast("string"))).alias("wikidata"),
+        F.lit(None).cast("string").alias("website"),
+        F.array(name).alias("alt_names"),
+    )
+
+
+def synthetic_closed_flat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-place review set: every k % 3 == 0 customer, jittered up to
+    ~±100 m, with a name variant exercising each cascade tier:
+
+    - k%4==0: identical name            (tier 1 via normalized equality)
+    - k%4==1: word-swapped name         (tier 1 via sorted word bag)
+    - k%4==2: last char truncated       (tier 1 via fuzzy word subset)
+    - k%4==3: unrelated name            (tier 2 if wikidata matches,
+              tier 3 if k%8==7 via alt names, else no match)
+    """
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    lat = synthetic_lat(k) + ((k % 19) - 9).cast("double") * F.lit(_JITTER_DEG)
+    lon = synthetic_lon(k) + ((k % 23) - 11).cast("double") * F.lit(_JITTER_DEG)
+    aname = F.concat_ws(" ", F.col("c_name"), F.lower(F.col("c_mktsegment")))
+    name = (
+        F.when(k % 4 == 0, aname)
+        .when(k % 4 == 1,
+              F.concat_ws(" ", F.lower(F.col("c_mktsegment")), F.col("c_name")))
+        .when(k % 4 == 2, F.substring(aname, 1, F.length(aname) - 1))
+        .otherwise(F.concat(F.lit("zz-"),
+                            F.substring(F.md5(k.cast("string")), 1, 6)))
+    )
+    return c.where(k % 3 == 0).select(
+        F.concat(F.lit("c"), k.cast("string")).alias("id"),
+        geo.olc_encode(lat, lon, 6).alias("tile_id"),
+        lat.alias("lat"), lon.alias("lon"),
+        name.alias("name"),
+        F.when(k % 10 == 0,
+               F.concat(F.lit("Q"), k.cast("string"))).alias("wikidata"),
+        F.lit(None).cast("string").alias("website"),
+        F.when(k % 8 == 7, F.array(aname)).otherwise(F.array(name))
+        .alias("alt_names"),
+        F.when(k % 6 == 0, F.lit("2021-05-01T00:00:00"))
+        .otherwise(F.lit("2021-05-25T00:00:00")).alias("deleted_ts"),
+        k.alias("key"),
+    )
+
+
+def flat_snapshots_sql_ctes() -> str:
+    """DuckDB CTEs `active` and `closed` mirroring the two frames above."""
+    lat = ("(((c_custkey * {m}) % {md}) / CAST(100.0 AS DOUBLE) - "
+           "CAST({off}.0 AS DOUBLE))")
+    alat = lat.format(m=_LAT_MUL, md=_LAT_MOD, off=80)
+    alon = lat.format(m=_LON_MUL, md=_LON_MOD, off=180)
+    clat = (f"({alat} + ((c_custkey % 19) - 9) * CAST(1e-4 AS DOUBLE))")
+    clon = (f"({alon} + ((c_custkey % 23) - 11) * CAST(1e-4 AS DOUBLE))")
+    atile = geo.olc_encode_sql(alat, alon, 6)
+    ctile = geo.olc_encode_sql(clat, clon, 6)
+    aname = "(c_name || ' ' || lower(c_mktsegment))"
+    cname = (f"(CASE WHEN c_custkey % 4 = 0 THEN {aname} "
+             f"WHEN c_custkey % 4 = 1 THEN (lower(c_mktsegment) || ' ' || c_name) "
+             f"WHEN c_custkey % 4 = 2 THEN substr({aname}, 1, length({aname}) - 1) "
+             f"ELSE ('zz-' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)) END)")
+    wd = ("(CASE WHEN c_custkey % 10 = 0 "
+          "THEN 'Q' || CAST(c_custkey AS VARCHAR) END)")
+    return f"""
+    active AS (
+        SELECT {atile} || ',' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS id,
+               {atile} AS tile_id, {alat} AS lat, {alon} AS lon,
+               {aname} AS name, {wd} AS wikidata,
+               CAST(NULL AS VARCHAR) AS website,
+               [{aname}] AS alt_names
+        FROM customer WHERE c_custkey % 11 != 0
+    ),
+    closed AS (
+        SELECT 'c' || CAST(c_custkey AS VARCHAR) AS id,
+               {ctile} AS tile_id, {clat} AS lat, {clon} AS lon,
+               {cname} AS name, {wd} AS wikidata,
+               CAST(NULL AS VARCHAR) AS website,
+               CASE WHEN c_custkey % 8 = 7 THEN [{aname}] ELSE [{cname}] END AS alt_names,
+               CASE WHEN c_custkey % 6 = 0 THEN '2021-05-01T00:00:00'
+                    ELSE '2021-05-25T00:00:00' END AS deleted_ts,
+               c_custkey AS key
+        FROM customer WHERE c_custkey % 3 = 0
+    )"""
