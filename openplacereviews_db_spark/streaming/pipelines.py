@@ -1,0 +1,112 @@
+"""Structured Streaming pipelines (SURVEY.md §2.11).
+
+The reference is poll-based but carries streaming semantics that map
+1:1 onto Structured Streaming:
+
+- bounded incremental windows with the offset committed atomically with
+  the data (``OsmSyncBot.java:354-378`` + bot-state edit in the same op
+  log) → file-source streams with checkpointed offsets; ``foreachBatch``
+  writes output and offset in the same epoch;
+- the 15-min-floor − 3-min-lag alignment (``OsmSyncBot.java:103-107``)
+  → an event-time **watermark**: late rows inside the margin are
+  integrated, older ones dropped;
+- write-path cache invalidation per tile
+  (``BaseOprPlaceDataProvider.java:351-392``) → each micro-batch emits
+  the set of touched tiles (consumers recompute those);
+- session-like grouping (G2 is spatial, but the user-activity analog is
+  temporal) → ``session_window`` aggregation.
+
+Everything is expressed on the streaming DataFrame API so the engine's
+batch operators (changelog fold, dedup, projections) are reused inside
+``foreachBatch`` unchanged — one codebase for both executions.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: schema of the driver's events table, as a streaming source
+EVENTS_DDL = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+
+
+def stream_events(spark: SparkSession, src_dir: str,
+                  fmt: str = "json") -> DataFrame:
+    """File-source stream of events rows (new files = new data, the
+    batch-incremental ingest pattern; offsets live in the checkpoint)."""
+    return (spark.readStream.format(fmt).schema(EVENTS_DDL)
+            .option("maxFilesPerTrigger", 8).load(src_dir))
+
+
+def windowed_event_counts(events: DataFrame, window: str = "10 minutes",
+                          watermark: str = "3 minutes") -> DataFrame:
+    """Per-type tumbling-window counts with a late-data watermark (the
+    reference's 3-minute source-lag margin)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"),
+             F.round(F.sum("value"), 3).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"),
+                F.col("w.end").alias("window_end"),
+                "event_type", "cnt", "sum_value")
+    )
+
+
+def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows (gap-based), the stateful-grouping
+    analog of the reference's G2 clustering for activity streams."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.sum("value"), 3).alias("session_value"))
+        .select("user_id", F.col("s.start").alias("session_start"),
+                F.col("s.end").alias("session_end"),
+                "n_events", "session_value")
+    )
+
+
+def apply_changelog_stream(ops_stream: DataFrame, snapshot_dir: str,
+                           checkpoint_dir: str,
+                           on_batch: Callable[[DataFrame, int], None] | None = None):
+    """Incremental M9: fold each micro-batch of changelog rows onto the
+    parquet snapshot at ``snapshot_dir`` (read → cogroup-fold → atomic
+    overwrite), committing output with the stream's checkpointed offset
+    — the reference's same-transaction offset rule.
+
+    Also computes per-batch touched-tile ids (cache-invalidation analog)
+    and hands them to ``on_batch`` when provided.
+    """
+    from ..operators.changelog import apply_operations
+
+    def fold_batch(ops: DataFrame, epoch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = ops.sparkSession
+        try:
+            docs = spark.read.parquet(snapshot_dir)
+        except Exception:
+            docs = spark.createDataFrame([], "obj_id string, doc string")
+        # Never overwrite the directory being read: stage the new
+        # snapshot, then swap (on an object store / Delta this would be
+        # a transactional MERGE instead).
+        tmp = snapshot_dir.rstrip("/") + f".epoch-{epoch_id}"
+        apply_operations(docs, ops).write.mode("overwrite").parquet(tmp)
+        if on_batch is not None:
+            on_batch(ops.select("obj_id").distinct(), epoch_id)
+        old = snapshot_dir.rstrip("/") + ".old"
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(snapshot_dir, old)
+        os.rename(tmp, snapshot_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (ops_stream.writeStream.foreachBatch(fold_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

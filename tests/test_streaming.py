@@ -1,0 +1,106 @@
+"""Structured Streaming pipeline tests (file sources, availableNow)."""
+
+from __future__ import annotations
+
+import json
+
+from openplacereviews_db_spark.streaming import pipelines as SP
+
+
+def _write_events(path, rows):
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+EVENTS = [
+    {"event_id": 1, "ts": "2024-01-01T00:01:00Z", "user_id": 1,
+     "event_type": "view", "value": 1.0, "props": "{}"},
+    {"event_id": 2, "ts": "2024-01-01T00:05:00Z", "user_id": 1,
+     "event_type": "view", "value": 2.0, "props": "{}"},
+    {"event_id": 3, "ts": "2024-01-01T00:14:00Z", "user_id": 2,
+     "event_type": "buy", "value": 5.0, "props": "{}"},
+    {"event_id": 4, "ts": "2024-01-01T01:00:00Z", "user_id": 1,
+     "event_type": "view", "value": 3.0, "props": "{}"},
+]
+
+
+def test_windowed_counts(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events(src / "a.json", EVENTS)
+    stream = SP.stream_events(spark, str(src))
+    agg = SP.windowed_event_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {(str(r["window_start"]), r["event_type"]): r["cnt"]
+            for r in spark.sql("SELECT * FROM wincounts").collect()}
+    assert rows[("2024-01-01 00:00:00", "view")] == 2
+    assert rows[("2024-01-01 00:10:00", "buy")] == 1
+    assert rows[("2024-01-01 01:00:00", "view")] == 1
+
+
+def test_sessionize(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events(src / "a.json", EVENTS)
+    stream = SP.stream_events(spark, str(src))
+    q = (SP.sessionize_stream(stream).writeStream.format("memory")
+         .queryName("sessions").outputMode("complete")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = sorted([(r["user_id"], r["n_events"])
+                   for r in spark.sql("SELECT * FROM sessions").collect()])
+    # user 1: events at 00:01/00:05 in one session, 01:00 a new one
+    assert rows == [(1, 1), (1, 2), (2, 1)]
+
+
+def test_apply_changelog_stream(spark, tmp_path):
+    ops_dir = tmp_path / "ops"
+    ops_dir.mkdir()
+    snap = str(tmp_path / "snapshot")
+    ck = str(tmp_path / "ck3")
+    ops1 = [
+        {"obj_id": "p1", "block_id": 1, "op_seq": 0, "action": "create",
+         "doc": json.dumps({"v": 1}), "change": None},
+        {"obj_id": "p2", "block_id": 1, "op_seq": 1, "action": "create",
+         "doc": json.dumps({"v": 5}), "change": None},
+    ]
+    _write_events(ops_dir / "b1.json", ops1)
+
+    def run():
+        ops_stream = (spark.readStream.format("json")
+                      .schema("obj_id string, block_id long, op_seq long, "
+                              "action string, doc string, change string")
+                      .load(str(ops_dir)))
+        touched = []
+        writer = SP.apply_changelog_stream(
+            ops_stream, snap, ck,
+            on_batch=lambda df, _e: touched.append(
+                sorted(r["obj_id"] for r in df.collect())))
+        q = writer.start()
+        q.awaitTermination(120)
+        return touched
+
+    t1 = run()
+    assert t1 == [["p1", "p2"]]
+    got = {r["obj_id"]: json.loads(r["doc"])
+           for r in spark.read.parquet(snap).collect()}
+    assert got == {"p1": {"v": 1}, "p2": {"v": 5}}
+
+    # second increment: edit + delete fold onto the snapshot
+    ops2 = [
+        {"obj_id": "p1", "block_id": 2, "op_seq": 0, "action": "edit",
+         "doc": None, "change": json.dumps({"v": {"set": 2}})},
+        {"obj_id": "p2", "block_id": 2, "op_seq": 1, "action": "delete",
+         "doc": None, "change": None},
+    ]
+    _write_events(ops_dir / "b2.json", ops2)
+    run()
+    got = {r["obj_id"]: json.loads(r["doc"])
+           for r in spark.read.parquet(snap).collect()}
+    assert got == {"p1": {"v": 2}}
