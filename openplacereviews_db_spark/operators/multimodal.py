@@ -1,0 +1,151 @@
+"""Multimodal column operators: binary payloads + typed metadata.
+
+The reference stores photos as JSON image objects attached to places
+(``images.<category>[]`` — ``BaseOprPlaceDataProvider.java:227-239``);
+a training-data pipeline generalizes that to opaque ``binary`` media
+columns with typed metadata, processed by Arrow-batched Python.
+
+Spark plumbing here is real and tested — schema, partition-preserving
+``mapInPandas`` kernels, batch shapes, deterministic outputs.  The
+actual codec calls are stubbed behind ``_decoder()``: the container has
+no image/audio libraries, so decode uses a clearly-marked deterministic
+fake unless a real backend (e.g. PIL) is importable.  Swapping in the
+real library changes ONE function; every plan stays identical.
+
+Scale shape: media rows are large → kernels stream Arrow batches and
+never hold more than one batch; metadata-only queries must never touch
+the payload column (schema keeps payload last and plans select around
+it, so Parquet column pruning skips the bytes).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct as _struct
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: media row schema: typed metadata first, opaque payload last (pruning)
+MEDIA_DDL = ("media_id long, kind string, mime string, width int, "
+             "height int, duration_s double, payload binary")
+
+FEATURE_DIM = 16
+
+
+def _decoder():
+    """Return (backend_name, decode_fn).  decode_fn(payload: bytes,
+    kind: str) -> dict with pixels/frames summary.
+
+    Tries real backends; falls back to a DETERMINISTIC FAKE that derives
+    all values from the payload hash — stable across runs and engines,
+    so tests and oracles can pin outputs.
+    """
+    try:  # pragma: no cover - not installed in this container
+        import PIL.Image  # noqa: F401
+
+        def real_decode(payload: bytes, kind: str) -> dict:
+            raise NotImplementedError(
+                "real decode backend detected but not wired; "
+                "implement with PIL.Image.open(io.BytesIO(payload))")
+
+        return "pil", real_decode
+    except ImportError:
+        pass
+
+    def fake_decode(payload: bytes, kind: str) -> dict:
+        h = hashlib.sha256(payload or b"").digest()
+        return {
+            "decoded_w": 16 + h[0] % 64,
+            "decoded_h": 16 + h[1] % 64,
+            "n_frames": 1 if kind == "image" else 1 + h[2] % 30,
+            "checksum": h.hex()[:16],
+        }
+
+    return "fake", fake_decode
+
+
+DECODE_BACKEND, _decode = _decoder()
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode payloads → (media_id, kind, decoded_w, decoded_h, n_frames,
+    checksum).  Arrow-batched; payload never leaves the executor."""
+    import pandas as pd
+
+    schema = ("media_id long, kind string, decoded_w int, decoded_h int, "
+              "n_frames int, checksum string")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                {"media_id": m, "kind": k, **_decode(p, k)}
+                for m, k, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"])
+            ]
+            yield pd.DataFrame(recs)[["media_id", "kind", "decoded_w",
+                                      "decoded_h", "n_frames", "checksum"]]
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=schema)
+
+
+def extract_features(df: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
+    """Feature vectors from payloads (stub: hash-derived unit floats).
+
+    Same shape as a real embedding extractor: (media_id,
+    features array<float> of fixed dim) — downstream ANN / dedup
+    operators (operators.similarity) consume it unchanged.
+    """
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats = [], []
+            for m, p in zip(pdf["media_id"], pdf["payload"]):
+                h = hashlib.sha256(p or b"").digest()
+                rep = (h * ((dim * 2 + len(h) - 1) // len(h)))[:dim * 2]
+                vals = _struct.unpack(f"<{dim}H", rep)
+                ids.append(m)
+                feats.append([v / 65535.0 for v in vals])
+            yield pd.DataFrame({"media_id": ids, "features": feats})
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, schema="media_id long, features array<float>")
+
+
+def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
+    """Frame sampling for video rows: one output row per kept frame
+    (media_id, frame_idx) — the explode happens AFTER decode so the
+    payload is read once per media row, not per frame."""
+    decoded = decode_media(df.where(F.col("kind") == "video"))
+    return decoded.select(
+        "media_id",
+        F.explode(F.sequence(
+            F.lit(0), F.col("n_frames") - 1, F.lit(every_n))).alias("frame_idx"),
+    )
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — must not read the payload column (the
+    plan is checked for that in tests via the ReadSchema)."""
+    return (
+        df.groupBy("kind")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg("width").alias("avg_w"),
+             F.avg("height").alias("avg_h"),
+             F.sum("duration_s").alias("total_duration_s"))
+    )
+
+
+def synthetic_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic media corpus for tests: payload bytes derived from
+    the id, kinds cycling image/audio/video."""
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = hashlib.sha256(str(i).encode()).digest() * 4
+        rows.append((i, kind, f"{kind}/x-test", 64 + i % 32, 48 + i % 24,
+                     float(i % 30), bytearray(payload)))
+    return spark.createDataFrame(rows, MEDIA_DDL)

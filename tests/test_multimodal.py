@@ -1,0 +1,49 @@
+"""Multimodal plumbing tests: schema, batch shapes, pruning, determinism."""
+
+from __future__ import annotations
+
+from openplacereviews_db_spark.operators import multimodal as MM
+
+
+def test_decode_deterministic(spark):
+    df = MM.synthetic_media(spark, 30)
+    a = {r["media_id"]: r["checksum"] for r in MM.decode_media(df).collect()}
+    b = {r["media_id"]: r["checksum"] for r in MM.decode_media(df).collect()}
+    assert a == b and len(a) == 30
+    rows = {r["media_id"]: r for r in MM.decode_media(df).collect()}
+    assert all(16 <= r["decoded_w"] < 80 for r in rows.values())
+    # images decode to exactly one frame
+    assert all(r["n_frames"] == 1 for r in rows.values() if r["kind"] == "image")
+
+
+def test_features_shape(spark):
+    df = MM.synthetic_media(spark, 12)
+    feats = MM.extract_features(df).collect()
+    assert len(feats) == 12
+    assert all(len(r["features"]) == MM.FEATURE_DIM for r in feats)
+    assert all(0.0 <= v <= 1.0 for r in feats for v in r["features"])
+
+
+def test_frame_sampling(spark):
+    df = MM.synthetic_media(spark, 30)
+    frames = MM.sample_frames(df, every_n=5).collect()
+    by_id: dict = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    # only video rows produce frames; indices stride by 5 from 0
+    assert by_id and all(mid % 3 == 2 for mid in by_id)
+    for idxs in by_id.values():
+        assert sorted(idxs) == list(range(0, max(idxs) + 1, 5))
+
+
+def test_media_stats_prunes_payload(spark, tmp_path):
+    path = str(tmp_path / "media.parquet")
+    MM.synthetic_media(spark, 9).write.parquet(path)
+    df = spark.read.parquet(path)
+    stats = MM.media_stats(df)
+    got = {r["kind"]: r["n"] for r in stats.collect()}
+    assert got == {"image": 3, "audio": 3, "video": 3}
+    # the parquet scan's ReadSchema must not include the payload bytes
+    physical = stats._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [ln for ln in physical.splitlines() if "ReadSchema" in ln]
+    assert scan_lines and all("payload" not in ln for ln in scan_lines)
