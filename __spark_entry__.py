@@ -13,7 +13,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from openplacereviews_db_spark.plans import (corpus, merge_plans, oplog,
-                                             places_reports, relational)
+                                             places_reports, relational,
+                                             relational2)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -28,6 +29,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(oplog.QUERIES)
     out.update(places_reports.QUERIES)
     out.update(merge_plans.QUERIES)
+    out.update(relational2.QUERIES)
     return out
 
 
@@ -38,4 +40,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(oplog.ORACLES)
     out.update(places_reports.ORACLES)
     out.update(merge_plans.ORACLES)
+    out.update(relational2.ORACLES)
     return out

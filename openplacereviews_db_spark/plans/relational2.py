@@ -1,0 +1,323 @@
+"""Second batch of oracle-backed relational plans.
+
+Scale-path extensions SURVEY.md §2.4 flags as the 100 TB additions the
+reference lacks (rollup/cube, JSON kit, percentiles, dedup variants,
+monthly windows, top-k per group, set ops, GeoJSON sink) — each entry
+states its partition/shuffle shape, and each has a value-exact DuckDB
+oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.testdata import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, name, sf_dir)
+
+
+def a8_rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (status, priority): subtotal lattice in one pass — partial
+    aggregation handles every grouping set map-side; one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+def a9_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over the two lineitem flags + quantity stats."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+def p11_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-path projection over events.props (the reference's dotted
+    path access P6/getFieldByExpr generalized): extract, cast, aggregate.
+    get_json_object is JVM-side — no Python in the path."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(k).alias("sum_k"),
+             F.max(k).alias("max_k"))
+    )
+
+
+def q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: tight range scan, no join, one scalar — the
+    pushdown showcase (filters reach the parquet scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                 & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+                 & F.col("l_discount").between(0.05, 0.07)
+                 & (F.col("l_quantity") < 24))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def w2_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag window per user ordered by (ts, event_id): value delta and
+    seconds since previous event.  One shuffle on user_id."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_v = F.lag("value").over(w)
+    prev_ts = F.lag("ts").over(w)
+    return ev.select(
+        "user_id", "event_id",
+        F.round(F.col("value") - prev_v, 2).alias("value_delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("gap_s"),
+    )
+
+
+def w3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per segment (the scale path would
+    swap in approx_percentile; exact keeps the oracle comparable)."""
+    c = _t(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_mktsegment")
+        .agg(F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("p50"),
+             F.round(F.percentile("c_acctbal", F.lit(0.9)), 4).alias("p90"),
+             F.round(F.percentile("c_acctbal", F.lit(0.99)), 4).alias("p99"))
+    )
+
+
+def o4_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per priority — row_number with a full
+    deterministic tiebreak (price desc, key asc)."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 3)
+        .select("o_orderpriority", "rk", "o_orderkey",
+                F.round("o_totalprice", 2).alias("o_totalprice"))
+    )
+
+
+def e4_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational set ops: customers with no orders (EXCEPT) tagged
+    'never' and customers with >5 orders tagged 'frequent' — one
+    union-all result.  Anti-join form keeps it a hash join at scale."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders")
+    never = (c.exceptAll(o.select(F.col("o_custkey").alias("c_custkey"))
+                         .distinct())
+             .select("c_custkey", F.lit("never").alias("tag")))
+    frequent = (o.groupBy("o_custkey").count().where(F.col("count") > 5)
+                .select(F.col("o_custkey").alias("c_custkey"),
+                        F.lit("frequent").alias("tag")))
+    return never.unionByName(frequent)
+
+
+def a10_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array HOF kit (A2/A3 analogs): per order, the collected quantity
+    array is reduced with aggregate() and filtered with filter() —
+    exercises the collect → higher-order-function path used by the image
+    counters."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_list("l_quantity").alias("qtys"))
+    total = F.aggregate("qtys", F.lit(0.0), lambda a, x: a + x)
+    big = F.size(F.filter("qtys", lambda x: x >= 25))
+    return per_order.select(
+        "l_orderkey",
+        F.round(total, 2).alias("total_qty"),
+        big.cast("long").alias("n_big"),
+        F.size("qtys").cast("long").alias("n_lines"),
+    )
+
+
+def d2_monthly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly window generation (MergePlaceBot.java:54,115-121: 9
+    monthly windows back from a date) joined against order counts."""
+    o = _t(spark, sf_dir, "orders")
+    months = spark.range(1).select(
+        F.explode(F.sequence(
+            F.lit(0), F.lit(8))).alias("i")).select(
+        F.add_months(F.lit("1996-01-01").cast("date"), -F.col("i") * 1)
+        .alias("month_start"))
+    per_month = o.select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"))
+    counts = per_month.groupBy("month_start").count()
+    return (
+        months.join(counts, on="month_start", how="left")
+        .select("month_start",
+                F.coalesce("count", F.lit(0)).alias("n_orders"))
+    )
+
+
+def a7_first_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-batch dedup both ways (A7: the reference keeps first-wins and
+    last-wins at different call sites): per user, the first and last
+    event id by (ts, event_id)."""
+    ev = _t(spark, sf_dir, "events")
+    asc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rk_first", F.row_number().over(asc))
+        .withColumn("rk_last", F.row_number().over(
+            Window.partitionBy("user_id").orderBy(
+                F.desc("ts"), F.desc("event_id"))))
+        .where((F.col("rk_first") == 1) | (F.col("rk_last") == 1))
+        .groupBy("user_id")
+        .agg(F.min(F.when(F.col("rk_first") == 1, F.col("event_id")))
+             .alias("first_event"),
+             F.min(F.when(F.col("rk_last") == 1, F.col("event_id")))
+             .alias("last_event"))
+    )
+
+
+def s13_geojson_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GeoJSON sink projection (S13): printf-formatted Point features —
+    formatting pinned to %.4f so any engine emits identical strings."""
+    from ..sources import places as P
+
+    pl = P.synthetic_active_flat(spark, sf_dir)
+    return pl.select(
+        "id",
+        F.format_string(
+            '{"type":"Feature","geometry":{"type":"Point",'
+            '"coordinates":[%.4f,%.4f]},"properties":{"name":"%s"}}',
+            F.col("lon"), F.col("lat"), F.col("name")).alias("feature"),
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "a8_rollup_status_priority": a8_rollup_status_priority,
+    "a9_cube_flags": a9_cube_flags,
+    "p11_json_extraction": p11_json_extraction,
+    "q6_revenue_delta": q6_revenue_delta,
+    "w2_event_deltas": w2_event_deltas,
+    "w3_percentiles": w3_percentiles,
+    "o4_topk_per_group": o4_topk_per_group,
+    "e4_set_ops": e4_set_ops,
+    "a10_array_hof": a10_array_hof,
+    "d2_monthly_windows": d2_monthly_windows,
+    "a7_first_last_wins": a7_first_last_wins,
+    "s13_geojson_features": s13_geojson_features,
+}
+
+from ..sources.places import flat_snapshots_sql_ctes as _flat_ctes  # noqa: E402
+
+ORACLES: dict[str, str] = {
+    "a8_rollup_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+               round(SUM(o_totalprice), 2) AS total
+        FROM orders
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "a9_cube_flags": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               round(SUM(l_quantity), 2) AS qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "p11_json_extraction": """
+        SELECT event_type, COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        FROM events GROUP BY event_type
+    """,
+    "q6_revenue_delta": """
+        SELECT round(SUM(l_extendedprice * l_discount), 2) AS revenue,
+               COUNT(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "w2_event_deltas": """
+        SELECT user_id, event_id,
+               round(value - LAG(value) OVER w, 2) AS value_delta,
+               CAST(floor(epoch(ts)) AS BIGINT)
+                 - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "w3_percentiles": """
+        SELECT c_mktsegment,
+               round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+               round(quantile_cont(c_acctbal, 0.9), 4) AS p90,
+               round(quantile_cont(c_acctbal, 0.99), 4) AS p99
+        FROM customer GROUP BY c_mktsegment
+    """,
+    "o4_topk_per_group": """
+        SELECT o_orderpriority, rk, o_orderkey,
+               round(o_totalprice, 2) AS o_totalprice
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderpriority
+                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders
+        ) WHERE rk <= 3
+    """,
+    "e4_set_ops": """
+        SELECT c_custkey, 'never' AS tag FROM customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+        UNION ALL
+        SELECT o_custkey AS c_custkey, 'frequent' AS tag
+        FROM orders GROUP BY o_custkey HAVING COUNT(*) > 5
+    """,
+    "a10_array_hof": """
+        SELECT l_orderkey,
+               round(SUM(l_quantity), 2) AS total_qty,
+               CAST(COUNT(*) FILTER (WHERE l_quantity >= 25) AS BIGINT) AS n_big,
+               COUNT(*) AS n_lines
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "d2_monthly_windows": """
+        WITH months AS (
+            SELECT CAST(DATE '1996-01-01' - TO_MONTHS(CAST(i AS INTEGER)) AS DATE)
+                   AS month_start
+            FROM generate_series(0, 8) t(i)
+        ),
+        counts AS (
+            SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+                   COUNT(*) AS n
+            FROM orders GROUP BY 1
+        )
+        SELECT m.month_start, COALESCE(c.n, 0) AS n_orders
+        FROM months m LEFT JOIN counts c USING (month_start)
+    """,
+    "a7_first_last_wins": """
+        SELECT user_id,
+               MIN(CASE WHEN rk_first = 1 THEN event_id END) AS first_event,
+               MIN(CASE WHEN rk_last = 1 THEN event_id END) AS last_event
+        FROM (
+            SELECT user_id, event_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rk_first,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rk_last
+            FROM events
+        )
+        WHERE rk_first = 1 OR rk_last = 1
+        GROUP BY user_id
+    """,
+    "s13_geojson_features": f"""
+        WITH {_flat_ctes()}
+        SELECT id,
+               printf('{{"type":"Feature","geometry":{{"type":"Point",'
+                      '"coordinates":[%.4f,%.4f]}},"properties":{{"name":"%s"}}}}',
+                      lon, lat, name) AS feature
+        FROM active
+    """,
+}
