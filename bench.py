@@ -33,8 +33,7 @@ def main() -> None:
     for name, fn in entrymod.queries().items():
         t0 = time.time()
         df = fn(spark, sf_dir)
-        n = df.count() if df.isStreaming is False else -1
-        _ = df.collect()
+        n = len(df.collect())
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt

@@ -266,11 +266,16 @@ def apply_operations(docs: DataFrame, ops: DataFrame,
     Returns the new snapshot (id_col, doc_col).  Fold order inside a key
     is (block_id, op_seq) — total within a document, unordered across
     documents (exactly the reference's block replay semantics; blocks
-    are totally ordered, documents independent).
+    are totally ordered, documents independent).  Ties on (block_id,
+    op_seq) are broken by the remaining struct fields via sort_array, so
+    the fold is deterministic regardless of shuffle order.
 
-    Scale shape: one shuffle on the document key for each side, then a
-    streaming per-key fold in Arrow batches.  Skewed hot documents are
-    bounded by their own op count, never by corpus size.
+    Scale shape: each side shuffles once on the document key (the
+    groupBy and the join share the hash partitioning, so Catalyst plans
+    a single exchange per side), then the fold streams through
+    ``mapInPandas`` — one Python invocation per Arrow batch, not per
+    key.  Skewed hot documents are bounded by their own op count, never
+    by corpus size.
     """
     import pandas as pd
 
@@ -278,40 +283,42 @@ def apply_operations(docs: DataFrame, ops: DataFrame,
 
     docs_k = docs.select(F.col(id_col).cast("string").alias(id_col),
                          F.col(doc_col).alias(doc_col))
-    ops_k = ops.select(F.col(id_col).cast("string").alias(id_col),
-                       F.col("block_id").cast("long"),
-                       F.col("op_seq").cast("long"),
-                       "action", "doc", "change")
-
-    def fold(key: tuple, doc_pdf: pd.DataFrame, ops_pdf: pd.DataFrame) -> pd.DataFrame:
-        obj_id = key[0]
-        doc: dict | None = None
-        if len(doc_pdf):
-            raw = doc_pdf[doc_col].iloc[0]
-            doc = json.loads(raw) if raw is not None else None
-        ops_pdf = ops_pdf.sort_values(["block_id", "op_seq"], kind="mergesort")
-        for row in ops_pdf.itertuples(index=False):
-            if row.action == ACTION_CREATE:
-                doc = json.loads(row.doc)
-            elif row.action == ACTION_DELETE:
-                doc = None
-            elif row.action == ACTION_EDIT:
-                if doc is not None and row.change is not None:
-                    apply_change_map(doc, json.loads(row.change))
-            else:
-                raise ValueError(f"unknown action {row.action!r}")
-        if doc is None:
-            return pd.DataFrame({id_col: [], doc_col: []})
-        return pd.DataFrame({
-            id_col: [obj_id],
-            doc_col: [json.dumps(doc, sort_keys=True, ensure_ascii=False)],
-        })
-
-    return (
-        docs_k.groupBy(id_col)
-        .cogroup(ops_k.groupBy(id_col))
-        .applyInPandas(fold, schema=out_schema)
+    ops_agg = (
+        ops.select(F.col(id_col).cast("string").alias(id_col),
+                   F.struct(F.col("block_id").cast("long").alias("block_id"),
+                            F.col("op_seq").cast("long").alias("op_seq"),
+                            "action", "doc", "change").alias("op"))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("op")).alias("ops"))
     )
+    joined = docs_k.join(ops_agg, on=id_col, how="full_outer")
+
+    def fold_batches(batches):
+        for pdf in batches:
+            out_ids: list[str] = []
+            out_docs: list[str] = []
+            for obj_id, raw, op_list in zip(pdf[id_col], pdf[doc_col],
+                                            pdf["ops"]):
+                doc = json.loads(raw) if raw is not None else None
+                if op_list is not None:
+                    for op in op_list:
+                        action = op["action"]
+                        if action == ACTION_CREATE:
+                            doc = json.loads(op["doc"])
+                        elif action == ACTION_DELETE:
+                            doc = None
+                        elif action == ACTION_EDIT:
+                            if doc is not None and op["change"] is not None:
+                                apply_change_map(doc, json.loads(op["change"]))
+                        else:
+                            raise ValueError(f"unknown action {action!r}")
+                if doc is not None:
+                    out_ids.append(obj_id)
+                    out_docs.append(json.dumps(doc, sort_keys=True,
+                                               ensure_ascii=False))
+            yield pd.DataFrame({id_col: out_ids, doc_col: out_docs})
+
+    return joined.mapInPandas(fold_batches, schema=out_schema)
 
 
 def extract_diff(old: DataFrame, new: DataFrame,

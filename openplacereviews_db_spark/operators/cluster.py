@@ -47,38 +47,52 @@ def greedy_group_rows(rows: list[dict], dist_m: float = 150.0) -> list[dict]:
     seq (position; deleted members first — the reference's invariant).
     Iteration order is id-sorted (the reference iterates TreeMaps).
     """
+    import numpy as np
+
     deleted = sorted((r for r in rows if r["status"] == STATUS_DELETED),
                      key=lambda r: r["id"])
     created = sorted((r for r in rows if r["status"] == STATUS_CREATED),
                      key=lambda r: r["id"])
-    used: set = set()
+
+    def dist_matrix(a: list[dict], b: list[dict]) -> "np.ndarray":
+        """Vectorized haversine (same constants as _haversine_py) —
+        tiles hold up to a few thousand features, so the full matrix is
+        small; the Python-loop cost was the G2 bottleneck."""
+        if not a or not b:
+            return np.zeros((len(a), len(b)))
+        la = np.radians(np.array([r["lat"] for r in a]))[:, None]
+        lo = np.radians(np.array([r["lon"] for r in a]))[:, None]
+        lb = np.radians(np.array([r["lat"] for r in b]))[None, :]
+        bo = np.radians(np.array([r["lon"] for r in b]))[None, :]
+        h = (np.sin((lb - la) / 2) ** 2
+             + np.cos(la) * np.cos(lb) * np.sin((bo - lo) / 2) ** 2)
+        return 2 * HAVERSINE_R_KM * 1000 * np.arcsin(np.sqrt(h))
+
+    d_c = dist_matrix(deleted, created)
+    d_d = dist_matrix(deleted, deleted)
+    used_c = np.zeros(len(created), dtype=bool)
+    used_d = np.zeros(len(deleted), dtype=bool)
     out: list[dict] = []
-    for d in deleted:
-        if d["id"] in used:
+    for i, d in enumerate(deleted):
+        if used_d[i]:
             continue
-        used.add(d["id"])
+        used_d[i] = True
         group_del = [d]
         # nearest-first created pull (findNearestPointAndDelete analog)
-        cands = sorted(
-            ((_haversine_py(d["lat"], d["lon"], c["lat"], c["lon"]), c["id"], c)
-             for c in created if c["id"] not in used),
-            key=lambda t: (t[0], t[1]))
         group_new = []
-        for dist, cid, c in cands:
-            if dist < dist_m:
-                group_new.append(c)
-                used.add(cid)
-        # then other deleted features near the seed
-        for d2 in deleted:
-            if d2["id"] not in used and _haversine_py(
-                    d["lat"], d["lon"], d2["lat"], d2["lon"]) < dist_m:
-                group_del.append(d2)
-                used.add(d2["id"])
+        cand_idx = np.where(~used_c & (d_c[i] < dist_m))[0]
+        for j in cand_idx[np.argsort(d_c[i][cand_idx], kind="stable")]:
+            group_new.append(created[j])
+            used_c[j] = True
+        # then other deleted features near the seed, in id order
+        for j in np.where(~used_d & (d_d[i] < dist_m))[0]:
+            group_del.append(deleted[j])
+            used_d[j] = True
         for seq, r in enumerate(group_del + group_new):
             out.append({**r, "group_id": d["id"], "seq": seq})
     # created features never pulled into a group stay ungrouped
-    for c in created:
-        if c["id"] not in used:
+    for j, c in enumerate(created):
+        if not used_c[j]:
             out.append({**c, "group_id": None, "seq": 0})
     return out
 
@@ -91,19 +105,28 @@ def greedy_proximity_groups(df: DataFrame, dist_m: float = 150.0,
 
     cols = [tile_col, "id", "lat", "lon", "status", "group_id", "seq"]
 
-    def per_tile(pdf: pd.DataFrame) -> pd.DataFrame:
-        grouped = greedy_group_rows(pdf.to_dict("records"), dist_m)
-        if not grouped:
-            return pd.DataFrame(columns=cols)
-        return pd.DataFrame(grouped)[cols]
+    def per_partition(batches):
+        # One Python invocation per partition (tiles are hash-assigned to
+        # partitions, so a tile never spans two) — with thousands of tiny
+        # tiles, per-group applyInPandas overhead dominated the runtime.
+        pdfs = list(batches)
+        if not pdfs:
+            return
+        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
+        out: list[dict] = []
+        for _, g in pdf.groupby(tile_col, sort=False):
+            out.extend(greedy_group_rows(g.to_dict("records"), dist_m))
+        yield (pd.DataFrame(out)[cols] if out
+               else pd.DataFrame(columns=cols))
 
     id_type = dict(df.dtypes)[id_col]
     schema = (f"{tile_col} string, id {id_type}, lat double, "
               f"lon double, status string, group_id {id_type}, seq int")
+    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
     return (
         df.select(tile_col, F.col(id_col).alias("id"), "lat", "lon", "status")
-        .groupBy(tile_col)
-        .applyInPandas(per_tile, schema=schema)
+        .repartition(n_parts, tile_col)
+        .mapInPandas(per_partition, schema=schema)
     )
 
 

