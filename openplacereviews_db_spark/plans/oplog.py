@@ -146,3 +146,73 @@ ORACLES: dict[str, str] = {
         FROM orders WHERE o_totalprice > 480000
     """,
 }
+
+
+def m1m4_sync_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OSM sync op generation (M1-M4 + J1 lookup) over the synthetic
+    corpus; every branch is predictable in SQL:
+
+    entities = customers with even keys, version bumped (+1) and, for
+    k%9==0, a changed name.  Against `synthetic_places`:
+    - k%13==0 → the entity's osm id only exists on a deleted ref →
+      unmatched → M1 create;
+    - k%9==0 (matched) → match-id change → M3 tombstone + M1 create;
+    - otherwise → M2 edit setting only the bumped version.
+    """
+    from ..operators import osm_sync
+    from ..sources import places as P
+
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    name = F.when(k % 9 == 0, F.concat(F.lit("X "), F.col("c_name"))) \
+            .otherwise(F.col("c_name"))
+    entities = c.where(k % 2 == 0).select(
+        F.lit("node").alias("entity_type"),
+        k.cast("long").alias("id"),
+        P.synthetic_lat(k).alias("lat"),
+        P.synthetic_lon(k).alias("lon"),
+        F.create_map(F.lit("name"), name,
+                     F.lit("amenity"), F.lower("c_mktsegment")).alias("tags"),
+        (2 + k % 5).cast("int").alias("version"),
+        F.lit("2021-01-01T00:00:00").alias("timestamp"),
+    )
+    places = P.synthetic_places(spark, sf_dir)
+    ops = osm_sync.generate_sync_ops(entities, places)
+    return ops.select("obj_id", "action", "change")
+
+
+QUERIES["m1m4_sync_ops"] = m1m4_sync_ops
+
+from ..functions.geo import olc_encode_sql as _olc_sql  # noqa: E402
+
+_SYNC_LAT = ("(((c_custkey * 7919) % 16000) / CAST(100.0 AS DOUBLE)"
+             " - CAST(80.0 AS DOUBLE))")
+_SYNC_LON = ("(((c_custkey * 104729) % 36000) / CAST(100.0 AS DOUBLE)"
+             " - CAST(180.0 AS DOUBLE))")
+_SYNC_TILE = _olc_sql(_SYNC_LAT, _SYNC_LON, 6)
+
+ORACLES["m1m4_sync_ops"] = f"""
+    WITH ent AS (
+        SELECT c_custkey AS k,
+               {_SYNC_TILE} AS tile,
+               substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS place_sfx,
+               substr(md5('node:' || CAST(c_custkey AS VARCHAR)), 1, 6)
+                   AS new_sfx,
+               CAST(2 + c_custkey % 5 AS VARCHAR) AS new_ver
+        FROM customer WHERE c_custkey % 2 = 0
+    )
+    -- M2: plain version edit (matched, same match-id)
+    SELECT tile || ',' || place_sfx AS obj_id, 'edit' AS action,
+           '{{"source.osm[0].version": {{"set": "' || new_ver || '"}}}}'
+               AS change
+    FROM ent WHERE k % 13 != 0 AND k % 9 != 0
+    UNION ALL
+    -- M3: tombstone on the old place (match-id changed)
+    SELECT tile || ',' || place_sfx, 'edit',
+           '{{"source.osm[0].deleted": {{"set": "2021-06-01T00:00:00"}}}}'
+    FROM ent WHERE k % 13 != 0 AND k % 9 = 0
+    UNION ALL
+    -- M1: create (unmatched entity, or re-create after match-id change)
+    SELECT tile || ',' || new_sfx, 'create', CAST(NULL AS VARCHAR)
+    FROM ent WHERE k % 13 = 0 OR k % 9 = 0
+"""
