@@ -12,8 +12,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from openplacereviews_db_spark.plans import (corpus, merge_plans, oplog,
-                                             places_reports, relational,
+from openplacereviews_db_spark.plans import (corpus, history, merge_plans,
+                                             oplog, places_reports, relational,
                                              relational2)
 
 
@@ -30,6 +30,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(places_reports.QUERIES)
     out.update(merge_plans.QUERIES)
     out.update(relational2.QUERIES)
+    out.update(history.QUERIES)
     return out
 
 
@@ -41,4 +42,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(places_reports.ORACLES)
     out.update(merge_plans.ORACLES)
     out.update(relational2.ORACLES)
+    out.update(history.ORACLES)
     return out

@@ -1,0 +1,209 @@
+"""History change-report pipeline (§3.2, OprHistoryChangesProvider).
+
+The reference's `history` endpoint scans block headers in a date
+window (S11/J9), classifies each operation's change paths (P6:
+``source.osm[i].deleted`` index extraction, ``images*`` prefix,
+place-level ``deleted``), applies the closed-place review predicate
+(P7: main osm ref dead ∧ place alive), buckets by tile and greedily
+clusters within 150 m (G2), emitting ordered [deleted…, created…]
+groups (P4 projection).
+
+Here the same pipeline runs over a deterministic synthetic operations
+corpus (SQL-mirrorable, below).  ``p6`` and ``p7`` are value-checked
+against DuckDB; the full grouped report is rows-only (greedy
+clustering is order-dependent, non-SQL).
+
+Scale shape: the window filter prunes the ops scan (operations are
+date-partitioned at scale); classification is pure string/regexp
+column work; only the final per-tile clustering leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import geo
+from ..operators import changelog as C
+from ..operators import cluster
+from ..sources import places as P
+from ..sources.testdata import load_table
+
+TOMBSTONE = "2021-06-15T00:00:00"
+WINDOW_START, WINDOW_END = "2021-06-05", "2021-06-20"
+
+#: P6 path pattern (OprHistoryChangesProvider.java:468-479)
+_OSM_DELETED_RE = r'"source\.osm\[(\d+)\]\.deleted"'
+
+_PLACE_DOC_DDL = (
+    "struct<source:struct<osm:array<struct<"
+    "id:long,type:string,osm_tag:string,osm_value:string,"
+    "tags:map<string,string>,lat:double,lon:double,"
+    "version:string,changeset:string,timestamp:string,"
+    "deleted:string>>>,deleted:string>")
+
+
+def synthetic_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic operations corpus over the place ids:
+
+    per customer key k — block_date = 2021-06-01 + (k % 30) days;
+    k%5==1 → create, k%5==2 → delete, k%5==3 → edit with change by k%3:
+    0 → tombstone osm ref, 1 → images.review append, 2 → name set.
+    """
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    lat, lon = P.synthetic_lat(k), P.synthetic_lon(k)
+    obj_id = F.concat_ws(",", geo.olc_encode(lat, lon, 6),
+                         F.substring(F.md5(k.cast("string")), 1, 6))
+    change = (
+        F.when(k % 3 == 0, F.lit(
+            '{"source.osm[0].deleted": {"set": "' + TOMBSTONE + '"}}'))
+        .when(k % 3 == 1, F.format_string(
+            '{"images.review": {"append": {"cid": "c%d"}}}', k))
+        .otherwise(F.format_string(
+            '{"source.osm[0].tags.name": {"set": "Renamed %d"}}', k))
+    )
+    action = (F.when(k % 5 == 1, "create").when(k % 5 == 2, "delete")
+              .when(k % 5 == 3, "edit"))
+    return (
+        c.select(
+            k.alias("key"), obj_id.alias("obj_id"),
+            F.date_add(F.lit("2021-06-01").cast("date"),
+                       (k % 30).cast("int")).alias("block_date"),
+            (k % 30).cast("long").alias("block_id"),
+            F.lit(0).cast("long").alias("op_seq"),
+            action.alias("action"),
+            F.lit(None).cast("string").alias("doc"),
+            F.when(action == "edit", change).alias("change"),
+            lat.alias("lat"), lon.alias("lon"),
+        )
+        .where(action.isNotNull())
+    )
+
+
+def p6_change_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11 date-window scan + P6 change-path classification, straight
+    off the raw change strings (regexp — identical in any engine)."""
+    ops = synthetic_ops(spark, sf_dir)
+    idx_s = F.regexp_extract("change", _OSM_DELETED_RE, 1)
+    category = (
+        F.when(F.col("action") == "create", "created")
+        .when(F.col("action") == "delete", "removed")
+        .when(idx_s != "", "osm_ref_deleted")
+        .when(F.col("change").contains('"images'), "images")
+        .otherwise("tag_edit")
+    )
+    return (
+        ops.where(F.col("block_date").between(WINDOW_START, WINDOW_END))
+        .select("obj_id", "block_date", category.alias("category"),
+                F.when(idx_s != "", idx_s.cast("int")).alias("ref_idx"))
+    )
+
+
+def p7_review_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7 through the real machinery: fold the window's tombstone edits
+    onto the place corpus (M9), re-derive the main element (P2), and
+    flag places whose main osm ref is dead while the place is alive."""
+    places = P.synthetic_places(spark, sf_dir)
+    docs = places.select(
+        F.concat_ws(",", "tile_id", "suffix").alias("obj_id"),
+        F.to_json(F.struct("source", "deleted")).alias("doc"))
+    ops = (synthetic_ops(spark, sf_dir)
+           .where(F.col("block_date").between(WINDOW_START, WINDOW_END))
+           .where(F.col("action") == "edit"))
+    folded = C.apply_operations(docs, ops)
+    parsed = folded.select(
+        "obj_id", F.from_json("doc", _PLACE_DOC_DDL).alias("d"))
+    live = F.filter(F.col("d.source.osm"), lambda x: x["deleted"].isNull())
+    main = F.coalesce(F.try_element_at(live, F.lit(1)),
+                      F.try_element_at(F.col("d.source.osm"), F.lit(1)))
+    return parsed.select(
+        "obj_id",
+        (main["deleted"].isNotNull()
+         & F.col("d.deleted").isNull()).alias("needs_review"),
+    )
+
+
+def history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full report: window ops → classify → status features → G2
+    per-tile clustering → ordered groups (rows-only check)."""
+    classified = p6_change_classification(spark, sf_dir)
+    ops = synthetic_ops(spark, sf_dir).select("obj_id", "lat", "lon", "key")
+    status = (
+        F.when(F.col("category") == "created", "created")
+        .when(F.col("category").isin("removed", "osm_ref_deleted"), "deleted")
+    )
+    feats = (
+        classified.withColumn("status", status)
+        .where(F.col("status").isNotNull())
+        .join(ops.dropDuplicates(["obj_id"]), on="obj_id")
+        .select(F.substring("obj_id", 1, 4).alias("tile"),
+                F.col("key").alias("id"), "lat", "lon", "status")
+    )
+    groups = cluster.greedy_proximity_groups(feats, dist_m=150.0)
+    return groups.where(F.col("group_id").isNotNull())
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "p6_change_classification": p6_change_classification,
+    "p7_review_candidates": p7_review_candidates,
+    "history_report": history_report,
+}
+
+_TILE = geo.olc_encode_sql(
+    "(((c_custkey * 7919) % 16000) / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE))",
+    "(((c_custkey * 104729) % 36000) / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE))",
+    6)
+
+_OPS_CTE = f"""
+    ops AS (
+        SELECT c_custkey AS k,
+               {_TILE} || ',' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6)
+                   AS obj_id,
+               CAST(DATE '2021-06-01' + CAST(c_custkey % 30 AS INTEGER)
+                    AS DATE) AS block_date,
+               CASE WHEN c_custkey % 5 = 1 THEN 'create'
+                    WHEN c_custkey % 5 = 2 THEN 'delete'
+                    WHEN c_custkey % 5 = 3 THEN 'edit' END AS action
+        FROM customer
+        WHERE c_custkey % 5 IN (1, 2, 3)
+    )"""
+
+ORACLES: dict[str, str] = {
+    "p6_change_classification": f"""
+        WITH {_OPS_CTE}
+        SELECT obj_id, block_date,
+               CASE WHEN action = 'create' THEN 'created'
+                    WHEN action = 'delete' THEN 'removed'
+                    WHEN k % 3 = 0 THEN 'osm_ref_deleted'
+                    WHEN k % 3 = 1 THEN 'images'
+                    ELSE 'tag_edit' END AS category,
+               CASE WHEN action = 'edit' AND k % 3 = 0 THEN 0 END AS ref_idx
+        FROM ops
+        WHERE block_date BETWEEN DATE '{WINDOW_START}' AND DATE '{WINDOW_END}'
+    """,
+    # P7 truth table.  The in-window tombstone edit (k%5==3, k%3==0)
+    # kills osm[0]; afterwards the main ref is dead for single-ref
+    # places AND for k%7 places (their second ref was already dead) —
+    # only k%13 places keep a live main (edit hits the already-dead
+    # first ref; the live alt survives).  Review also needs the place
+    # itself alive (k%11 != 0).
+    "p7_review_candidates": f"""
+        WITH {P.places_sql_cte()},
+        edits AS (
+            SELECT substr(md5(CAST(c_custkey AS VARCHAR)), 1, 6) AS sfx,
+                   c_custkey AS k
+            FROM customer
+            WHERE c_custkey % 5 = 3 AND c_custkey % 3 = 0
+              AND CAST(DATE '2021-06-01' + CAST(c_custkey % 30 AS INTEGER)
+                       AS DATE)
+                  BETWEEN DATE '{WINDOW_START}' AND DATE '{WINDOW_END}'
+        )
+        SELECT p.tile_id || ',' || p.suffix AS obj_id,
+               (e.k IS NOT NULL AND e.k % 13 != 0 AND e.k % 11 != 0)
+                   AS needs_review
+        FROM places p LEFT JOIN edits e ON p.suffix = e.sfx
+    """,
+}
