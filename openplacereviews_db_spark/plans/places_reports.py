@@ -133,3 +133,74 @@ ORACLES: dict[str, str] = {
         FROM places
     """,
 }
+
+
+def p12_mercator_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mercator (slippy-map) tiling of the live corpus at z12 — pure
+    column arithmetic (geometry kit), counted per tile."""
+    from ..functions import geometry as GM
+
+    pl = P.synthetic_places(spark, sf_dir).where(F.col("deleted").isNull())
+    return (
+        pl.select(GM.mercator_tile_x(F.col("lon"), 12).alias("tx"),
+                  GM.mercator_tile_y(F.col("lat"), 12).alias("ty"))
+        .groupBy("tx", "ty")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def g3_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 tile-grid generation (BotPlacePublisherTest.java:34-55 analog):
+    a fixed 36×18 world grid from sequence()+explode, left-joined with
+    per-cell live place counts (empty cells kept, cnt 0)."""
+    grid = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(35))).alias("gx"))
+        .crossJoin(spark.range(1).select(
+            F.explode(F.sequence(F.lit(0), F.lit(17))).alias("gy")))
+    )
+    pl = P.synthetic_places(spark, sf_dir).where(F.col("deleted").isNull())
+    counts = (
+        pl.select(F.floor((F.col("lon") + 180.0) / 10.0).cast("int").alias("gx"),
+                  F.floor((F.col("lat") + 90.0) / 10.0).cast("int").alias("gy"))
+        .groupBy("gx", "gy").agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(counts, on=["gx", "gy"], how="left")
+        .select("gx", "gy", F.coalesce("n", F.lit(0)).alias("cnt"))
+    )
+
+
+QUERIES["p12_mercator_tiles"] = p12_mercator_tiles
+QUERIES["g3_tile_grid"] = g3_tile_grid
+
+from ..functions import geometry as _GM  # noqa: E402
+
+_MERC_LAT = ("(((c_custkey * 7919) % 16000) / CAST(100.0 AS DOUBLE)"
+             " - CAST(80.0 AS DOUBLE))")
+_MERC_LON = ("(((c_custkey * 104729) % 36000) / CAST(100.0 AS DOUBLE)"
+             " - CAST(180.0 AS DOUBLE))")
+
+ORACLES["p12_mercator_tiles"] = f"""
+    SELECT {_GM.mercator_tile_x_sql(_MERC_LON, 12)} AS tx,
+           {_GM.mercator_tile_y_sql(_MERC_LAT, 12)} AS ty,
+           COUNT(*) AS cnt
+    FROM customer WHERE c_custkey % 11 != 0
+    GROUP BY 1, 2
+"""
+
+ORACLES["g3_tile_grid"] = f"""
+    WITH grid AS (
+        SELECT gx.range AS gx, gy.range AS gy
+        FROM range(0, 36) gx CROSS JOIN range(0, 18) gy
+    ),
+    counts AS (
+        SELECT CAST(floor(({_MERC_LON} + 180.0) / 10.0) AS INTEGER) AS gx,
+               CAST(floor(({_MERC_LAT} + 90.0) / 10.0) AS INTEGER) AS gy,
+               COUNT(*) AS n
+        FROM customer WHERE c_custkey % 11 != 0
+        GROUP BY 1, 2
+    )
+    SELECT g.gx, g.gy, COALESCE(c.n, 0) AS cnt
+    FROM grid g LEFT JOIN counts c ON g.gx = c.gx AND g.gy = c.gy
+"""

@@ -1,0 +1,89 @@
+"""Geometry kit unit tests (known shapes) + Spark wrapper coverage."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from openplacereviews_db_spark.functions import geometry as G
+
+SQUARE = [(0.0, 0.0), (0.0, 1.0), (1.0, 1.0), (1.0, 0.0)]  # (lat, lon)
+SQUARE_CLOSED = SQUARE + [SQUARE[0]]
+
+
+def test_point_in_polygon():
+    assert G.point_in_polygon(0.5, 0.5, SQUARE)
+    assert not G.point_in_polygon(1.5, 0.5, SQUARE)
+    assert not G.point_in_polygon(-0.1, 0.5, SQUARE)
+    # concave: U-shape
+    u = [(0, 0), (0, 3), (2, 3), (2, 2), (1, 2), (1, 1), (2, 1), (2, 0)]
+    assert G.point_in_polygon(0.5, 1.5, u)
+    assert not G.point_in_polygon(1.7, 1.5, u)
+
+
+def test_ccw_and_intersection():
+    # C on opposite sides of the vertical segment A->B flips orientation
+    assert G.ccw((0, 0), (1, 0), (1, 1)) != G.ccw((0, 0), (1, 0), (1, -1))
+    assert G.segments_intersect((0, 0), (1, 1), (0, 1), (1, 0))
+    assert not G.segments_intersect((0, 0), (1, 1), (2, 2), (3, 3))
+
+
+def test_area_and_winding():
+    # 1°×1° square near the equator ≈ (111.2 km)² · cos(mean lat)
+    a = G.polygon_area_m2(SQUARE)
+    want = (G._M_PER_DEG ** 2) * math.cos(math.radians(0.5))
+    assert abs(a - want) / want < 1e-12
+    assert G.polygon_area_deg2(SQUARE) > 0  # this winding is CCW
+    assert not G.is_clockwise(SQUARE)
+    assert G.is_clockwise(list(reversed(SQUARE)))
+
+
+def test_centroid():
+    assert G.way_centroid(SQUARE_CLOSED) == (0.5, 0.5)
+    # open line: vertex mean
+    lat, lon = G.way_centroid([(0.0, 0.0), (0.0, 2.0)])
+    assert (lat, lon) == (0.0, 1.0)
+
+
+def test_douglas_peucker():
+    line = [(0.0, 0.0), (0.00001, 0.5), (0.0, 1.0), (0.5, 1.5), (0.0, 2.0)]
+    out = G.douglas_peucker(line, epsilon_deg=0.001)
+    # tiny bump dropped, big detour kept
+    assert out == [(0.0, 0.0), (0.0, 1.0), (0.5, 1.5), (0.0, 2.0)]
+    assert G.douglas_peucker(line, epsilon_deg=10.0) == [(0.0, 0.0), (0.0, 2.0)]
+
+
+def test_spark_wrappers(spark):
+    rows = [
+        (1, [{"lat": a, "lon": b} for a, b in SQUARE_CLOSED]),
+        (2, [{"lat": 0.0, "lon": 0.0}, {"lat": 0.00001, "lon": 0.5},
+             {"lat": 0.0, "lon": 1.0}]),
+    ]
+    df = spark.createDataFrame(rows, f"way_id long, coords {G.COORDS_DDL}")
+    stats = {r["way_id"]: r for r in G.way_stats(df).collect()}
+    assert abs(stats[1]["centroid_lat"] - 0.5) < 1e-12
+    assert stats[1]["clockwise"] is False
+    simp = {r["way_id"]: r for r in G.simplify_ways(df, 0.001).collect()}
+    assert simp[2]["n_out"] == 2
+    pts = spark.createDataFrame(
+        [(1, 0.5, 0.5), (2, 5.0, 5.0)], "id long, lat double, lon double")
+    inside = G.points_in_polygon(pts, SQUARE).collect()
+    assert [r["id"] for r in inside] == [1]
+
+
+def test_mercator_matches_duckdb(spark, duck):
+    pts = [(48.8584, 2.2945), (-33.92, 18.42), (85.3, 179.9), (-85.3, -179.9),
+           (0.0, 0.0)]
+    df = spark.createDataFrame(pts, "lat double, lon double")
+    got = [(r["x"], r["y"]) for r in df.select(
+        G.mercator_tile_x(F.col("lon"), 12).alias("x"),
+        G.mercator_tile_y(F.col("lat"), 12).alias("y")).collect()]
+    sql = (f"SELECT {G.mercator_tile_x_sql('lon', 12)} AS x, "
+           f"{G.mercator_tile_y_sql('lat', 12)} AS y "
+           "FROM (SELECT unnest($1::DOUBLE[]) lat, unnest($2::DOUBLE[]) lon)")
+    want = duck.execute(sql, [[p[0] for p in pts],
+                              [p[1] for p in pts]]).fetchall()
+    assert got == [tuple(w) for w in want]
+    # spot-check the Eiffel tower tile at z12 (public slippy-map value)
+    assert got[0] == (2074, 1409)
