@@ -127,12 +127,14 @@ def cosine_pairs_gemm(embs: DataFrame, threshold: float,
     )
 
 
-def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
+def hyperplane_bucket(vec: Column, planes: int = 8,
+                      plane_offset: int = 0) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0..2^planes-1).
 
     Hyperplane h_i's j-th component is ±1 chosen by a bit of
     md5('i:j') — reproducible everywhere, no RNG state.  sign(dot) per
-    plane forms the bucket bits.
+    plane forms the bucket bits.  ``plane_offset`` selects an
+    independent plane family (for banding).
     """
     def plane_sign(i: int) -> Column:
         prod = F.zip_with(
@@ -149,7 +151,7 @@ def hyperplane_bucket(vec: Column, planes: int = 8) -> Column:
         return F.when(s >= 0, F.lit(1)).otherwise(F.lit(0))
 
     bucket = F.lit(0)
-    for i in range(planes):
+    for i in range(plane_offset, plane_offset + planes):
         bucket = bucket * 2 + plane_sign(i)
     return bucket
 
@@ -176,3 +178,62 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     )
     w = F.row_number().over(Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id")))
     return scored.withColumn("rank", w).where(F.col("rank") <= k)
+
+
+def cosine_pairs_lsh(embs: DataFrame, threshold: float,
+                     vec_col: str = "embedding", id_col: str = "vec_id",
+                     planes: int = 3, bands: int = 6,
+                     round_digits: int = 4) -> DataFrame:
+    """All-pairs near-duplicate search that scales: ``bands``
+    independent random-hyperplane signatures of ``planes`` bits each;
+    a pair is a candidate if it collides in ANY band (minhash-style
+    OR-banding), each bucket verified by one GEMM.
+
+    Unlike ``cosine_pairs_gemm`` (which broadcasts the full reference
+    matrix — right only when one side is bounded), nothing is collected
+    to the driver: the single shuffle key is (band, bucket), and each
+    bucket multiplies its own matrix inside ``applyInPandas``.  Recall
+    < 1 by design; bands raise recall (1-(1-p^planes)^bands), planes
+    shrink buckets.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = embs.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
+    ).withColumn(
+        "band_bucket",
+        F.explode(F.array(*[
+            F.concat_ws(":", F.lit(b),
+                        hyperplane_bucket(F.col("v"), planes,
+                                          plane_offset=b * planes))
+            for b in range(bands)
+        ])))
+
+    emit_floor = threshold - 1e-6
+    schema = "id_a long, id_b long, sim_raw double"
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim_raw": []})
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = m @ m.T
+        iu, ju = np.triu_indices(n, 1)
+        keep = sims[iu, ju] >= emit_floor
+        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                             "sim_raw": sims[iu, ju][keep]})
+
+    pairs = (
+        src.groupBy("band_bucket").applyInPandas(
+            lambda pdf: gemm(pdf), schema=schema)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn("sim", F.round("sim_raw", round_digits))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )

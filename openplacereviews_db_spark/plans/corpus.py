@@ -274,3 +274,14 @@ ORACLES: dict[str, str] = {
         WHERE length(text) > 0
     """,
 }
+
+
+def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path embedding near-dup: OR-banded hyperplane LSH + per-
+    bucket GEMM — no driver-side collect, one shuffle on (band, bucket).
+    Approximate by design (rows-only check; recall floor pinned by
+    tests/test_similarity_lsh.py against the exact kernel)."""
+    return similarity.cosine_pairs_lsh(_embs(spark, sf_dir), threshold=0.40)
+
+
+QUERIES["emb_neardup_lsh"] = emb_neardup_lsh
