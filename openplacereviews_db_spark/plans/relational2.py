@@ -321,3 +321,83 @@ ORACLES: dict[str, str] = {
         FROM active
     """,
 }
+
+
+def s15_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15 MERGE semantics via operators.upsert.merge_upsert: odd-key
+    customers get updated balances/segments, 100 synthetic keys append,
+    every 17th key is deleted."""
+    from ..operators.upsert import merge_upsert
+
+    c = _t(spark, sf_dir, "customer")
+    target = c.select("c_custkey", "c_acctbal", "c_mktsegment")
+    updates = (
+        c.where(F.col("c_custkey") % 2 == 1)
+        .select("c_custkey",
+                F.round(F.col("c_acctbal") * 2, 2).alias("c_acctbal"),
+                F.lit("UPDATED").alias("c_mktsegment"))
+        .unionByName(
+            c.where(F.col("c_custkey") < 100).select(
+                (F.col("c_custkey") + 1000000).alias("c_custkey"),
+                F.lit(0.0).alias("c_acctbal"),
+                F.lit("NEW").alias("c_mktsegment")))
+    )
+    deletes = c.where(F.col("c_custkey") % 17 == 0).select("c_custkey")
+    merged = merge_upsert(target, updates, key="c_custkey", deletes=deletes)
+    return merged.select("c_custkey",
+                         F.round("c_acctbal", 2).alias("c_acctbal"),
+                         "c_mktsegment")
+
+
+def e2_config_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E2 sync-config delta: configured request keys vs persisted state
+    → new / existing / removed."""
+    from ..operators.upsert import config_delta
+
+    ev = _t(spark, sf_dir, "events")
+    config = ev.select("event_type").distinct()
+    state = (ev.where(F.col("event_type") != "error")
+             .select("event_type").distinct()
+             .unionByName(spark.createDataFrame([("legacy",)],
+                                                "event_type string")))
+    return config_delta(config, state, ["event_type"])
+
+
+QUERIES["s15_merge_upsert"] = s15_merge_upsert
+QUERIES["e2_config_delta"] = e2_config_delta
+
+ORACLES["s15_merge_upsert"] = """
+    WITH upd AS (
+        SELECT c_custkey, round(c_acctbal * 2, 2) AS c_acctbal,
+               'UPDATED' AS c_mktsegment
+        FROM customer WHERE c_custkey % 2 = 1
+        UNION ALL
+        SELECT c_custkey + 1000000, 0.0, 'NEW'
+        FROM customer WHERE c_custkey < 100
+    ),
+    merged AS (
+        SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal
+                    ELSE t.c_acctbal END AS c_acctbal,
+               CASE WHEN u.c_custkey IS NOT NULL THEN u.c_mktsegment
+                    ELSE t.c_mktsegment END AS c_mktsegment
+        FROM customer t FULL OUTER JOIN upd u USING (c_custkey)
+    )
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM merged
+    WHERE c_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_custkey % 17 = 0)
+"""
+
+ORACLES["e2_config_delta"] = """
+    WITH config AS (SELECT DISTINCT event_type FROM events),
+    state AS (
+        SELECT DISTINCT event_type FROM events WHERE event_type != 'error'
+        UNION ALL SELECT 'legacy'
+    )
+    SELECT COALESCE(c.event_type, s.event_type) AS event_type,
+           CASE WHEN s.event_type IS NULL THEN 'new'
+                WHEN c.event_type IS NULL THEN 'removed'
+                ELSE 'existing' END AS status
+    FROM config c FULL OUTER JOIN state s ON c.event_type = s.event_type
+"""
