@@ -104,3 +104,31 @@ def test_apply_changelog_stream(spark, tmp_path):
     got = {r["obj_id"]: json.loads(r["doc"])
            for r in spark.read.parquet(snap).collect()}
     assert got == {"p1": {"v": 2}}
+
+
+def test_stateful_user_totals(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    ck = str(tmp_path / "ck4")
+    _write_events(src / "a.json", EVENTS[:3])
+
+    def run():
+        stream = SP.stream_events(spark, str(src))
+        rows = []
+        q = (SP.stateful_user_totals(stream).writeStream
+             .foreachBatch(lambda df, _e: rows.extend(df.collect()))
+             .outputMode("update")
+             .option("checkpointLocation", ck)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        latest = {}
+        for r in rows:  # update mode; last row per user wins
+            latest[r["user_id"]] = (r["n_events"], r["total"])
+        return latest
+
+    first = run()
+    assert first[1] == (2, 3.0) and first[2] == (1, 5.0)
+    # state survives into the next incremental run via the checkpoint
+    _write_events(src / "b.json", EVENTS[3:])
+    second = run()
+    assert second[1] == (3, 6.0)
