@@ -204,3 +204,30 @@ ORACLES["g3_tile_grid"] = f"""
     SELECT g.gx, g.gy, COALESCE(c.n, 0) AS cnt
     FROM grid g LEFT JOIN counts c ON g.gx = c.gx AND g.gy = c.gy
 """
+
+
+def a2_images_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3 image counters over the real nested map<category,
+    array<photo>> column (BaseOprPlaceDataProvider.java:227-239):
+    total photos across categories (excluding review) + review count."""
+    pl = P.synthetic_places(spark, sf_dir)
+    non_review = F.map_filter(F.col("images"), lambda k, _v: k != "review")
+    total = F.aggregate(F.map_values(non_review), F.lit(0),
+                        lambda acc, arr: acc + F.size(arr))
+    return pl.select(
+        F.concat_ws(",", "tile_id", "suffix").alias("opr_id"),
+        total.cast("long").alias("images_size"),
+        F.coalesce(F.size(F.col("images")["review"]), F.lit(0))
+        .cast("long").alias("img_review_size"),
+    )
+
+
+QUERIES["a2_images_size"] = a2_images_size
+
+ORACLES["a2_images_size"] = f"""
+    WITH {P.places_sql_cte()}
+    SELECT tile_id || ',' || suffix AS opr_id,
+           CAST(key % 3 AS BIGINT) AS images_size,
+           CAST(key % 2 AS BIGINT) AS img_review_size
+    FROM places
+"""

@@ -127,6 +127,22 @@ def synthetic_places(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(k % 7 == 0, F.array(live_main, dead_alt))
         .otherwise(F.array(live_main))
     )
+    # images: k%3 'main' photos + (k%2) photos pending review —
+    # SQL-mirrorable sizes for the A2/A3 aggregates.  NB sequence(1, 0)
+    # is DESCENDING [1, 0] in Spark, so zero-count cases need a guard.
+    empty_photos = F.array().cast("array<map<string,string>>")
+    img = F.when(k % 3 == 0, empty_photos).otherwise(F.transform(
+        F.sequence(F.lit(1), (k % 3).cast("int")),
+        lambda i: F.create_map(F.lit("cid"),
+                               F.concat(k.cast("string"), F.lit(":"),
+                                        i.cast("string")))))
+    review = F.when(k % 2 == 0, empty_photos).otherwise(F.transform(
+        F.sequence(F.lit(1), (k % 2).cast("int")),
+        lambda i: F.create_map(F.lit("cid"),
+                               F.concat(F.lit("r"), k.cast("string")))))
+    images = F.map_filter(
+        F.create_map(F.lit("main"), img, F.lit("review"), review),
+        lambda _k, v: F.size(v) > 0)
     return c.select(
         geo.olc_encode(lat, lon, 6).alias("tile_id"),
         F.substring(F.md5(k.cast("string")), 1, 6).alias("suffix"),
@@ -135,7 +151,7 @@ def synthetic_places(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(k % 11 == 0, F.lit(DELETED_PLACE_TS))
         .cast("string").alias("deleted"),
         F.struct(osm.alias("osm")).alias("source"),
-        F.create_map().cast(PLACE_SCHEMA["images"].dataType).alias("images"),
+        images.alias("images"),
     )
 
 
@@ -163,7 +179,8 @@ def places_sql_cte() -> str:
                     ELSE c_custkey END AS main_osm_id,
                CAST(1 + c_custkey % 5 AS VARCHAR) AS version,
                CASE WHEN c_custkey % 13 = 0 OR c_custkey % 7 = 0
-                    THEN 2 ELSE 1 END AS n_osm
+                    THEN 2 ELSE 1 END AS n_osm,
+               c_custkey AS key
         FROM customer
     )"""
 
