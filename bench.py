@@ -44,6 +44,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
+        "n_queries": len(timings),
+        "mean_query_seconds": round(total / max(1, len(timings)), 3),
         "sf": sf,
     }))
     spark.stop()

@@ -237,3 +237,92 @@ def cosine_pairs_lsh(embs: DataFrame, threshold: float,
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
+
+
+def ivf_assign(embs: DataFrame, n_cells: int = 16,
+               vec_col: str = "embedding", id_col: str = "vec_id"):
+    """IVF coarse quantizer: deterministic centroids (the ``n_cells``
+    lowest-id vectors — sample-based init, no RNG, no k-means loop) and
+    the cell assignment of every vector.
+
+    Returns (centroids ndarray [n_cells, dim], assigned DataFrame with a
+    ``cell`` column).  The centroid table is tiny and broadcast; the
+    corpus streams through one numpy argmax pass.
+    """
+    import numpy as np
+
+    rows = (embs.orderBy(id_col).limit(n_cells)
+            .select(as_double(F.col(vec_col)).alias("v")).collect())
+    cent = np.array([r["v"] for r in rows], dtype=np.float64)
+    cent_n = cent / np.linalg.norm(cent, axis=1, keepdims=True)
+    spark = embs.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent_n)
+
+    src = embs.select(F.col(id_col).alias("id"),
+                      as_double(F.col(vec_col)).alias("v"))
+
+    def assign(batches):
+        import pandas as pd
+
+        c = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cells = (m @ c.T).argmax(axis=1)
+            yield pd.DataFrame({"id": pdf["id"], "v": pdf["v"],
+                                "cell": cells.astype("int32")})
+
+    assigned = src.mapInPandas(assign, schema="id long, v array<double>, "
+                                              "cell int")
+    return cent_n, assigned
+
+
+def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                    n_cells: int = 16, n_probe: int = 4,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    round_digits: int = 4) -> DataFrame:
+    """Approximate top-k via IVF: corpus bucketed into ``n_cells``
+    Voronoi cells, each query probes its ``n_probe`` nearest cells and
+    searches those exactly.
+
+    Same output schema as ``cosine_topk``; recall < 1 by design.  The
+    scale shape: the only shuffle is the (cell) equi-join; the inverted
+    lists are the partition layout at 100 TB (cell = partition key).
+    """
+    import numpy as np
+
+    cent, assigned = ivf_assign(corpus, n_cells, vec_col, id_col)
+    spark = corpus.sparkSession
+    b_cent = spark.sparkContext.broadcast(cent)
+
+    q = queries.select(F.col(id_col).alias("q_id"),
+                       as_double(F.col(vec_col)).alias("q_vec"))
+
+    def probe(batches):
+        import pandas as pd
+
+        c = b_cent.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["q_vec"]), dtype=np.float64)
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            order = np.argsort(-(m @ c.T), axis=1)[:, :n_probe]
+            out = pdf.loc[pdf.index.repeat(n_probe)].reset_index(drop=True)
+            out["cell"] = order.ravel().astype("int32")
+            yield out[["q_id", "q_vec", "cell"]]
+
+    probed = q.mapInPandas(probe, schema="q_id long, q_vec array<double>, "
+                                         "cell int")
+    scored = (
+        assigned.join(F.broadcast(probed), on="cell")
+        .where(F.col("q_id") != F.col("id"))
+        .select("q_id", F.col("id").alias("c_id"),
+                F.round(cosine(F.col("q_vec"), F.col("v")),
+                        round_digits).alias("sim"))
+    )
+    w = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id")))
+    return scored.withColumn("rank", w).where(F.col("rank") <= k)

@@ -285,3 +285,17 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["emb_neardup_lsh"] = emb_neardup_lsh
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (scale path beside the exact
+    brute force): deterministic sample centroids, n_probe nearest cells
+    per query.  Rows-only check; recall floor pinned in
+    tests/test_similarity_lsh.py against the exact ranking."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.limit(50)
+    return similarity.cosine_topk_ivf(embs, queries, k=5,
+                                      n_cells=16, n_probe=6)
+
+
+QUERIES["ann_ivf_topk"] = ann_ivf_topk
