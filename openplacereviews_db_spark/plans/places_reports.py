@@ -231,3 +231,56 @@ ORACLES["a2_images_size"] = f"""
            CAST(key % 2 AS BIGINT) AS img_review_size
     FROM places
 """
+
+
+def a4_place_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 (BaseOprPlaceDataProvider.java:161-200): distinct place types
+    with display names (capitalize + underscore→space), sorted by label."""
+    from ..functions.text import display_place_type
+
+    pl = P.synthetic_places(spark, sf_dir)
+    return (
+        pl.where(F.col("deleted").isNull())
+        .groupBy("placetype")
+        .agg(F.count(F.lit(1)).alias("n_places"))
+        .select("placetype",
+                display_place_type(F.col("placetype")).alias("label"),
+                "n_places")
+    )
+
+
+def p10_name_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10 (Entity.getNameTags / MergeUtil.getOtherPlaceName): name-*
+    prefix filter over the main element's open tag map."""
+    pl = P.synthetic_places(spark, sf_dir)
+    live = F.filter(F.col("source.osm"), lambda x: x["deleted"].isNull())
+    main = F.coalesce(F.try_element_at(live, F.lit(1)),
+                      F.try_element_at(F.col("source.osm"), F.lit(1)))
+    name_tags = F.map_filter(main["tags"], lambda k, _v: k.startswith("name"))
+    return pl.select(
+        F.concat_ws(",", "tile_id", "suffix").alias("opr_id"),
+        F.size(name_tags).cast("long").alias("n_name_tags"),
+        F.element_at(name_tags, "name").alias("name_value"),
+    )
+
+
+QUERIES["a4_place_types"] = a4_place_types
+QUERIES["p10_name_tags"] = p10_name_tags
+
+ORACLES["a4_place_types"] = f"""
+    WITH {P.places_sql_cte()}
+    SELECT placetype,
+           upper(substr(replace(placetype, '_', ' '), 1, 1))
+             || substr(replace(placetype, '_', ' '), 2) AS label,
+           COUNT(*) AS n_places
+    FROM places WHERE deleted IS NULL
+    GROUP BY placetype
+"""
+
+ORACLES["p10_name_tags"] = f"""
+    WITH {P.places_sql_cte()}
+    SELECT tile_id || ',' || suffix AS opr_id,
+           CAST(1 AS BIGINT) AS n_name_tags,
+           name AS name_value
+    FROM places
+"""
