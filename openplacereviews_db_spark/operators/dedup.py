@@ -145,11 +145,16 @@ def simhash_table(df: DataFrame, text_col: str = "text",
                          lambda w: w != ""))
         ).alias("w"),
     ).withColumn("h", F.md5("w"))
+    # One substring+instr per NIBBLE (16), not per bit (64) — the four
+    # bit votes of a nibble are then cheap shift/mask arithmetic.
+    words = words.select(
+        "id", *[(F.instr(F.lit("0123456789abcdef"),
+                         F.substring(F.col("h"), n + 1, 1)) - 1)
+                .alias(f"nib{n}") for n in range(bits // 4)])
 
     def bit_vote(b: int):
-        nib = F.instr(F.lit("0123456789abcdef"),
-                      F.substring(F.col("h"), b // 4 + 1, 1)) - 1
-        bit = F.shiftright(nib, 3 - (b % 4)).bitwiseAND(F.lit(1))
+        bit = (F.shiftright(F.col(f"nib{b // 4}"), 3 - (b % 4))
+               .bitwiseAND(F.lit(1)))
         return F.sum(bit * 2 - 1).alias(f"v{b}")
 
     votes = words.groupBy("id").agg(*[bit_vote(b) for b in range(bits)])
