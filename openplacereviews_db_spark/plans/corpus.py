@@ -299,3 +299,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+
+def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-group formation: minhash-LSH near-dup pairs → connected
+    components → (node, canonical_id, group_size).  The oracle replays
+    the same pair list through a recursive min-reachability CTE, so the
+    distributed label propagation is value-checked end to end."""
+    from ..operators.components import dedup_groups
+
+    pairs = dedup.minhash_lsh_pairs(
+        _docs(spark, sf_dir), shingle_words=2, num_hashes=16, bands=8,
+        min_jaccard=0.1)  # same knobs as dd_minhash_lsh / its oracle
+    return dedup_groups(pairs)
+
+
+QUERIES["dd_dup_groups"] = dd_dup_groups
+
+ORACLES["dd_dup_groups"] = f"""
+    WITH RECURSIVE pairs AS (
+        {ORACLES["dd_minhash_lsh"]}
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.a, w.reach FROM sym s JOIN walk w ON s.b = w.node
+    ),
+    comp AS (SELECT node, MIN(reach) AS canonical_id FROM walk GROUP BY node)
+    SELECT node, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS group_size
+    FROM comp
+"""

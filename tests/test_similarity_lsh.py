@@ -29,3 +29,19 @@ def test_ivf_topk_recall(spark, sf_dir):
                embs, queries, k=3, n_cells=16, n_probe=6).collect()}
     hits = sum(1 for kk, v in exact.items() if ivf.get(kk) == v)
     assert hits >= 0.6 * len(exact), (hits, len(exact))
+
+
+def test_connected_components(spark):
+    from openplacereviews_db_spark.operators.components import (
+        connected_components, dedup_groups)
+    # chain 1-2-3-4, pair 10-11, self-contained triangle 20-21-22
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long")
+    comp = {r["node"]: r["comp"]
+            for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                    20: 20, 21: 20, 22: 20}
+    groups = {r["node"]: (r["canonical_id"], r["group_size"])
+              for r in dedup_groups(edges).collect()}
+    assert groups[4] == (1, 4) and groups[22] == (20, 3)
