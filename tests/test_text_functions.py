@@ -1,0 +1,47 @@
+"""Text kit goldens from the reference's formulas (MergeUtil.java,
+OprExprEvaluatorExt.java)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from openplacereviews_db_spark.functions import text as TX
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_simple_name(spark):
+    # opr:simple_name strips spaces+hyphens and lowercases
+    assert _one(spark, TX.simple_name(F.lit("Blue - Cafe X"))) == "bluecafex"
+
+
+def test_tokenize_trims_punct(spark):
+    got = _one(spark, TX.tokenize_words(F.lit('  "Le Café!"  (No.1)  ')))
+    assert got == ["Le", "Café", "No.1"]
+
+
+@pytest.mark.parametrize("a,b,want", [
+    ("abc", "abcd", 1),      # min len 3 → threshold 1
+    ("abcde", "abcdef", 2),  # min len 5 → 2
+    ("abcdefg", "abcdefgh", 3),
+    ("abcdefghi", "abcdefghij", 4),
+])
+def test_lev_threshold(spark, a, b, want):
+    assert _one(spark, TX.lev_threshold(F.lit(a), F.lit(b))) == want
+
+
+def test_first_not_empty(spark):
+    # each arg truncated at first ';', concatenated
+    got = _one(spark, TX.first_not_empty(F.lit("a;b"), F.lit(""), F.lit("c;d")))
+    assert got == "ac"
+
+
+def test_display_place_type(spark):
+    assert _one(spark, TX.display_place_type(F.lit("fast_food"))) == "Fast food"
+
+
+def test_normalized_accent_fold(spark):
+    assert _one(spark, TX.normalized(F.lit("Crème Brûlée"))) == "creme brulee"
