@@ -35,6 +35,9 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = len(df.collect())
         dt = time.time() - t0
+        # drop per-query persisted frames so 60+ queries in one JVM
+        # don't accumulate block-manager heap
+        spark.catalog.clearCache()
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)

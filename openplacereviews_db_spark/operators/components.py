@@ -31,10 +31,15 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
-           .distinct())
+           .distinct()
+           # localCheckpoint (not persist): iterative algorithms must
+           # TRUNCATE lineage each round or the logical plan doubles
+           # per iteration — exponential analysis cost and multi-GB
+           # plan strings long before any data problem
+           .localCheckpoint())
     labels = (sym.select("a").distinct()
-              .select(F.col("a").alias("node"), F.col("a").alias("comp")))
-    sym = sym.persist()
+              .select(F.col("a").alias("node"), F.col("a").alias("comp"))
+              .localCheckpoint())
     for _ in range(max_iter):
         # smallest neighbor label per node
         nbr = (sym.join(labels, sym["b"] == labels["node"])
@@ -45,15 +50,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                     F.least(F.col("comp"),
                             F.coalesce("nbr_comp", F.col("comp")))
                     .alias("comp"))
-        ).persist()
+        ).localCheckpoint()
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), on="node")
                    .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     return labels.select("node", "comp")
 
 

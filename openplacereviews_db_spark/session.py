@@ -40,5 +40,13 @@ def get_spark(app_name: str = "openplacereviews-db-spark",
                 os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
+        # Generated plans here can be enormous (closed-form OLC / name
+        # cascade expression trees); retained-execution metadata and
+        # plan pretty-printing must be capped or a long many-query
+        # session OOMs the driver while *formatting strings*.
+        .config("spark.sql.maxPlanStringLength", "100000")
+        .config("spark.sql.ui.retainedExecutions", "8")
+        .config("spark.ui.retainedJobs", "50")
+        .config("spark.ui.retainedStages", "50")
     )
     return builder.getOrCreate()
