@@ -28,6 +28,9 @@ def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20) -> DataFrame:
     """(node, component) for every node in the edge list; component =
     min node id of its connected component."""
+    # materialize the (possibly expensive) pair pipeline once — the
+    # symmetrize-union below references it twice
+    edges = edges.localCheckpoint()
     sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
            .unionByName(edges.select(F.col(dst).alias("a"),
                                      F.col(src).alias("b")))
