@@ -73,15 +73,27 @@ def match_type_col(a_name: Column, b_name: Column,
 
 def merge_candidates(closed: DataFrame, active: DataFrame,
                      dist_m: float = SIMILAR_PLACE_DISTANCE_M,
-                     block_prefix: int = 4) -> DataFrame:
+                     block_prefix: int = 4,
+                     neighbor_blocking: bool = False,
+                     cell_deg: float = 0.05) -> DataFrame:
     """J3+J4: closed × active within ``dist_m``, scored by the cascade.
 
     Inputs need columns (id, tile_id, lat, lon, name) and optionally
     wikidata/website/alt_names; missing ones are treated as null/empty.
-    Blocking key = ``substr(tile_id, 1, block_prefix)`` (the reference
-    joins within one tile group and accepts boundary misses —
-    OprHistoryChangesProvider.java:149-150; a wider prefix loses less).
+
+    Blocking modes:
+    - default (parity with the reference): equi-join on
+      ``substr(tile_id, 1, block_prefix)`` — the reference joins within
+      one tile group and accepts boundary misses
+      (OprHistoryChangesProvider.java:149-150);
+    - ``neighbor_blocking=True`` (corrected mode, SURVEY.md §4 custom
+      item 1): the closed side explodes its 3×3 grid-cell neighborhood,
+      the active side keys by its own cell — border-correct for any
+      ``dist_m`` ≤ one cell, still an equi-join (each pair meets in at
+      most one cell, so no dedup is needed).
     """
+    from ..functions.geo import grid_tile, tile_neighbors
+
     def prep(df: DataFrame, side: str) -> DataFrame:
         cols = dict.fromkeys(df.columns)
         out = df
@@ -93,8 +105,15 @@ def merge_candidates(closed: DataFrame, active: DataFrame,
                 "alt_names",
                 F.when(F.col("name").isNotNull(), F.array(F.col("name")))
                 .otherwise(F.array().cast("array<string>")))
+        if neighbor_blocking:
+            blk = (F.explode(tile_neighbors(F.col("lat"), F.col("lon"),
+                                            cell_deg))
+                   if side == "c" else
+                   grid_tile(F.col("lat"), F.col("lon"), cell_deg))
+        else:
+            blk = F.substring("tile_id", 1, block_prefix)
         return out.select(
-            F.substring("tile_id", 1, block_prefix).alias("blk"),
+            blk.alias("blk"),
             *[F.col(c).alias(f"{side}_{c}")
               for c in ("id", "lat", "lon", "name", "wikidata", "website",
                         "alt_names")])

@@ -145,3 +145,30 @@ ORACLES: dict[str, str] = {
           AND NOT EXISTS (SELECT 1 FROM cands WHERE cands.c_id = c.id)
     """,
 }
+
+
+def j3_border_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrected-mode candidate join (SURVEY §4 custom item 1): the
+    closed side explodes its 3×3 cell neighborhood, so pairs straddling
+    a cell boundary are found.  The ORACLE is the brute-force
+    (unblocked) distance join — equality proves the blocking loses
+    nothing."""
+    closed = P.synthetic_closed_flat(spark, sf_dir)
+    active = P.synthetic_active_flat(spark, sf_dir)
+    cands = place_merge.merge_candidates(closed, active,
+                                         neighbor_blocking=True)
+    return cands.select("c_id", "a_id", "match_type",
+                        F.round("dist_m", 2).alias("dist_m"))
+
+
+QUERIES["j3_border_correct"] = j3_border_correct
+
+ORACLES["j3_border_correct"] = f"""
+    WITH {P.flat_snapshots_sql_ctes()}
+    SELECT c.id AS c_id, a.id AS a_id,
+           {_cascade_sql('c', 'a')} AS match_type,
+           round({_DIST}, 2) AS dist_m
+    FROM closed c JOIN active a ON c.id != a.id
+    WHERE {_DIST} <= 100.0
+      AND {_cascade_sql('c', 'a')} IS NOT NULL
+"""
