@@ -172,3 +172,51 @@ ORACLES["j3_border_correct"] = f"""
     WHERE {_DIST} <= 100.0
       AND {_cascade_sql('c', 'a')} IS NOT NULL
 """
+
+
+def a5_merge_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 run counters (MergePlaceBot.java:89-98): candidate pairs,
+    picked merges, and permanent closes of one bot run, as one row."""
+    closed = P.synthetic_closed_flat(spark, sf_dir)
+    active = P.synthetic_active_flat(spark, sf_dir)
+    cands = place_merge.merge_candidates(closed, active)
+    picks = place_merge.pick_merges(cands)
+    closes = place_merge.close_ops(closed, cands, CLOSE_NOW_ISO)
+    return (
+        cands.agg(F.count(F.lit(1)).alias("similar_places_cnt"))
+        .crossJoin(picks.agg(F.count(F.lit(1)).alias("merged_places_cnt")))
+        .crossJoin(closes.agg(F.count(F.lit(1)).alias("closed_places_cnt")))
+    )
+
+
+QUERIES["a5_merge_counters"] = a5_merge_counters
+
+ORACLES["a5_merge_counters"] = f"""
+    WITH {P.flat_snapshots_sql_ctes()},
+    {_CANDS_SQL},
+    best AS (
+        SELECT *, MIN(match_type) OVER (PARTITION BY c_id) AS best_type
+        FROM cands
+    ),
+    at_best AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY c_id) AS n_at_best
+        FROM best WHERE match_type = best_type
+    ),
+    picks AS (
+        SELECT c_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_id ORDER BY dist_m, a_id) AS rk
+            FROM at_best WHERE NOT (best_type = 4 AND n_at_best > 1)
+        ) WHERE rk = 1
+    ),
+    closes AS (
+        SELECT c.id FROM closed c
+        WHERE date_diff('day',
+                        CAST(replace(c.deleted_ts, 'T', ' ') AS TIMESTAMP),
+                        CAST('{CLOSE_NOW_ISO.replace("T", " ")}' AS TIMESTAMP)) >= 10
+          AND NOT EXISTS (SELECT 1 FROM cands WHERE cands.c_id = c.id)
+    )
+    SELECT (SELECT COUNT(*) FROM cands)  AS similar_places_cnt,
+           (SELECT COUNT(*) FROM picks)  AS merged_places_cnt,
+           (SELECT COUNT(*) FROM closes) AS closed_places_cnt
+"""
