@@ -207,3 +207,75 @@ ORACLES: dict[str, str] = {
         FROM places p LEFT JOIN edits e ON p.suffix = e.sfx
     """,
 }
+
+
+def j7_history_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 in its history composition (§3.2 step 4, the ≥1-month
+    fullCheck): window's tombstoned places re-joined against the LIVE
+    corpus — a surviving similar active place within 150 m means the
+    closure needs review against current state.
+
+    Output: one row per (tombstoned place, live similar neighbor).
+    """
+    from ..functions.geo import haversine_m
+    from ..functions.text import check_names
+
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    tombstoned = (
+        c.where((k % 5 == 3) & (k % 3 == 0))
+        .where(F.date_add(F.lit("2021-06-01").cast("date"),
+                          (k % 30).cast("int"))
+               .between(WINDOW_START, WINDOW_END))
+        .select(k.alias("key"),
+                P.synthetic_lat(k).alias("lat"),
+                P.synthetic_lon(k).alias("lon"),
+                F.concat_ws(" ", F.col("c_name"),
+                            F.lower("c_mktsegment")).alias("name"))
+    )
+    active = P.synthetic_active_flat(spark, sf_dir)
+    t = tombstoned.alias("t")
+    a = active.alias("a")
+    dist = haversine_m(F.col("t.lat"), F.col("t.lon"),
+                       F.col("a.lat"), F.col("a.lon"))
+    blk_t = F.substring(geo.olc_encode(F.col("t.lat"), F.col("t.lon"), 6),
+                        1, 4)
+    blk_a = F.substring(F.col("a.tile_id"), 1, 4)
+    return (
+        t.join(a, blk_t == blk_a)
+        .withColumn("dist_m", dist)
+        .where(F.col("dist_m") <= 150)
+        .where(check_names(F.col("t.name"), F.col("a.name")))
+        .select(F.col("t.key").alias("closed_key"),
+                F.col("a.id").alias("live_id"),
+                F.round("dist_m", 2).alias("dist_m"))
+    )
+
+
+QUERIES["j7_history_full_check"] = j7_history_full_check
+
+from ..functions.text import check_names_sql as _cn_sql  # noqa: E402
+from ..functions.geo import haversine_m_sql as _hv_sql  # noqa: E402
+
+_T_LAT = ("(((t.k * 7919) % 16000) / CAST(100.0 AS DOUBLE)"
+          " - CAST(80.0 AS DOUBLE))")
+_T_LON = ("(((t.k * 104729) % 36000) / CAST(100.0 AS DOUBLE)"
+          " - CAST(180.0 AS DOUBLE))")
+
+ORACLES["j7_history_full_check"] = f"""
+    WITH {P.flat_snapshots_sql_ctes()},
+    tomb AS (
+        SELECT c_custkey AS k, c_name, c_mktsegment FROM customer
+        WHERE c_custkey % 5 = 3 AND c_custkey % 3 = 0
+          AND CAST(DATE '2021-06-01' + CAST(c_custkey % 30 AS INTEGER)
+                   AS DATE)
+              BETWEEN DATE '{WINDOW_START}' AND DATE '{WINDOW_END}'
+    )
+    SELECT t.k AS closed_key, a.id AS live_id,
+           round({_hv_sql(_T_LAT, _T_LON, 'a.lat', 'a.lon')}, 2) AS dist_m
+    FROM tomb t JOIN active a
+      ON substr({geo.olc_encode_sql(_T_LAT, _T_LON, 6)}, 1, 4)
+         = substr(a.tile_id, 1, 4)
+    WHERE {_hv_sql(_T_LAT, _T_LON, 'a.lat', 'a.lon')} <= 150.0
+      AND {_cn_sql("(t.c_name || ' ' || lower(t.c_mktsegment))", "a.name")}
+"""
