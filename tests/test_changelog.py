@@ -108,11 +108,14 @@ def test_lists_set_wholesale():
     assert current == {"a": [1, 2]}
 
 
-# hypothesis: apply(diff(a, b)) on a == b for nested string dicts
+# hypothesis: apply(diff(a, b)) on a == b for nested dicts whose leaves
+# include lists (the reference sets lists wholesale — E1 semantics)
 _json_scalars = st.one_of(st.integers(-5, 5), st.text(max_size=4),
                           st.booleans())
+_leaves = st.one_of(_json_scalars,
+                    st.lists(_json_scalars, max_size=3))
 _docs = st.recursive(
-    _json_scalars,
+    _leaves,
     lambda children: st.dictionaries(
         st.text(st.characters(codec="utf-8",
                               exclude_characters="{}[].\x00"),
