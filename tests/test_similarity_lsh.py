@@ -45,3 +45,30 @@ def test_connected_components(spark):
     groups = {r["node"]: (r["canonical_id"], r["group_size"])
               for r in dedup_groups(edges).collect()}
     assert groups[4] == (1, 4) and groups[22] == (20, 3)
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    embs = load_table(spark, "embeddings", sf_dir)
+    queries = embs.limit(20)
+    exact_rows = similarity.cosine_topk(embs, queries, k=3).collect()
+    exact_sims = {(r["q_id"], r["c_id"]): r["sim"]
+                  for r in similarity.cosine_topk(
+                      embs, queries, k=200).collect()}
+    exact_top: dict = {}
+    for r in exact_rows:
+        exact_top.setdefault(r["q_id"], set()).add(r["c_id"])
+    lsh_rows = similarity.cosine_topk_lsh(
+        embs, queries, k=3, planes=2).collect()
+    # every returned similarity matches the exact computation
+    for r in lsh_rows:
+        key = (r["q_id"], r["c_id"])
+        if key in exact_sims:
+            assert r["sim"] == exact_sims[key]
+    # and the top-3 SETS overlap usefully (single-probe LSH; recall<1)
+    lsh_top: dict = {}
+    for r in lsh_rows:
+        lsh_top.setdefault(r["q_id"], set()).add(r["c_id"])
+    overlap = sum(len(exact_top[q] & lsh_top.get(q, set()))
+                  for q in exact_top)
+    total = sum(len(v) for v in exact_top.values())
+    assert overlap >= 0.25 * total, (overlap, total)
