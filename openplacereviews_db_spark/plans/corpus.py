@@ -336,3 +336,74 @@ ORACLES["dd_dup_groups"] = f"""
            COUNT(*) OVER (PARTITION BY canonical_id) AS group_size
     FROM comp
 """
+
+
+def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end training-data curation pipeline as ONE query:
+    quality gate (score ≥ 0.5) → language gate (en) → exact-dedup
+    keep-one-per-fingerprint → greedy token budget (cumulative subword
+    tokens ≤ 50k, best-quality first).
+
+    Composes the tx_* operators whose oracles are already value-exact;
+    the budget is a global ordered cumsum (range-partition it at scale —
+    a budget is inherently a total order).
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import hashing as H
+
+    docs = _docs(spark, sf_dir)
+    q = textstats.quality_score(docs).select("id", "quality_score")
+    l = textstats.language_id(docs).select("id", "pred_lang")
+    t = textstats.token_counts(docs).select("id", "subword_tokens")
+    fp = docs.select(F.col("doc_id").alias("id"),
+                     H.fingerprint(F.col("text")).alias("fp"))
+    kept = (
+        q.join(l, "id").join(t, "id").join(fp, "id")
+        .where((F.col("quality_score") >= 0.5)
+               & (F.col("pred_lang") == "en"))
+        .withColumn("rn", F.row_number().over(
+            Window.partitionBy("fp").orderBy("id")))
+        .where(F.col("rn") == 1)
+    )
+    cum = F.sum("subword_tokens").over(
+        Window.orderBy(F.desc("quality_score"), F.asc("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (
+        kept.withColumn("cum_tokens", cum)
+        .where(F.col("cum_tokens") <= 50000)
+        .select("id", "pred_lang",
+                F.round("quality_score", 6).alias("quality"),
+                "subword_tokens", "cum_tokens")
+    )
+
+
+QUERIES["curate_corpus"] = curate_corpus
+
+ORACLES["curate_corpus"] = f"""
+    WITH quality AS ({ORACLES["tx_quality_score"]}),
+    langs AS ({ORACLES["tx_language_id"]}),
+    toks AS ({ORACLES["tx_token_counts"]}),
+    fps AS (
+        SELECT doc_id AS id, md5({_NORM}) AS fp
+        FROM documents WHERE length(text) > 0
+    ),
+    kept AS (
+        SELECT q.id, q.quality_score, l.pred_lang, t.subword_tokens, f.fp,
+               ROW_NUMBER() OVER (PARTITION BY f.fp ORDER BY q.id) AS rn
+        FROM quality q
+        JOIN langs l USING (id) JOIN toks t USING (id) JOIN fps f USING (id)
+        WHERE q.quality_score >= 0.5 AND l.pred_lang = 'en'
+    ),
+    budget AS (
+        SELECT id, pred_lang, quality_score, subword_tokens,
+               SUM(subword_tokens) OVER (
+                   ORDER BY quality_score DESC, id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum_tokens
+        FROM kept WHERE rn = 1
+    )
+    SELECT id, pred_lang, round(quality_score, 6) AS quality,
+           subword_tokens, cum_tokens
+    FROM budget WHERE cum_tokens <= 50000
+"""
