@@ -401,3 +401,80 @@ ORACLES["e2_config_delta"] = """
                 ELSE 'existing' END AS status
     FROM config c FULL OUTER JOIN state s ON c.event_type = s.event_type
 """
+
+
+def _ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic ways: one per order, vertices from its lineitems in
+    linenumber order (closed-form coords; duplicate (order, line) rows
+    deduped by max — the synthetic data has them)."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .groupBy("l_orderkey", "l_linenumber")
+          .agg(F.max("l_partkey").alias("pk"),
+               F.max("l_suppkey").alias("sk")))
+    pt = F.struct(((F.col("pk") % 1000) / 100.0).alias("lat"),
+                  ((F.col("sk") % 1000) / 100.0).alias("lon"))
+    return (
+        li.select(F.col("l_orderkey").alias("way_id"),
+                  F.struct(F.col("l_linenumber").alias("n"), pt.alias("p"))
+                  .alias("v"))
+        .groupBy("way_id")
+        .agg(F.transform(F.array_sort(F.collect_list("v")),
+                         lambda x: x["p"]).alias("coords"))
+    )
+
+
+def g5_way_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometry kernels over synthetic ways: open-line centroid (vertex
+    mean — the oracle-checkable branch of way_centroid) plus vertex
+    count.  Area/winding are pinned by unit goldens (FP summation order
+    of the shoelace is kernel-specific)."""
+    from ..functions import geometry as GM
+
+    ways = _ways(spark, sf_dir)
+    # exclude closed rings: their centroid takes the area branch, whose
+    # FP summation order is kernel-specific (unit-tested instead)
+    open_ways = ways.where(
+        (F.size("coords") <= 3)
+        | (F.element_at("coords", 1) != F.element_at("coords", -1)))
+    stats = GM.way_stats(open_ways)
+    n = open_ways.select("way_id", F.size("coords").alias("n_vertices"))
+    return (
+        stats.join(n, on="way_id")
+        .select("way_id", "n_vertices",
+                F.round("centroid_lat", 6).alias("centroid_lat"),
+                F.round("centroid_lon", 6).alias("centroid_lon"))
+    )
+
+
+QUERIES["g5_way_stats"] = g5_way_stats
+
+ORACLES["g5_way_stats"] = """
+    WITH dedup AS (
+        SELECT l_orderkey, l_linenumber,
+               ((MAX(l_partkey) % 1000) / CAST(100.0 AS DOUBLE)) AS lat,
+               ((MAX(l_suppkey) % 1000) / CAST(100.0 AS DOUBLE)) AS lon
+        FROM lineitem GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey AS way_id,
+           CAST(COUNT(*) AS INTEGER) AS n_vertices,
+           round(AVG(lat), 6) AS centroid_lat,
+           round(AVG(lon), 6) AS centroid_lon
+    FROM dedup GROUP BY l_orderkey
+    HAVING COUNT(*) <= 3
+        OR NOT (arg_min(lat, l_linenumber) = arg_max(lat, l_linenumber)
+                AND arg_min(lon, l_linenumber) = arg_max(lon, l_linenumber))
+"""
+
+
+def g4_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Douglas-Peucker over the synthetic ways (rows-only check; the
+    kernel is pinned by geometry unit goldens).  epsilon 0.5° on
+    0-10° coords → real reduction on most ways."""
+    from ..functions import geometry as GM
+
+    ways = _ways(spark, sf_dir)
+    return (GM.simplify_ways(ways, epsilon_deg=0.5)
+            .select("way_id", "n_in", "n_out"))
+
+
+QUERIES["g4_simplify_ways"] = g4_simplify_ways
