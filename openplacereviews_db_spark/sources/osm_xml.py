@@ -160,3 +160,66 @@ def filter_entities(df: DataFrame, tag: str | None = None,
     if changed_until is not None:
         out = out.where(F.col("timestamp") <= changed_until)
     return out
+
+
+def entity_centers(entities: DataFrame, max_relation_depth: int = 3) -> DataFrame:
+    """Weighted centers for every entity (OsmMapUtils.getWeightCenter*
+    analogs): nodes are their own center; ways average their member
+    nodes' coordinates; relations average their members' centers,
+    resolved by a bounded iterative join (relations referencing
+    relations converge in ``max_relation_depth`` rounds — the reference
+    recurses the same way, SURVEY.md §2.9).
+
+    Returns (entity_type, id, center_lat, center_lon); relations whose
+    members never resolve (dangling refs) keep null centers.
+    """
+    nodes = (entities.where(F.col("entity_type") == "node")
+             .select("entity_type", "id",
+                     F.col("lat").alias("center_lat"),
+                     F.col("lon").alias("center_lon")))
+    node_pts = nodes.select(F.col("id").alias("ref"),
+                            F.col("center_lat").alias("nlat"),
+                            F.col("center_lon").alias("nlon"))
+    ways = (
+        entities.where(F.col("entity_type") == "way")
+        .select("id", F.explode("nd_refs").alias("ref"))
+        .join(node_pts, on="ref")
+        .groupBy("id")
+        .agg(F.avg("nlat").alias("center_lat"),
+             F.avg("nlon").alias("center_lon"))
+        .select(F.lit("way").alias("entity_type"), "id",
+                "center_lat", "center_lon")
+    )
+    resolved = nodes.unionByName(ways).localCheckpoint()
+    rel_members = (
+        entities.where(F.col("entity_type") == "relation")
+        .select("id", F.explode("members").alias("m"))
+        .select("id", F.col("m.type").alias("m_type"),
+                F.col("m.ref").alias("m_ref"))
+        .localCheckpoint()
+    )
+    for _ in range(max_relation_depth):
+        lookup = resolved.select(
+            F.col("entity_type").alias("m_type"),
+            F.col("id").alias("m_ref"),
+            F.col("center_lat").alias("mlat"),
+            F.col("center_lon").alias("mlon"))
+        rel_centers = (
+            rel_members.join(lookup, on=["m_type", "m_ref"])
+            .groupBy("id")
+            .agg(F.avg("mlat").alias("center_lat"),
+                 F.avg("mlon").alias("center_lon"))
+            .select(F.lit("relation").alias("entity_type"), "id",
+                    "center_lat", "center_lon")
+        )
+        resolved = (nodes.unionByName(ways).unionByName(rel_centers)
+                    .localCheckpoint())
+    unresolved = (
+        entities.select("entity_type", "id")
+        .join(resolved.select("entity_type", "id"),
+              on=["entity_type", "id"], how="left_anti")
+        .select("entity_type", "id",
+                F.lit(None).cast("double").alias("center_lat"),
+                F.lit(None).cast("double").alias("center_lon"))
+    )
+    return resolved.unionByName(unresolved)
