@@ -478,3 +478,66 @@ def g4_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["g4_simplify_ways"] = g4_simplify_ways
+
+
+def o5_orthogonal_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clamped point-to-segment distance (geometry kit, column form) for
+    every place against a fixed segment; top-100 nearest."""
+    from ..functions import geometry as GM
+    from ..sources import places as P
+
+    pl = P.synthetic_active_flat(spark, sf_dir)
+    d = GM.orthogonal_distance_deg(
+        F.col("lon"), F.col("lat"),
+        F.lit(-10.0), F.lit(-10.0), F.lit(10.0), F.lit(10.0))
+    return (
+        pl.select("id", F.round(d, 6).alias("dist_deg"))
+        .orderBy("dist_deg", "id").limit(100)
+    )
+
+
+def g6_points_in_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ray-casting kernel vs analytic geometry: places inside a fixed
+    triangle, computed with the Python ray-casting UDF on the Spark side
+    and three half-plane sign tests in the oracle — agreement proves the
+    kernel against an independent formulation."""
+    from ..functions import geometry as GM
+    from ..sources import places as P
+
+    tri = [(0.0, 0.0), (40.0, 20.0), (10.0, 45.0)]  # (lat, lon)
+    pl = P.synthetic_active_flat(spark, sf_dir).select("id", "lat", "lon")
+    return GM.points_in_polygon(pl, tri).select("id")
+
+
+QUERIES["o5_orthogonal_distance"] = o5_orthogonal_distance
+QUERIES["g6_points_in_triangle"] = g6_points_in_triangle
+
+from ..sources.places import flat_snapshots_sql_ctes as _fc2  # noqa: E402
+
+ORACLES["o5_orthogonal_distance"] = f"""
+    WITH {_fc2()},
+    proj AS (
+        SELECT id,
+               greatest(CAST(0.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+                   ((lon + 10.0) * 20.0 + (lat + 10.0) * 20.0)
+                   / CAST(800.0 AS DOUBLE))) AS t,
+               lon, lat
+        FROM active
+    )
+    SELECT id,
+           round(sqrt(power(lon - (-10.0 + t * 20.0), 2)
+                      + power(lat - (-10.0 + t * 20.0), 2)), 6) AS dist_deg
+    FROM proj
+    ORDER BY dist_deg, id LIMIT 100
+"""
+
+# half-plane sign tests for the triangle (0,0)-(40,20)-(10,45) in
+# (lat, lon) — clockwise in (x=lon, y=lat), so interior crosses are
+# all negative
+ORACLES["g6_points_in_triangle"] = f"""
+    WITH {_fc2()}
+    SELECT id FROM active
+    WHERE ((20.0 - 0.0) * (lat - 0.0) - (40.0 - 0.0) * (lon - 0.0)) < 0
+      AND ((45.0 - 20.0) * (lat - 40.0) - (10.0 - 40.0) * (lon - 20.0)) < 0
+      AND ((0.0 - 45.0) * (lat - 10.0) - (0.0 - 10.0) * (lon - 45.0)) < 0
+"""
