@@ -541,3 +541,29 @@ ORACLES["g6_points_in_triangle"] = f"""
       AND ((45.0 - 20.0) * (lat - 40.0) - (10.0 - 40.0) * (lon - 20.0)) < 0
       AND ((0.0 - 45.0) * (lat - 10.0) - (0.0 - 10.0) * (lon - 45.0)) < 0
 """
+
+
+def d3_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sync-timestamp alignment (OsmSyncBot.java:103-107,223-238): shift
+    3 minutes back for source lag, floor to the 15-minute grid — then
+    count events per aligned bucket (the incremental-sync window key)."""
+    ev = _t(spark, sf_dir, "events")
+    aligned = F.timestamp_seconds(
+        F.floor((F.unix_timestamp("ts") - 180) / 900) * 900)
+    return (
+        ev.groupBy(aligned.alias("window_start"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+QUERIES["d3_aligned_windows"] = d3_aligned_windows
+
+ORACLES["d3_aligned_windows"] = """
+    SELECT to_timestamp(CAST(floor((floor(epoch(ts)) - 180) / 900) * 900
+                        AS BIGINT)) AS window_start,
+           COUNT(*) AS n,
+           round(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1
+"""
