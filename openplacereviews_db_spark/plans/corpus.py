@@ -407,3 +407,48 @@ ORACLES["curate_corpus"] = f"""
            subword_tokens, cum_tokens
     FROM budget WHERE cum_tokens <= 50000
 """
+
+
+def mm_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode over synthetic media (payload = document text
+    bytes, kind cycling by id).  The stub decoder derives everything
+    from sha256(payload) — deterministic BY DESIGN, so even the decode
+    path is value-checked against a DuckDB sha256 oracle; swapping in a
+    real codec changes one function and this becomes rows-only."""
+    from ..operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir)
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"),
+        F.lit("x").alias("mime"), F.lit(0).alias("width"),
+        F.lit(0).alias("height"), F.lit(0.0).alias("duration_s"),
+        F.col("text").cast("binary").alias("payload"))
+    return MM.decode_media(media)
+
+
+QUERIES["mm_decode_stats"] = mm_decode_stats
+
+# hex-pair -> int, DuckDB side
+def _hx(h: str, pos: int) -> str:
+    return (f"((strpos('0123456789abcdef', substr({h}, {pos}, 1)) - 1) * 16"
+            f" + (strpos('0123456789abcdef', substr({h}, {pos + 1}, 1)) - 1))")
+
+
+ORACLES["mm_decode_stats"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               sha256(text) AS h
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT media_id, kind,
+           CAST(16 + {_hx('h', 1)} % 64 AS INTEGER) AS decoded_w,
+           CAST(16 + {_hx('h', 3)} % 64 AS INTEGER) AS decoded_h,
+           CAST(CASE WHEN kind = 'image' THEN 1
+                     ELSE 1 + {_hx('h', 5)} % 30 END AS INTEGER) AS n_frames,
+           substr(h, 1, 16) AS checksum
+    FROM m
+"""
