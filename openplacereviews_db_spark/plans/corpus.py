@@ -397,10 +397,10 @@ ORACLES["curate_corpus"] = f"""
     ),
     budget AS (
         SELECT id, pred_lang, quality_score, subword_tokens,
-               SUM(subword_tokens) OVER (
+               CAST(SUM(subword_tokens) OVER (
                    ORDER BY quality_score DESC, id ASC
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cum_tokens
+                   AS BIGINT) AS cum_tokens
         FROM kept WHERE rn = 1
     )
     SELECT id, pred_lang, round(quality_score, 6) AS quality,

@@ -476,8 +476,8 @@ ORACLES: dict[str, str] = {
                    CAST(floor((((event_id % 3400) / 20.0 - 85.0) + 90.0) / 1.0) AS BIGINT)  AS ty
             FROM events)
         SELECT (tx || ':' || ty) AS tile, count(*) AS cnt,
-               ty - 90.0 + 0.5  AS center_lat,
-               tx - 180.0 + 0.5 AS center_lon
+               CAST(ty - 90.0 + 0.5  AS DOUBLE) AS center_lat,
+               CAST(tx - 180.0 + 0.5 AS DOUBLE) AS center_lon
         FROM pts GROUP BY tx, ty
     """,
     "q3_segment_topk": """

@@ -32,6 +32,51 @@ def _norm_cell(v):
     return v
 
 
+def _type_class(t):
+    """Collapse an Arrow type to a comparison class.  A driver that
+    hashes typed (Arrow/pandas) values sees DuckDB HUGEINT (int128 →
+    decimal128/float64) differently from Spark BIGINT even when every
+    value is equal — the round-1 `curate_corpus` failure mode.  Int
+    widths ≤64 are one class (drivers widen those consistently);
+    decimals/hugeint/floats/ints are NOT interchangeable."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return "int"
+    if pa.types.is_floating(t):
+        return "float"
+    if pa.types.is_decimal(t):
+        return "decimal"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "str"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return ("list", _type_class(t.value_type))
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    return str(t)
+
+
+def _assert_type_classes(name, sdf, duck, oracle_sql):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    spark_arrow = to_arrow_schema(sdf.schema)
+    duck_arrow = duck.execute(oracle_sql).fetch_arrow_table().schema
+    s = {f.name: _type_class(f.type) for f in spark_arrow}
+    d = {duck_arrow.field(i).name: _type_class(duck_arrow.field(i).type)
+         for i in range(len(duck_arrow))}
+    mism = {c: (s[c], d[c]) for c in s if c in d and s[c] != d[c]}
+    assert not mism, (
+        f"{name}: Arrow type-class mismatch (spark, duck): {mism} — "
+        f"cast the oracle (e.g. CAST(... AS BIGINT)) or the Spark column"
+    )
+
+
 def _normalize(rows, cols):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
@@ -58,6 +103,7 @@ def test_query_matches_oracle(name, spark, duck, sf_dir):
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch {spark_cols} vs {duck_cols}"
     )
+    _assert_type_classes(name, sdf, duck, oracles[name])
     assert len(spark_rows) == len(duck_rows), (
         f"{name}: row count {len(spark_rows)} vs oracle {len(duck_rows)}"
     )
