@@ -70,16 +70,19 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
 def cosine_pairs_gemm(embs: DataFrame, threshold: float,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      round_digits: int = 4) -> DataFrame:
+                      round_digits: int = 4,
+                      max_ref_rows: int = 100_000) -> DataFrame:
     """All pairs (a < b) with cosine >= threshold, via blocked matrix
-    multiply.
+    multiply against a BOUNDED reference set.
 
     The reference side (full normalized matrix) is collected and broadcast
     — the corpus streams through ``mapInPandas`` and each Arrow batch does
-    one ``chunk @ ref.T``.  This is the right shape whenever one side is
-    bounded (dedup against a canonical set, query batches); for unbounded
-    all-pairs at 100 TB, block by LSH bucket first (``hyperplane_bucket``)
-    and run this per bucket.
+    one ``chunk @ ref.T``.  This is the right shape ONLY when one side is
+    bounded (dedup against a canonical set, query batches); ``max_ref_rows``
+    enforces that contract (the collect is capped at limit+1 rows, so an
+    unbounded input fails fast instead of OOMing the driver).  For
+    unbounded all-pairs use ``cosine_pairs_blocked`` (exact, distributed)
+    or ``cosine_pairs_lsh`` (approximate, cheaper).
 
     Rounding/threshold semantics: the kernel emits raw similarities above
     ``threshold - 1e-6``; the final JVM-side round + filter makes results
@@ -89,8 +92,15 @@ def cosine_pairs_gemm(embs: DataFrame, threshold: float,
 
     rows = (
         embs.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
+        .limit(max_ref_rows + 1)
         .collect()
     )
+    if len(rows) > max_ref_rows:
+        raise ValueError(
+            f"cosine_pairs_gemm reference side exceeds max_ref_rows="
+            f"{max_ref_rows}; use cosine_pairs_blocked (exact) or "
+            f"cosine_pairs_lsh (approximate) for unbounded inputs"
+        )
     ref_ids = np.array([r["id"] for r in rows], dtype=np.int64)
     ref = np.array([r["v"] for r in rows], dtype=np.float64)
     ref_norm = ref / np.linalg.norm(ref, axis=1, keepdims=True)
@@ -120,6 +130,90 @@ def cosine_pairs_gemm(embs: DataFrame, threshold: float,
 
     src = embs.select(F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"))
     pairs = src.mapInPandas(kernel, schema="id_a long, id_b long, sim_raw double")
+    return (
+        pairs.withColumn("sim", F.round("sim_raw", round_digits))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_pairs_blocked(embs: DataFrame, threshold: float,
+                         vec_col: str = "embedding", id_col: str = "vec_id",
+                         chunks: int = 8, round_digits: int = 4) -> DataFrame:
+    """EXACT all pairs (a < b) with cosine >= threshold, fully
+    distributed — nothing is ever collected to the driver.
+
+    Chunk-pair block decomposition: every row lands in chunk
+    ``c = pmod(xxhash64(id), chunks)``; each unordered chunk pair
+    (ca <= cb) becomes one ``applyInPandas`` group holding chunk ca as
+    the left matrix and chunk cb as the right, so each group runs one
+    GEMM of ~(n/chunks)² and every id pair is examined in exactly one
+    group.  Rows replicate ``chunks`` times through the single shuffle
+    (key = (ca, cb)); total flops are the same O(n²·d) as any exact
+    all-pairs, but spread over chunks·(chunks+1)/2 tasks — at scale you
+    raise ``chunks`` so each block fits executor memory (replication
+    grows linearly while block size shrinks quadratically).
+
+    Same rounding/threshold contract as ``cosine_pairs_gemm``, so the
+    two are drop-in interchangeable and share the exact SQL oracle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    src = embs.select(
+        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(chunks)).alias("c"),
+    )
+    # replicate: row in chunk c joins every group (min(c,j), max(c,j));
+    # 'L' marks membership on the ca side, 'R' on the cb side.
+    pairs_of = F.array_distinct(F.array(*[
+        F.struct(
+            F.least(F.col("c"), F.lit(j)).alias("ca"),
+            F.greatest(F.col("c"), F.lit(j)).alias("cb"),
+        )
+        for j in range(chunks)
+    ]))
+    tagged = (
+        src.withColumn("g", F.explode(pairs_of))
+        .select("id", "v", F.col("g.ca").alias("ca"), F.col("g.cb").alias("cb"),
+                F.col("c"))
+    )
+
+    emit_floor = threshold - 1e-6
+    schema = "id_a long, id_b long, sim_raw double"
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                              "id_b": pd.Series([], dtype="int64"),
+                              "sim_raw": pd.Series([], dtype="float64")})
+        if len(pdf) < 2:
+            return empty
+        ca, cb = int(pdf["ca"].iloc[0]), int(pdf["cb"].iloc[0])
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        if ca == cb:
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(pdf), 1)
+            vals = sims[iu, ju]
+            keep = vals >= emit_floor
+            return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+                                 "sim_raw": vals[keep]})
+        left = (pdf["c"] == ca).to_numpy()
+        li, ri = np.nonzero(left)[0], np.nonzero(~left)[0]
+        if len(li) == 0 or len(ri) == 0:
+            return empty
+        sims = m[li] @ m[ri].T
+        ii, jj = np.nonzero(sims >= emit_floor)
+        ga, gb = ids[li[ii]], ids[ri[jj]]
+        swap = ga > gb  # orient so id_a < id_b regardless of chunk order
+        return pd.DataFrame({"id_a": np.where(swap, gb, ga),
+                             "id_b": np.where(swap, ga, gb),
+                             "sim_raw": sims[ii, jj]})
+
+    pairs = tagged.groupBy("ca", "cb").applyInPandas(
+        lambda pdf: gemm(pdf), schema=schema)
     return (
         pairs.withColumn("sim", F.round("sim_raw", round_digits))
         .where(F.col("sim") >= threshold)

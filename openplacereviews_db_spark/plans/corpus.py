@@ -70,8 +70,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to the
-    synthetic corpus' similarity distribution), via the GEMM kernel."""
-    return similarity.cosine_pairs_gemm(_embs(spark, sf_dir), threshold=0.40)
+    synthetic corpus' similarity distribution), via the distributed
+    chunk-pair GEMM kernel — exact all-pairs, no driver collect, so the
+    same plan survives an unbounded corpus."""
+    return similarity.cosine_pairs_blocked(_embs(spark, sf_dir), threshold=0.40)
 
 
 # ---------------------------------------------------------------------------

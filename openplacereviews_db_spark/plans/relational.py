@@ -102,7 +102,11 @@ def a1_area_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """customer⨝orders⨝lineitem with group-agg and deterministic top-10
     (TPC-H Q3 shape; covers the reference's equi-join + sort/limit O1/O4).
-    customer is the small side → broadcast; lineitem never shuffles twice."""
+    customer is the true dimension → broadcast; orders and lineitem are
+    both facts, so no broadcast HINT on either: at small SF Catalyst may
+    still stats-broadcast orders (it is under the 10 MB threshold, the
+    right call), but at 100× the threshold trips and the same plan
+    degrades gracefully to a shuffle join instead of an OOM."""
     cust = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-03-15").cast("timestamp")
@@ -112,8 +116,8 @@ def q3_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(orders.join(F.broadcast(cust),
-                                        orders.o_custkey == cust.c_custkey)),
+        li.join(orders.join(F.broadcast(cust),
+                            orders.o_custkey == cust.c_custkey),
                 li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderpriority")
         .agg(F.round(F.sum(revenue), 2).alias("revenue"))
@@ -123,8 +127,11 @@ def q3_segment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-way star join (TPC-H Q5 shape): all dimension tables broadcast,
-    the single shuffle is the final small-key aggregation."""
+    """5-way star join (TPC-H Q5 shape): true dimensions (supplier,
+    customer, nation, region) broadcast; orders⨝lineitem is a fact-fact
+    join with no hint — Catalyst may stats-broadcast the 2-column orders
+    projection while it fits, and falls back to a shuffle join at scale
+    where a forced broadcast would OOM."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -134,7 +141,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(orders.select("o_orderkey", "o_custkey")),
+        .join(orders.select("o_orderkey", "o_custkey"),
               li.l_orderkey == F.col("o_orderkey"))
         .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
               F.col("o_custkey") == F.col("c_custkey"))

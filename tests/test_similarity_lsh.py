@@ -72,3 +72,25 @@ def test_lsh_topk_recall(spark, sf_dir):
                   for q in exact_top)
     total = sum(len(v) for v in exact_top.values())
     assert overlap >= 0.25 * total, (overlap, total)
+
+
+def test_blocked_pairs_exact_vs_gemm(spark, sf_dir):
+    """cosine_pairs_blocked is EXACT: identical pair set + sims as the
+    broadcast GEMM kernel, for both even and odd chunk counts."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    exact = {(r["id_a"], r["id_b"]): r["sim"]
+             for r in similarity.cosine_pairs_gemm(embs, 0.40).collect()}
+    for chunks in (1, 3, 8):
+        blocked = {(r["id_a"], r["id_b"]): r["sim"]
+                   for r in similarity.cosine_pairs_blocked(
+                       embs, 0.40, chunks=chunks).collect()}
+        assert blocked == exact, (chunks, len(blocked), len(exact))
+
+
+def test_gemm_bounded_contract(spark, sf_dir):
+    """The broadcast GEMM kernel fails fast on an unbounded reference."""
+    import pytest
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    with pytest.raises(ValueError, match="max_ref_rows"):
+        similarity.cosine_pairs_gemm(embs, 0.40, max_ref_rows=5).collect()
