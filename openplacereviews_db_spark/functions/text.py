@@ -81,24 +81,26 @@ def words_fuzzy_subset(sub: Column, main: Column) -> Column:
 
 def check_names(a: Column, b: Column) -> Column:
     """The full name-equivalence cascade of MergeUtil.checkNames
-    (MergeUtil.java:166-195), as one boolean column:
+    (MergeUtil.java:165-195), as one boolean column:
 
     1. collator-PRIMARY equality (normalized equality);
-    2. whitespace/hyphen-stripped equality (simple_name);
+    2. whitespace-stripped lowercase equality (the reference strips
+       ``\\s+`` only — NOT hyphens; ``simple_name`` is the separate
+       opr:simple_name expression);
     3. sorted-word-bag equality (order-insensitive);
-    4. fuzzy word-subset in either direction.
+    4. fuzzy word-subset tried in BOTH directions regardless of size
+       (``isSubCollection(new, old) || isSubCollection(old, new)``,
+       MergeUtil.java:190-194).
     """
     eq_norm = normalized(a) == normalized(b)
-    eq_simple = simple_name(a) == simple_name(b)
+    eq_ws = (F.regexp_replace(F.lower(a), r"\s+", "")
+             == F.regexp_replace(F.lower(b), r"\s+", ""))
     wa = F.transform(tokenize_words(a), normalized)
     wb = F.transform(tokenize_words(b), normalized)
     eq_bag = F.array_sort(wa) == F.array_sort(wb)
-    subset = (
-        F.when(F.size(wa) <= F.size(wb), words_fuzzy_subset(wa, wb))
-        .otherwise(words_fuzzy_subset(wb, wa))
-    )
+    subset = words_fuzzy_subset(wa, wb) | words_fuzzy_subset(wb, wa)
     non_empty = (F.size(wa) > 0) & (F.size(wb) > 0)
-    return eq_norm | eq_simple | eq_bag | (non_empty & subset)
+    return eq_norm | eq_ws | eq_bag | (non_empty & subset)
 
 
 def tag_equal_non_empty(a: Column, b: Column) -> Column:
@@ -165,16 +167,16 @@ def words_fuzzy_subset_sql(sub: str, main: str) -> str:
 
 
 def check_names_sql(a: str, b: str) -> str:
-    """:func:`check_names` as DuckDB SQL (MergeUtil.java:166-195)."""
+    """:func:`check_names` as DuckDB SQL (MergeUtil.java:165-195)."""
     ta, tb = norm_tokens_sql(a), norm_tokens_sql(b)
     eq_norm = f"({normalized_sql(a)} = {normalized_sql(b)})"
-    eq_simple = f"({simple_name_sql(a)} = {simple_name_sql(b)})"
+    eq_ws = (f"(regexp_replace(lower({a}), '\\s+', '', 'g') = "
+             f"regexp_replace(lower({b}), '\\s+', '', 'g'))")
     eq_bag = f"(list_sort({ta}) = list_sort({tb}))"
-    subset = (f"(CASE WHEN len({ta}) <= len({tb}) "
-              f"THEN {words_fuzzy_subset_sql(ta, tb)} "
-              f"ELSE {words_fuzzy_subset_sql(tb, ta)} END)")
+    subset = (f"({words_fuzzy_subset_sql(ta, tb)} "
+              f"OR {words_fuzzy_subset_sql(tb, ta)})")
     non_empty = f"(len({ta}) > 0 AND len({tb}) > 0)"
-    return (f"({eq_norm} OR {eq_simple} OR {eq_bag} "
+    return (f"({eq_norm} OR {eq_ws} OR {eq_bag} "
             f"OR ({non_empty} AND {subset}))")
 
 

@@ -48,6 +48,7 @@ _NEEDS_QUOTE = set(".[]{}")
 
 # change-op literals
 OP_DELETE = "delete"
+OP_INCREMENT = "increment"
 OP_SET = "set"
 OP_APPEND = "append"
 OP_APPENDMANY = "appendmany"
@@ -133,11 +134,25 @@ def _descend(doc: Any, parts: list[Any], create: bool) -> Any:
 def apply_change_op(doc: dict, path: str, op: Any) -> dict:
     """Apply one change op at ``path`` to ``doc`` in place; returns doc.
 
-    ``op`` is ``"delete"`` | ``{"set": v}`` | ``{"append": v}`` |
-    ``{"appendmany": [v...]}`` — exactly the forms the reference emits.
+    ``op`` is ``"delete"`` | ``"increment"`` | ``{"set": v}`` |
+    ``{"append": v}`` | ``{"appendmany": [v...]}`` — exactly the forms
+    the reference emits (``"increment"`` appears 18× in the production
+    patch corpus, always as ``"version": "increment"`` with no prior
+    value recorded: a missing field increments to 1).
     """
     parts = parse_path(path)
     last = parts[-1]
+    if op == OP_INCREMENT:
+        holder = _descend(doc, parts, create=True)
+        if isinstance(last, int):
+            while len(holder) <= last:
+                holder.append(None)
+            cur = holder[last]
+            holder[last] = (cur if isinstance(cur, int) else 0) + 1
+        else:
+            cur = holder.get(last)
+            holder[last] = (cur if isinstance(cur, int) else 0) + 1
+        return doc
     if op == OP_DELETE:
         holder = _descend(doc, parts, create=False)
         if holder is None:

@@ -67,7 +67,10 @@ def match_type_col(a_name: Column, b_name: Column,
               | TX.tag_equal_non_empty(a_website, b_website),
               F.lit(MATCH_OTHER_TAGS))
         .when(_alt_names_match(a_alt, b_alt), F.lit(MATCH_OTHER_NAME))
-        .when(a_empty & b_empty, F.lit(MATCH_EMPTY))
+        # EMPTY_NAME_MATCH fires when both are nameless OR when only the
+        # old/closed side is nameless ("if name appeared",
+        # MergeUtil.java:69-77) — b_empty alone does NOT match.
+        .when(a_empty, F.lit(MATCH_EMPTY))
     )
 
 
@@ -166,6 +169,13 @@ def merge_ops(picks: DataFrame, closed_docs: DataFrame,
     For the survivor: ``{"source.osm": {"appendmany": [closed's osm]}}``;
     for the closed place: a ``delete`` row.  ``closed_docs`` carries the
     closed documents as JSON (id_col, doc_col).
+
+    ``op_seq`` is 0 for the survivor edit and 1 for the closed delete —
+    deterministic (no batch-local counters: those vary with shuffle
+    order).  When one survivor absorbs several closed places the edit
+    rows tie on (block_id, op_seq) and ``apply_operations`` resolves the
+    tie by its total struct sort, which is order-independent because
+    field unions commute (append-only changes).
     """
     import pandas as pd
 
@@ -190,13 +200,13 @@ def merge_ops(picks: DataFrame, closed_docs: DataFrame,
                 rows["doc"].append(doc)
                 rows["change"].append(change)
 
-            for i, (c_id, a_id, c_doc) in enumerate(
-                    zip(pdf["c_id"], pdf["a_id"], pdf["c_doc"])):
+            for c_id, a_id, c_doc in zip(pdf["c_id"], pdf["a_id"],
+                                         pdf["c_doc"]):
                 src = json.loads(c_doc).get("source", {}).get("osm", [])
                 change = {"source.osm": {"appendmany": src}}
-                emit(a_id, 2 * i, "edit",
+                emit(a_id, 0, "edit",
                      change=json.dumps(change, ensure_ascii=False))
-                emit(c_id, 2 * i + 1, "delete")
+                emit(c_id, 1, "delete")
             yield pd.DataFrame(rows)
 
     return joined.mapInPandas(gen, schema=schema)

@@ -89,7 +89,9 @@ def _cascade_sql(c: str, a: str) -> str:
              f" OR {TX.tag_equal_non_empty_sql(f'{c}.website', f'{a}.website')})")
     tier3 = (f"(len(list_filter({c}.alt_names, cn -> len(list_filter("
              f"{a}.alt_names, an -> {TX.check_names_sql('cn', 'an')})) > 0)) > 0)")
-    tier4 = f"({c_empty} AND {a_empty})"
+    # EMPTY_NAME_MATCH: both nameless OR only the closed side nameless
+    # (MergeUtil.java:69-77)
+    tier4 = f"{c_empty}"
     return (f"(CASE WHEN {tier1} THEN 1 WHEN {tier2} THEN 2 "
             f"WHEN {tier3} THEN 3 WHEN {tier4} THEN 4 END)")
 
@@ -219,4 +221,130 @@ ORACLES["a5_merge_counters"] = f"""
     SELECT (SELECT COUNT(*) FROM cands)  AS similar_places_cnt,
            (SELECT COUNT(*) FROM picks)  AS merged_places_cnt,
            (SELECT COUNT(*) FROM closes) AS closed_places_cnt
+"""
+
+
+# ---------------------------------------------------------------------------
+# Op-generator queries (M5 / M7 / S14) — deterministic JSON/count shapes,
+# each with a value-exact DuckDB oracle over the same string building.
+# ---------------------------------------------------------------------------
+
+_PICKS_SQL = """
+    best AS (
+        SELECT *, MIN(match_type) OVER (PARTITION BY c_id) AS best_type
+        FROM cands
+    ),
+    at_best AS (
+        SELECT *, COUNT(*) OVER (PARTITION BY c_id) AS n_at_best
+        FROM best WHERE match_type = best_type
+    ),
+    picks AS (
+        SELECT c_id, a_id FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY c_id ORDER BY dist_m, a_id) AS rk
+            FROM at_best WHERE NOT (best_type = 4 AND n_at_best > 1)
+        ) WHERE rk = 1
+    )"""
+
+
+def m5_merge_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 merge-op generation (MergePlaceBot.java:420-482,
+    mergeFields): per picked merge, the survivor gets a
+    ``source.osm appendmany`` of the closed place's osm refs and the
+    closed place gets a delete row.  The closed docs here carry one
+    osm ref (id=key, name) so the emitted change JSON is exactly
+    reproducible as SQL string concatenation."""
+    closed = P.synthetic_closed_flat(spark, sf_dir)
+    active = P.synthetic_active_flat(spark, sf_dir)
+    picks = place_merge.pick_merges(
+        place_merge.merge_candidates(closed, active))
+    closed_docs = closed.select(
+        F.col("id"),
+        F.to_json(F.struct(F.struct(F.array(F.struct(
+            F.col("key").cast("long").alias("id"),
+            F.col("name").alias("name"),
+        )).alias("osm")).alias("source"))).alias("doc"))
+    ops = place_merge.merge_ops(picks, closed_docs)
+    return ops.select("obj_id", "op_seq", "action", "change")
+
+
+QUERIES["m5_merge_ops"] = m5_merge_ops
+
+ORACLES["m5_merge_ops"] = (
+    "WITH " + P.flat_snapshots_sql_ctes() + ", " + _CANDS_SQL + ", "
+    + _PICKS_SQL + """
+    SELECT p.a_id AS obj_id, CAST(0 AS BIGINT) AS op_seq,
+           'edit' AS action,
+           '{"source.osm": {"appendmany": [{"id": ' ||
+               CAST(c.key AS VARCHAR) || ', "name": "' || c.name ||
+               '"}]}}' AS change
+    FROM picks p JOIN closed c ON c.id = p.c_id
+    UNION ALL
+    SELECT p.c_id AS obj_id, CAST(1 AS BIGINT) AS op_seq,
+           'delete' AS action, CAST(NULL AS VARCHAR) AS change
+    FROM picks p
+""")
+
+
+def m7_migrate_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7 id migration (MigrateOldOsmPlaceIdsBot.java:40-70): every
+    ``source.old-osm-ids`` ref moves into ``source.osm`` with a
+    tombstone, and the legacy field is deleted via the ``{}``-quoted
+    path ``source.{old-osm-ids}``.  Docs synthesized per customer
+    k % 9 == 0 with one legacy ref (id = k + 9000000)."""
+    from ..operators import osm_sync
+    from ..sources.testdata import load_table
+
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    docs = c.where(k % 9 == 0).select(
+        F.concat(F.lit("c"), k.cast("string")).alias("obj_id"),
+        F.to_json(F.struct(F.struct(F.array(F.struct(
+            (k + 9000000).cast("long").alias("id"),
+        )).alias("old-osm-ids")).alias("source"))).alias("doc"))
+    ops = osm_sync.migrate_old_ids_ops(docs, CLOSE_NOW_ISO)
+    return ops.select("obj_id", "action", "change")
+
+
+QUERIES["m7_migrate_ids"] = m7_migrate_ids
+
+ORACLES["m7_migrate_ids"] = """
+    SELECT 'c' || CAST(c_custkey AS VARCHAR) AS obj_id,
+           'edit' AS action,
+           '{"source.osm": {"appendmany": [{"id": ' ||
+               CAST(c_custkey + 9000000 AS VARCHAR) ||
+               ', "deleted": "__NOW__"}]}, ' ||
+               '"source.{old-osm-ids}": "delete"}' AS change
+    FROM customer WHERE c_custkey % 9 = 0
+""".replace("__NOW__", CLOSE_NOW_ISO)
+
+
+def s14_pack_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14 op/block packing (OsmSyncBot.java:644-687): changelog rows
+    packed 250-per-operation, 16-operations-per-block in (obj_id,
+    op_seq) order — pure window arithmetic over a deterministic log
+    derived from the events table."""
+    from ..operators import osm_sync
+    from ..sources.testdata import load_table
+
+    ev = load_table(spark, "events", sf_dir)
+    ops = ev.select(
+        F.concat(F.lit("e"), F.col("event_id").cast("string")).alias("obj_id"),
+        F.lit(0).cast("long").alias("op_seq"))
+    packed = osm_sync.pack_operations(ops)
+    return packed.select("obj_id", "op_no", "block_no")
+
+
+QUERIES["s14_pack_ops"] = s14_pack_ops
+
+ORACLES["s14_pack_ops"] = """
+    SELECT obj_id,
+           CAST((rn - 1) // 250 AS BIGINT) AS op_no,
+           CAST(((rn - 1) // 250) // 16 AS BIGINT) AS block_no
+    FROM (
+        SELECT 'e' || CAST(event_id AS VARCHAR) AS obj_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY 'e' || CAST(event_id AS VARCHAR)) AS rn
+        FROM events
+    )
 """
