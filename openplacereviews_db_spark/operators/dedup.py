@@ -49,9 +49,12 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
                      lambda w: w != "")
         ).alias("pos", "w"),
     )
-    w_win = Window.partitionBy("id").orderBy("pos")
+    # partition by the extra cols too: if a caller feeds one document in
+    # several blocks (overlapping banded blocking), each copy must build
+    # its shingles from its own rows, not interleave with its twins
+    w_win = Window.partitionBy("id", *extra).orderBy("pos")
     parts = [F.col("w")] + [F.lead("w", k).over(w_win) for k in range(1, n)]
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("id"))
+    cnt = F.count(F.lit(1)).over(Window.partitionBy("id", *extra))
     shingled = words.select(
         "id", *extra,
         F.concat_ws(" ", *parts).alias("s"),
@@ -126,6 +129,29 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     return verified
 
 
+def minhash_band_keys(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_words: int = 3,
+                      num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(id, band) — the exploded MinHash band keys of each document,
+    exactly as ``minhash_lsh_pairs`` derives them.
+
+    Join this back to the source frame to compose a banded blocking key
+    for ANY pairwise operator (e.g. ``ngram_jaccard_pairs`` with
+    ``block_col = lang × band``): block sizes then scale with the number
+    of near-duplicate clusters instead of with attribute cardinality —
+    a bare ``lang`` block is one task per language and dies on the
+    first billion-doc language."""
+    rows = num_hashes // bands
+    exploded = exploded_shingles(df, text_col, id_col, shingle_words)
+    sig = exploded.groupBy("id").agg(*[
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]).select("id", F.array(*[F.col(f"h{i}")
+                              for i in range(num_hashes)]).alias("sig"))
+    return sig.select(
+        "id", F.explode(H.lsh_bands(F.col("sig"), bands, rows)).alias("band"))
+
+
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(id, simhash bigint) per document.
@@ -175,13 +201,15 @@ def simhash_table(df: DataFrame, text_col: str = "text",
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 8,
-                  block_bits: int = 0) -> DataFrame:
+                  block_bits: int = 16) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) <= max_hamming.
 
-    ``block_bits`` > 0 blocks the self-join on the top bits of the hash
-    (standard multi-probe trade-off: pairs differing inside the prefix are
-    missed; at 100 TB run 64/max_hamming rotated-prefix passes for recall).
-    ``block_bits=0`` is the exact quadratic variant for modest tables.
+    The DEFAULT is blocked (top-16-bit prefix → the self-join is an
+    equi-join, never quadratic): pairs differing inside the prefix are
+    missed (standard multi-probe trade-off; at 100 TB run
+    64/max_hamming rotated-prefix passes for recall).  ``block_bits=0``
+    is the exact quadratic variant — opt-in only, for bounded tables:
+    an unblocked self-join as the default invites a cartesian at scale.
     """
     t = simhash_table(df, text_col, id_col)
     if block_bits > 0:
@@ -203,8 +231,15 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", block_col: str | None = None,
                         shingle_words: int = 3,
-                        min_jaccard: float = 0.2) -> DataFrame:
+                        min_jaccard: float = 0.2,
+                        overlapping_blocks: bool = False) -> DataFrame:
     """Exact n-gram Jaccard pairs within blocks.
+
+    ``overlapping_blocks=True`` declares that one document may appear in
+    several blocks (e.g. ``block_col`` composed with MinHash band keys
+    from :func:`minhash_band_keys`) — pairs are then deduplicated across
+    blocks.  The per-pair Jaccard is computed from the full shingle sets
+    either way, so overlap changes recall, never values.
 
     Plan: dictionary-encode shingles (distinct-shingle dimension table,
     broadcast), gather each document's shingle-id set, then one
@@ -264,6 +299,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         })
 
     pairs = encoded.groupBy("blk").applyInPandas(gemm, schema=out_schema)
+    if overlapping_blocks:
+        pairs = pairs.dropDuplicates(["id_a", "id_b"])
     return (
         pairs.withColumn("jaccard", F.round("jac_raw", 6))
         .where(F.col("jaccard") >= min_jaccard)

@@ -52,9 +52,23 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard within (lang × MinHash-band) blocks.
+
+    Blocking on bare ``lang`` makes one task per language — a single
+    GEMM over the whole corpus of the dominant language at 100 TB.
+    Composing the language key with the 8 banded MinHash keys bounds
+    every block by near-dup cluster size instead; the oracle mirrors
+    the banded candidate generation so the pair set stays value-exact.
+    """
+    docs = _docs(spark, sf_dir)
+    bands = dedup.minhash_band_keys(docs, shingle_words=2,
+                                    num_hashes=16, bands=8)
+    banded = docs.join(bands, docs.doc_id == bands.id).select(
+        "doc_id", "text",
+        F.concat_ws("|", "lang", "band").alias("lang_band"))
     return dedup.ngram_jaccard_pairs(
-        _docs(spark, sf_dir), block_col="lang", shingle_words=2,
-        min_jaccard=0.15,
+        banded, block_col="lang_band", shingle_words=2,
+        min_jaccard=0.15, overlapping_blocks=True,
     )
 
 
@@ -178,14 +192,29 @@ ORACLES: dict[str, str] = {
     "dd_ngram_jaccard": f"""
         WITH sh AS (
             SELECT doc_id, lang, {_SHINGLES2} AS shingles
-            FROM documents WHERE length(text) > 0)
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-               round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                     / len(list_distinct(a.shingles || b.shingles)), 6) AS jaccard
-        FROM sh a JOIN sh b ON a.lang = b.lang
-        WHERE a.doc_id < b.doc_id
-          AND round(len(list_intersect(a.shingles, b.shingles))::DOUBLE
-                    / len(list_distinct(a.shingles || b.shingles)), 6) >= 0.15
+            FROM documents WHERE length(text) > 0),
+        mins AS (
+            SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
+            FROM sh, unnest(sh.shingles) AS u(s), generate_series(0, 15) AS g(seed)
+            GROUP BY doc_id, seed),
+        bands AS (
+            SELECT doc_id, (seed // 2) AS b,
+                   (seed // 2)::VARCHAR || '|' || md5(string_agg(mh, ',' ORDER BY seed)) AS band
+            FROM mins GROUP BY doc_id, (seed // 2)),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM bands a JOIN bands b USING (band)
+            JOIN sh sa ON sa.doc_id = a.doc_id
+            JOIN sh sb ON sb.doc_id = b.doc_id
+            WHERE a.doc_id < b.doc_id AND sa.lang = sb.lang)
+        SELECT id_a, id_b,
+               round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                     / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+        FROM cand
+        JOIN sh sa ON sa.doc_id = id_a
+        JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                    / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.15
     """,
     "ann_cosine_topk": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
