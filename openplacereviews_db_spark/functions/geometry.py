@@ -181,31 +181,87 @@ def douglas_peucker(points: list[tuple[float, float]],
     return [p for p, k in zip(points, keep) if k]
 
 
+def _haversine_m_py(lat1: float, lon1: float,
+                    lat2: float, lon2: float) -> float:
+    """Scalar mirror of functions.geo.haversine_m — same op order, same
+    R = 6372.8 km (OsmMapUtils.java:96-110), so kernel and SQL oracle
+    compute bit-identical distances."""
+    dlat = math.radians(lat2 - lat1)
+    dlon = math.radians(lon2 - lon1)
+    a = (math.sin(dlat / 2) * math.sin(dlat / 2)
+         + math.cos(math.radians(lat1)) * math.cos(math.radians(lat2))
+         * math.sin(dlon / 2) * math.sin(dlon / 2))
+    return 2 * 6372.8 * 1000 * math.asin(math.sqrt(a))
+
+
+def _math_weight_center(points: list[tuple[float, float]]
+                        ) -> tuple[float, float]:
+    """OsmMapUtils.getMathWeightCenterForNodes (OsmMapUtils.java:262-291):
+    segment-length-weighted midpoints over the node list AS GIVEN
+    (closed ways include the duplicated last node).  The latitude term
+    reproduces the reference verbatim — ``(n.lat + n.lat) * dist / 2``,
+    i.e. the CURRENT node's latitude only, not the midpoint; matching
+    the shipped behavior beats fixing its arithmetic."""
+    lon = lat = sum_dist = 0.0
+    prev = None
+    for p in points:
+        if prev is not None:
+            d = _haversine_m_py(prev[0], prev[1], p[0], p[1])
+            sum_dist += d
+            lon += (prev[1] + p[1]) * d / 2
+            lat += (p[0] + p[0]) * d / 2
+        prev = p
+    if sum_dist == 0:
+        return prev
+    return (lat / sum_dist, lon / sum_dist)
+
+
+def _snap_to_nearest(points: list[tuple[float, float]],
+                     center: tuple[float, float]) -> tuple[float, float]:
+    """Nearest node to ``center`` by reference-constant haversine;
+    strict ``<`` keeps the FIRST minimal node, like the reference loop
+    (OsmMapUtils.java:245-256)."""
+    best, best_d = center, float("inf")
+    for p in points:
+        d = _haversine_m_py(p[0], p[1], center[0], center[1])
+        if d < best_d:
+            best, best_d = p, d
+    return best
+
+
 def way_centroid(points: list[tuple[float, float]],
-                 closed: bool | None = None) -> tuple[float, float]:
-    """Way center: area centroid for closed rings, vertex mean for open
-    lines (OsmMapUtils.getWeightCenterForWay area-vs-line split)."""
+                 closed: bool | None = None,
+                 mean_round: int | None = None) -> tuple[float, float]:
+    """Way center with OsmMapUtils.getWeightCenterForWay parity
+    (OsmMapUtils.java:232-259):
+
+    - closed ring (first == last coordinate): the distance-weighted
+      center (:func:`_math_weight_center`, including the reference's
+      current-node-only latitude weighting), snapped to the nearest
+      node only when the weighted center falls OUTSIDE the ring
+      (ray-cast containment);
+    - open line: plain vertex mean, ALWAYS snapped to the nearest node
+      (the reference's ``!area || !containsPoint`` condition).
+
+    ``mean_round`` rounds the open-line mean to that many decimals
+    before snapping — a <1e-9° perturbation that makes the argmin
+    decision identical across engines whose mean summation order
+    differs (needed for value-exact SQL oracles; None = reference-exact).
+    """
     if not points:
         return (float("nan"), float("nan"))
     if closed is None:
         closed = len(points) > 3 and points[0] == points[-1]
-    if not closed or len(points) < 4:
-        return (sum(p[0] for p in points) / len(points),
-                sum(p[1] for p in points) / len(points))
-    ring = points[:-1]
-    a = polygon_area_deg2(ring)
-    if a == 0:
-        return (sum(p[0] for p in ring) / len(ring),
-                sum(p[1] for p in ring) / len(ring))
-    cy = cx = 0.0
-    n = len(ring)
-    for i in range(n):
-        y1, x1 = ring[i]
-        y2, x2 = ring[(i + 1) % n]
-        cross = x1 * y2 - x2 * y1
-        cx += (x1 + x2) * cross
-        cy += (y1 + y2) * cross
-    return (cy / (6 * a), cx / (6 * a))
+    if closed and len(points) >= 4:
+        center = _math_weight_center(points)
+        if point_in_polygon(center[0], center[1], points[:-1]):
+            return center
+        return _snap_to_nearest(points, center)
+    mean = (sum(p[0] for p in points) / len(points),
+            sum(p[1] for p in points) / len(points))
+    if mean_round is not None:
+        mean = (round(mean[0], mean_round), round(mean[1], mean_round))
+    return _snap_to_nearest(points, mean)
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +298,8 @@ def simplify_ways(df: DataFrame, epsilon_deg: float,
 
 
 def way_stats(df: DataFrame, coords_col: str = "coords",
-              id_col: str = "way_id") -> DataFrame:
+              id_col: str = "way_id",
+              mean_round: int | None = None) -> DataFrame:
     """(id, area_m2, clockwise, centroid_lat, centroid_lon) per way."""
     import pandas as pd
 
@@ -255,7 +312,7 @@ def way_stats(df: DataFrame, coords_col: str = "coords",
             for i, rows in zip(pdf[id_col], pdf[coords_col]):
                 pts = _coords(rows)
                 ring = pts[:-1] if (len(pts) > 3 and pts[0] == pts[-1]) else pts
-                clat, clon = way_centroid(pts)
+                clat, clon = way_centroid(pts, mean_round=mean_round)
                 recs.append({
                     id_col: i,
                     "area_m2": polygon_area_m2(ring),

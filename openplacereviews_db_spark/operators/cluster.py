@@ -133,10 +133,17 @@ def greedy_proximity_groups(df: DataFrame, dist_m: float = 150.0,
 def segment_groups(df: DataFrame, order_col: str, deleted_col: str,
                    part_col: str | None = None) -> DataFrame:
     """G1: group id = cumulative count of live→deleted boundaries along
-    ``order_col`` (optionally per ``part_col``).  Adds ``group_id``."""
-    w = (Window.partitionBy(part_col) if part_col else
-         Window.partitionBy(F.lit(0))).orderBy(order_col)
+    ``order_col`` (optionally per ``part_col``).  Adds ``group_id``.
+
+    Reference parity: ``MergeUtil.getMergeGroups`` walks ``i`` over
+    ``[1, size-2]`` only, so a live→deleted transition at the LAST
+    element never opens a new group — the boundary flag is gated on not
+    being the final row of the partition."""
+    wp = Window.partitionBy(part_col) if part_col else \
+        Window.partitionBy(F.lit(0))
+    w = wp.orderBy(order_col)
     is_del = F.col(deleted_col).cast("boolean")
     prev = F.lag(is_del, 1, False).over(w)
-    boundary = (is_del & ~prev).cast("long")
+    not_last = F.row_number().over(w) < F.count(F.lit(1)).over(wp)
+    boundary = (is_del & ~prev & not_last).cast("long")
     return df.withColumn("group_id", F.sum(boundary).over(w))

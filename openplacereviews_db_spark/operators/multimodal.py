@@ -42,18 +42,6 @@ def _decoder():
     all values from the payload hash — stable across runs and engines,
     so tests and oracles can pin outputs.
     """
-    try:  # pragma: no cover - not installed in this container
-        import PIL.Image  # noqa: F401
-
-        def real_decode(payload: bytes, kind: str) -> dict:
-            raise NotImplementedError(
-                "real decode backend detected but not wired; "
-                "implement with PIL.Image.open(io.BytesIO(payload))")
-
-        return "pil", real_decode
-    except ImportError:
-        pass
-
     def fake_decode(payload: bytes, kind: str) -> dict:
         h = hashlib.sha256(payload or b"").digest()
         return {
@@ -62,6 +50,20 @@ def _decoder():
             "n_frames": 1 if kind == "image" else 1 + h[2] % 30,
             "checksum": h.hex()[:16],
         }
+
+    try:  # pragma: no cover - not installed in this container
+        import PIL.Image  # noqa: F401
+
+        # A real codec backend is detectable but not wired yet: degrade
+        # to the deterministic stub (never return a raising backend —
+        # decode must not crash at runtime just because PIL is present).
+        import warnings
+
+        warnings.warn("PIL detected but the real decode backend is not "
+                      "wired; using the deterministic stub decoder")
+        return "fake(pil-present)", fake_decode
+    except ImportError:
+        pass
 
     return "fake", fake_decode
 

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions.geo import haversine_m_sql
 from ..sources.testdata import load_table
 
 
@@ -424,19 +425,22 @@ def _ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def g5_way_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Geometry kernels over synthetic ways: open-line centroid (vertex
-    mean — the oracle-checkable branch of way_centroid) plus vertex
-    count.  Area/winding are pinned by unit goldens (FP summation order
-    of the shoelace is kernel-specific)."""
+    """Geometry kernels over synthetic ways: open-line center with
+    getWeightCenterForWay parity — vertex mean snapped to the nearest
+    node by reference-constant haversine (OsmMapUtils.java:244-256) —
+    plus vertex count.  Area/winding and the closed-ring branch are
+    pinned by unit goldens (FP summation order of the shoelace is
+    kernel-specific).  ``mean_round=9`` pins the snap decision across
+    engines (sub-0.1 mm perturbation)."""
     from ..functions import geometry as GM
 
     ways = _ways(spark, sf_dir)
-    # exclude closed rings: their centroid takes the area branch, whose
-    # FP summation order is kernel-specific (unit-tested instead)
+    # exclude closed rings: their centroid takes the weighted-center
+    # branch, whose FP summation order is kernel-specific (unit-tested)
     open_ways = ways.where(
         (F.size("coords") <= 3)
         | (F.element_at("coords", 1) != F.element_at("coords", -1)))
-    stats = GM.way_stats(open_ways)
+    stats = GM.way_stats(open_ways, mean_round=9)
     n = open_ways.select("way_id", F.size("coords").alias("n_vertices"))
     return (
         stats.join(n, on="way_id")
@@ -448,21 +452,34 @@ def g5_way_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["g5_way_stats"] = g5_way_stats
 
-ORACLES["g5_way_stats"] = """
+_G5_DIST = haversine_m_sql("d.lat", "d.lon", "m.mlat", "m.mlon")
+
+ORACLES["g5_way_stats"] = f"""
     WITH dedup AS (
         SELECT l_orderkey, l_linenumber,
                ((MAX(l_partkey) % 1000) / CAST(100.0 AS DOUBLE)) AS lat,
                ((MAX(l_suppkey) % 1000) / CAST(100.0 AS DOUBLE)) AS lon
         FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ),
+    open_ways AS (
+        SELECT l_orderkey, COUNT(*) AS n,
+               round(AVG(lat), 9) AS mlat, round(AVG(lon), 9) AS mlon
+        FROM dedup GROUP BY l_orderkey
+        HAVING COUNT(*) <= 3
+            OR NOT (arg_min(lat, l_linenumber) = arg_max(lat, l_linenumber)
+                    AND arg_min(lon, l_linenumber) = arg_max(lon, l_linenumber))
+    ),
+    snapped AS (
+        SELECT d.l_orderkey, m.n, d.lat, d.lon,
+               ROW_NUMBER() OVER (
+                   PARTITION BY d.l_orderkey
+                   ORDER BY {_G5_DIST}, d.l_linenumber) AS rk
+        FROM dedup d JOIN open_ways m ON m.l_orderkey = d.l_orderkey
     )
-    SELECT l_orderkey AS way_id,
-           CAST(COUNT(*) AS INTEGER) AS n_vertices,
-           round(AVG(lat), 6) AS centroid_lat,
-           round(AVG(lon), 6) AS centroid_lon
-    FROM dedup GROUP BY l_orderkey
-    HAVING COUNT(*) <= 3
-        OR NOT (arg_min(lat, l_linenumber) = arg_max(lat, l_linenumber)
-                AND arg_min(lon, l_linenumber) = arg_max(lon, l_linenumber))
+    SELECT l_orderkey AS way_id, CAST(n AS INTEGER) AS n_vertices,
+           round(lat, 6) AS centroid_lat,
+           round(lon, 6) AS centroid_lon
+    FROM snapped WHERE rk = 1
 """
 
 

@@ -163,12 +163,20 @@ def filter_entities(df: DataFrame, tag: str | None = None,
 
 
 def entity_centers(entities: DataFrame, max_relation_depth: int = 3) -> DataFrame:
-    """Weighted centers for every entity (OsmMapUtils.getWeightCenter*
-    analogs): nodes are their own center; ways average their member
-    nodes' coordinates; relations average their members' centers,
-    resolved by a bounded iterative join (relations referencing
-    relations converge in ``max_relation_depth`` rounds — the reference
-    recurses the same way, SURVEY.md §2.9).
+    """Centers for every entity (OsmMapUtils.getCenter analog) —
+    with two INTENTIONAL divergences from the reference:
+
+    - ways use the plain vertex mean, not getWeightCenterForWay's
+      snapped weighted center (the exact kernel lives in
+      ``functions.geometry.way_centroid``; this bulk path keeps the
+      whole computation in codegen'd aggregates);
+    - relations referencing relations are resolved by a bounded
+      iterative join (``max_relation_depth`` rounds), where the
+      reference SKIPS relation members outright ("skip relations to
+      avoid circular dependencies", OsmMapUtils.java:177-196) — pass
+      ``max_relation_depth=1``-style usage with relation members absent
+      for strict parity; our extension only ADDS centers the reference
+      leaves null.
 
     Returns (entity_type, id, center_lat, center_lon); relations whose
     members never resolve (dangling refs) keep null centers.

@@ -40,10 +40,17 @@ def test_area_and_winding():
 
 
 def test_centroid():
-    assert G.way_centroid(SQUARE_CLOSED) == (0.5, 0.5)
-    # open line: vertex mean
-    lat, lon = G.way_centroid([(0.0, 0.0), (0.0, 2.0)])
-    assert (lat, lon) == (0.0, 1.0)
+    # closed ring: distance-weighted center (reference-verbatim lat
+    # quirk included) lands inside the square → no snap
+    lat, lon = G.way_centroid(SQUARE_CLOSED)
+    assert abs(lon - 0.5) < 1e-9
+    assert 0.0 < lat < 1.0  # lat is current-node-weighted, not midpoint
+    assert G.point_in_polygon(lat, lon, SQUARE)
+    # open line: vertex mean (0, 1) snapped to the nearest node — both
+    # ends tie, strict < keeps the FIRST (OsmMapUtils.java:245-256)
+    assert G.way_centroid([(0.0, 0.0), (0.0, 2.0)]) == (0.0, 0.0)
+    # asymmetric open line snaps to the true nearest vertex
+    assert G.way_centroid([(0.0, 0.0), (0.0, 1.0), (0.0, 5.0)]) == (0.0, 1.0)
 
 
 def test_douglas_peucker():
@@ -62,7 +69,10 @@ def test_spark_wrappers(spark):
     ]
     df = spark.createDataFrame(rows, f"way_id long, coords {G.COORDS_DDL}")
     stats = {r["way_id"]: r for r in G.way_stats(df).collect()}
-    assert abs(stats[1]["centroid_lat"] - 0.5) < 1e-12
+    # weighted center: lon exactly centered by symmetry, lat slightly
+    # off-center (reference's current-node-only lat weighting)
+    assert abs(stats[1]["centroid_lon"] - 0.5) < 1e-9
+    assert 0.45 < stats[1]["centroid_lat"] < 0.55
     assert stats[1]["clockwise"] is False
     simp = {r["way_id"]: r for r in G.simplify_ways(df, 0.001).collect()}
     assert simp[2]["n_out"] == 2

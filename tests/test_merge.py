@@ -100,8 +100,10 @@ def test_segment_groups(spark):
         "seq int, dead boolean")
     out = {r["seq"]: r["group_id"]
            for r in cluster.segment_groups(df, "seq", "dead").collect()}
-    # boundaries at seq=2 (live→dead) and seq=5
-    assert out == {1: 0, 2: 1, 3: 1, 4: 1, 5: 2}
+    # boundary at seq=2 (live→dead); seq=5 is the LAST element, where
+    # the reference's [1, size-2] loop never opens a group
+    # (MergeUtil.getMergeGroups)
+    assert out == {1: 0, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
 # ---------------------------------------------------------------------------
