@@ -279,3 +279,101 @@ ORACLES["j7_history_full_check"] = f"""
     WHERE {_hv_sql(_T_LAT, _T_LON, 'a.lat', 'a.lon')} <= 150.0
       AND {_cn_sql("(t.c_name || ' ' || lower(t.c_mktsegment))", "a.name")}
 """
+
+
+def p4_history_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: the FULL per-feature property projection of the history
+    report (OprHistoryChangesProvider.addFeature + generateFieldsFrom
+    OsmSource, OprHistoryChangesProvider.java:406-503):
+
+    - ``title`` = status + " " + tags.name (getTitle falls back to the
+      place type when nameless — these synthetic places are all named);
+    - ``color``: Created→blue, Removed→red, Edited→green
+      (constants at OprHistoryChangesProvider.java:69-75); an edit
+      whose change tombstones an osm ref surfaces as Removed (the
+      REVIEW_CLOSED_PLACES flow), other edits as Edited;
+    - ``place_type`` = main osm_value; ``deleted_place`` when the place
+      document carries a tombstone; ``img_review_size`` as a STRING
+      (the reference stringifies it);
+    - flattened main-osm fields: ``osm_id`` (long), ``osm_type``,
+      stringified version/timestamp, lat/lon;
+    - ``tags_json``: the tags object serialized (generateTagsForEntity);
+    - ``opr_id`` = "tile,suffix" (generateStringId).
+
+    Main-element selection is the P2 rule (first live ref, else first).
+    """
+    classified = p6_change_classification(spark, sf_dir)
+    places = P.synthetic_places(spark, sf_dir).withColumn(
+        "obj_id", F.concat_ws(",", "tile_id", "suffix"))
+    live = F.filter(F.col("source.osm"), lambda x: x["deleted"].isNull())
+    main = F.coalesce(F.try_element_at(live, F.lit(1)),
+                      F.try_element_at(F.col("source.osm"), F.lit(1)))
+    status = (
+        F.when(F.col("category") == "created", "Created")
+        .when(F.col("category").isin("removed", "osm_ref_deleted"),
+              "Removed")
+        .otherwise("Edited")
+    )
+    color = (
+        F.when(status == "Created", "blue")
+        .when(status == "Removed", "red")
+        .otherwise("green")
+    )
+    review = F.try_element_at(F.col("images"), F.lit("review"))
+    return (
+        classified.join(places, on="obj_id")
+        .withColumn("m", main)
+        .select(
+            F.col("obj_id").alias("opr_id"),
+            status.alias("status"),
+            color.alias("color"),
+            F.concat_ws(" ", status, F.col("m.tags")["name"]).alias("title"),
+            F.col("m.osm_value").alias("place_type"),
+            F.col("m.id").alias("osm_id"),
+            F.col("m.type").alias("osm_type"),
+            F.col("m.version").alias("osm_version"),
+            F.col("m.timestamp").alias("osm_timestamp"),
+            F.round(F.col("m.lat"), 6).alias("lat"),
+            F.round(F.col("m.lon"), 6).alias("lon"),
+            F.col("deleted").alias("deleted_place"),
+            F.when(review.isNotNull(),
+                   F.size(review).cast("string")).alias("img_review_size"),
+            F.to_json(F.col("m.tags")).alias("tags_json"),
+        )
+    )
+
+
+QUERIES["p4_history_features"] = p4_history_features
+
+ORACLES["p4_history_features"] = f"""
+    WITH {P.places_sql_cte()},
+    {_OPS_CTE},
+    cls AS (
+        SELECT obj_id, k,
+               CASE WHEN action = 'create' THEN 'Created'
+                    WHEN action = 'delete' THEN 'Removed'
+                    WHEN k % 3 = 0 THEN 'Removed'
+                    ELSE 'Edited' END AS status
+        FROM ops
+        WHERE block_date BETWEEN DATE '{WINDOW_START}'
+                             AND DATE '{WINDOW_END}'
+    )
+    SELECT p.tile_id || ',' || p.suffix AS opr_id,
+           c.status AS status,
+           CASE c.status WHEN 'Created' THEN 'blue'
+                         WHEN 'Removed' THEN 'red'
+                         ELSE 'green' END AS color,
+           c.status || ' ' || p.name AS title,
+           p.placetype AS place_type,
+           p.main_osm_id AS osm_id,
+           'node' AS osm_type,
+           p.version AS osm_version,
+           '2021-01-01T00:00:00' AS osm_timestamp,
+           round(p.lat, 6) AS lat,
+           round(p.lon, 6) AS lon,
+           p.deleted AS deleted_place,
+           CASE WHEN p.key % 2 = 1 THEN '1' END AS img_review_size,
+           '{{"name":"' || p.name || '","amenity":"' || p.placetype || '"}}'
+               AS tags_json
+    FROM cls c JOIN places p ON p.tile_id || ',' || p.suffix = c.obj_id
+"""
