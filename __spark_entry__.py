@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openplacereviews_db_spark.plans import (corpus, history, merge_plans,
                                              oplog, places_reports, relational,
-                                             relational2)
+                                             relational2, sync_plans)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -31,6 +31,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(merge_plans.QUERIES)
     out.update(relational2.QUERIES)
     out.update(history.QUERIES)
+    out.update(sync_plans.QUERIES)
     return out
 
 
@@ -43,4 +44,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(merge_plans.ORACLES)
     out.update(relational2.ORACLES)
     out.update(history.ORACLES)
+    out.update(sync_plans.ORACLES)
     return out

@@ -1,0 +1,146 @@
+"""Sync-infrastructure query plans: S4 adaptive split + S5 staged raw
+zone, each with a value-exact DuckDB oracle.
+
+``s4_adaptive_split`` runs the reference's count-probe split schedule
+over a skewed synthetic point set (3/4 spread worldwide, 1/4 packed
+into a ~0.05° cluster) so the split actually recurses to the depth cap
+in the hot cell while the rest of the world resolves at level 1 — the
+skew-handling the reference's task tree exists for.  The oracle
+reproduces the nested-grid rollup and frontier walk as a fixed chain
+of CTEs (the depth cap makes the recursion finite, hence SQL-able).
+
+``s5_staged_scan`` stages a raw projection of the events table into
+the write-once parquet zone (``sources.staging``) and aggregates the
+STAGED copy; the oracle aggregates the source directly — equality
+proves the staging roundtrip is lossless.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import adaptive_split as AS
+from ..sources import staging
+from ..sources.testdata import load_table
+
+S4_LIMIT = 1000
+
+#: skewed synthetic points over events — lat/lon formulas mirrored
+#: textually in the oracle (identical IEEE expression order)
+_SPREAD_LAT = "((event_id % 3400) / 20.0 - 85.0)"
+_SPREAD_LON = "((event_id % 7100) / 20.0 - 177.5)"
+_CLUST_LAT = "(50.0 + (event_id % 50) / 1000.0)"
+_CLUST_LON = "(7.0 + (event_id % 70) / 1000.0)"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.col("event_id")
+    lat = F.when(k % 4 == 0, 50.0 + (k % 50) / 1000.0) \
+        .otherwise((k % 3400) / 20.0 - 85.0)
+    lon = F.when(k % 4 == 0, 7.0 + (k % 70) / 1000.0) \
+        .otherwise((k % 7100) / 20.0 - 177.5)
+    return ev.select(lat.alias("lat"), lon.alias("lon"))
+
+
+def s4_adaptive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    leaves = AS.adaptive_split_cells(_points(spark, sf_dir),
+                                     limit=S4_LIMIT)
+    return leaves.select("level", "ix", "iy", "cnt")
+
+
+def _s4_oracle() -> str:
+    dims = AS.level_dims()
+    fw, fh = dims[AS.MAX_LEVEL]
+    ctes = [f"""
+    pts AS (
+        SELECT CASE WHEN event_id % 4 = 0 THEN {_CLUST_LAT}
+                    ELSE {_SPREAD_LAT} END AS lat,
+               CASE WHEN event_id % 4 = 0 THEN {_CLUST_LON}
+                    ELSE {_SPREAD_LON} END AS lon
+        FROM events
+    ),
+    lev{AS.MAX_LEVEL} AS (
+        SELECT CAST(FLOOR((lon + 180.0) / {fw!r}) AS BIGINT) AS ix,
+               CAST(FLOOR((lat + 90.0) / {fh!r}) AS BIGINT) AS iy,
+               COUNT(*) AS cnt
+        FROM pts GROUP BY 1, 2
+    )"""]
+    for lv in range(AS.MAX_LEVEL - 1, -1, -1):
+        sx, sy = AS.split_factors(lv, *dims[lv])
+        ctes.append(f"""
+    lev{lv} AS (
+        SELECT CAST(FLOOR(ix / {sx}.0) AS BIGINT) AS ix,
+               CAST(FLOOR(iy / {sy}.0) AS BIGINT) AS iy,
+               CAST(SUM(cnt) AS BIGINT) AS cnt
+        FROM lev{lv + 1} GROUP BY 1, 2
+    )""")
+    # frontier walk: full-sync mode — the world box always splits
+    ctes.append("""
+    split0 AS (SELECT ix, iy FROM lev0)""")
+    leaf_selects = []
+    for lv in range(1, AS.MAX_LEVEL + 1):
+        sx, sy = AS.split_factors(lv - 1, *dims[lv - 1])
+        ctes.append(f"""
+    child{lv} AS (
+        SELECT c.ix, c.iy, c.cnt
+        FROM lev{lv} c JOIN split{lv - 1} p
+          ON CAST(FLOOR(c.ix / {sx}.0) AS BIGINT) = p.ix
+         AND CAST(FLOOR(c.iy / {sy}.0) AS BIGINT) = p.iy
+    )""")
+        if lv < AS.MAX_LEVEL:
+            ctes.append(f"""
+    split{lv} AS (SELECT ix, iy FROM child{lv} WHERE cnt >= {S4_LIMIT})""")
+            leaf_selects.append(
+                f"SELECT {lv} AS level, ix, iy, cnt FROM child{lv} "
+                f"WHERE cnt < {S4_LIMIT}")
+        else:
+            leaf_selects.append(
+                f"SELECT {lv} AS level, ix, iy, cnt FROM child{lv}")
+    return ("WITH " + ",".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(leaf_selects))
+
+
+def s5_staged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage the raw events projection once (write-once parquet zone),
+    then aggregate the STAGED copy — event counts and payload stats per
+    type.  Cache key mirrors SyncRequest.getCacheId; keyed by the sf
+    dir so scale factors never cross-contaminate."""
+    cid = staging.cache_id(
+        name=f"events-{os.path.basename(os.path.normpath(sf_dir))}",
+        date="2021-06-01", bbox=(-180.0, -90.0, 180.0, 90.0))
+    cache_dir = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
+
+    def fetch() -> DataFrame:
+        return load_table(spark, "events", sf_dir).select(
+            "event_id", "event_type", "user_id")
+
+    staged = staging.stage_raw(spark, fetch, cache_dir, cid)
+    return (
+        staged.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("user_id").alias("n_users"),
+             F.min("event_id").alias("min_event"))
+        .select("event_type", "n", "n_users", "min_event")
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "s4_adaptive_split": s4_adaptive_split,
+    "s5_staged_scan": s5_staged_scan,
+}
+
+ORACLES: dict[str, str] = {
+    "s4_adaptive_split": _s4_oracle(),
+    "s5_staged_scan": """
+        SELECT event_type, COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS n_users,
+               MIN(event_id) AS min_event
+        FROM events GROUP BY event_type
+    """,
+}

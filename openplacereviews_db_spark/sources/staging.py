@@ -1,0 +1,60 @@
+"""S5: the staged raw zone — write-once caching of fetched raw data.
+
+The reference caches every Overpass response as a gzip file keyed by a
+deterministic request id (``OsmSyncBot.proc``, OsmSyncBot.java:570-593;
+``SyncRequest.getCacheId``, :155-169): if the cache file exists the
+download is skipped and the file is read instead.  The Spark-first
+analog is a write-once PARQUET staging zone: raw fetches land as
+parquet keyed by the same deterministic cache id, and every downstream
+query reads the staged copy — at 100 TB this is the raw zone of a
+lakehouse layout (fetch once, scan many, schema-on-write, column
+pruning on re-reads — none of which the reference's gzip text blobs
+can do).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def cache_id(name: str, date: str,
+             bbox: tuple[float, float, float, float] | None = None,
+             diff: bool = False, cnt: bool = False,
+             state_date: str | None = None) -> str:
+    """Deterministic cache key mirroring ``SyncRequest.getCacheId``
+    (OsmSyncBot.java:155-169): ``[diff_|req_][cnt_]name/date[-state]``
+    + ``_minY,minX,maxY,maxX`` with ``0.#`` number formatting and
+    ``:`` replaced by ``_``."""
+    r = ("diff_" if diff else "req_") + ("cnt_" if cnt else "")
+    r += f"{name}/{date}"
+    if diff and state_date is not None:
+        r += f"-{state_date}"
+    if bbox is not None:
+        min_x, min_y, max_x, max_y = bbox
+
+        def fmt(v: float) -> str:  # DecimalFormat("0.#")
+            s = f"{v:.1f}"
+            return s[:-2] if s.endswith(".0") else s
+
+        r += "_" + ",".join(fmt(v) for v in (min_y, min_x, max_y, max_x))
+    return r.replace(":", "_")
+
+
+def stage_raw(spark: SparkSession, fetch: Callable[[], DataFrame],
+              cache_dir: str, cid: str) -> DataFrame:
+    """Write-once staging: if ``cache_dir/cid`` holds a completed
+    parquet write (``_SUCCESS`` marker), read it; otherwise run
+    ``fetch()`` once, stage its result, and read the staged copy.
+
+    Always returns the STAGED frame, so downstream plans scan parquet
+    (splittable, column-prunable) regardless of what the fetch source
+    was — the exact role of the reference's .osm.gz cache, minus its
+    single-reader gzip bottleneck.
+    """
+    path = os.path.join(cache_dir, cid.replace("/", "_"))
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        fetch().write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)

@@ -1,0 +1,65 @@
+"""S5 staged raw zone + S4 adaptive split unit checks."""
+
+from __future__ import annotations
+
+from openplacereviews_db_spark.operators import adaptive_split as AS
+from openplacereviews_db_spark.sources import staging
+
+
+def test_cache_id_format():
+    # mirrors SyncRequest.getCacheId (OsmSyncBot.java:155-169)
+    cid = staging.cache_id("amenity", "2021-06-01T00:00:00",
+                           bbox=(-180.0, -90.0, 180.0, 90.0))
+    assert cid == "req_amenity/2021-06-01T00_00_00_-90,-180,90,180"
+    cid2 = staging.cache_id("amenity", "d1", bbox=(0.0, 0.25, 10.5, 1.0),
+                            diff=True, cnt=True, state_date="d0")
+    # 0.25 → "0.2": DecimalFormat("0.#") rounds HALF_EVEN, as does %.1f
+    assert cid2 == "diff_cnt_amenity/d1-d0_0.2,0,1,10.5"
+
+
+def test_stage_raw_write_once(spark, tmp_path):
+    calls = []
+
+    def fetch():
+        calls.append(1)
+        return spark.range(5).selectExpr("id", "id * 2 AS v")
+
+    a = staging.stage_raw(spark, fetch, str(tmp_path), "req_x/d_0,0,1,1")
+    assert a.count() == 5
+    b = staging.stage_raw(spark, fetch, str(tmp_path), "req_x/d_0,0,1,1")
+    assert b.count() == 5
+    assert len(calls) == 1  # second read served from the staged zone
+
+
+def test_split_factors_schedule():
+    # OsmSyncBot.java:505-514: world 36x18, shallow 4x4, deep 2x2
+    assert AS.split_factors(0, 360.0, 180.0) == (36, 18)
+    assert AS.split_factors(1, 10.0, 10.0) == (4, 4)
+    assert AS.split_factors(2, 2.5, 2.5) == (4, 4)
+    assert AS.split_factors(3, 0.625, 0.625) == (2, 2)
+    assert AS.split_factors(1, 10.0, 10.0, diff=True) == (2, 2)
+
+
+def test_adaptive_split_leaves(spark):
+    # 5000 points in one tiny cluster + 10 spread points: the cluster
+    # cell must recurse to the depth cap, the spread resolves at level 1
+    rows = [(50.001 + (i % 10) * 1e-5, 7.001 + (i % 7) * 1e-5)
+            for i in range(5000)]
+    rows += [(float(la), float(lo)) for la, lo in
+             [(-40, -120), (10, 60), (70, 150), (-70, -30), (0, 0),
+              (20, -170), (-20, 100), (60, -60), (-55, 20), (35, 5)]]
+    pts = spark.createDataFrame(rows, "lat double, lon double")
+    leaves = AS.adaptive_split_cells(pts, limit=100).collect()
+    total = sum(r["cnt"] for r in leaves)
+    assert total == len(rows)  # every point in exactly one leaf
+    by_level = {}
+    for r in leaves:
+        by_level.setdefault(r["level"], 0)
+        by_level[r["level"]] += r["cnt"]
+    # the cluster is denser than the limit even at the cap → the deep
+    # leaves hold it; the spread points resolve at level 1
+    assert by_level.get(AS.MAX_LEVEL, 0) >= 5000
+    assert by_level.get(1, 0) == 10
+    # no leaf except at the cap may exceed the limit
+    assert all(r["cnt"] < 100 for r in leaves
+               if r["level"] < AS.MAX_LEVEL)
