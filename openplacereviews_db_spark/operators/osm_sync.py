@@ -198,17 +198,20 @@ def pack_operations(ops: DataFrame,
     """S14: assign changelog rows to operations (≤250 places) and blocks
     (≤16 operations) deterministically, ordered by (obj_id, op_seq).
 
-    Pure window arithmetic: global row_number → op_no = idx div 250,
-    block_no = op_no div 16.  The global ordering window is the honest
-    cost of a *totally ordered* log; at scale the reference shards this
-    per bot thread — the analog here is running pack per partition of a
-    pre-bucketed log (pass a pre-repartitioned frame)."""
-    w = Window.orderBy("obj_id", "op_seq")
-    idx = F.row_number().over(w) - 1
+    The global rank over the total (obj_id, op_seq) order is computed
+    DISTRIBUTED (``operators.ordered.global_row_index``: range
+    partition → per-partition rank → broadcast offsets), so packing a
+    totally ordered log never funnels through one task; then
+    op_no = idx div 250, block_no = op_no div 16."""
+    from .ordered import global_row_index
+
+    idxed = global_row_index(ops, ["obj_id", "op_seq"], "_idx")
     return (
-        ops.withColumn("op_no", (idx / places_per_op).cast("long"))
+        idxed.withColumn("op_no",
+                         (F.col("_idx") / places_per_op).cast("long"))
         .withColumn("block_no",
                     (F.col("op_no") / ops_per_block).cast("long"))
+        .drop("_idx")
     )
 
 

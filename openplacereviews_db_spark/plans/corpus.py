@@ -376,12 +376,14 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens ≤ 50k, best-quality first).
 
     Composes the tx_* operators whose oracles are already value-exact;
-    the budget is a global ordered cumsum (range-partition it at scale —
-    a budget is inherently a total order).
+    the budget is a global ordered cumsum, computed DISTRIBUTED via the
+    two-phase range-partition scan (``operators.ordered.global_cumsum``)
+    — no single-task window anywhere in the plan.
     """
     from pyspark.sql.window import Window
 
     from ..functions import hashing as H
+    from ..operators.ordered import global_cumsum
 
     docs = _docs(spark, sf_dir)
     q = textstats.quality_score(docs).select("id", "quality_score")
@@ -397,11 +399,11 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("fp").orderBy("id")))
         .where(F.col("rn") == 1)
     )
-    cum = F.sum("subword_tokens").over(
-        Window.orderBy(F.desc("quality_score"), F.asc("id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    budgeted = global_cumsum(kept, "subword_tokens",
+                             ["quality_score", "id"], "cum_tokens",
+                             ascending=[False, True])
     return (
-        kept.withColumn("cum_tokens", cum)
+        budgeted
         .where(F.col("cum_tokens") <= 50000)
         .select("id", "pred_lang",
                 F.round("quality_score", 6).alias("quality"),

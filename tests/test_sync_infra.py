@@ -63,3 +63,29 @@ def test_adaptive_split_leaves(spark):
     # no leaf except at the cap may exceed the limit
     assert all(r["cnt"] < 100 for r in leaves
                if r["level"] < AS.MAX_LEVEL)
+
+
+def test_global_cumsum_matches_single_window(spark):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from openplacereviews_db_spark.operators.ordered import (
+        global_cumsum, global_row_index)
+
+    df = spark.range(1000).selectExpr(
+        "id", "CAST(id % 37 AS LONG) AS v",
+        "CAST(id % 13 AS LONG) AS q")
+    # total order (q desc, id asc); compare against the 1-task window
+    want = {r["id"]: r["c"] for r in df.withColumn(
+        "c", F.sum("v").over(
+            Window.orderBy(F.desc("q"), F.asc("id"))
+            .rowsBetween(Window.unboundedPreceding, 0))).collect()}
+    got = {r["id"]: r["c"]
+           for r in global_cumsum(df, "v", ["q", "id"], "c",
+                                  num_partitions=7,
+                                  ascending=[False, True]).collect()}
+    assert got == want
+    idx = {r["id"]: r["i"]
+           for r in global_row_index(df, ["id"], "i",
+                                     num_partitions=5).collect()}
+    assert idx == {i: i for i in range(1000)}
