@@ -144,3 +144,47 @@ ORACLES: dict[str, str] = {
         FROM events GROUP BY event_type
     """,
 }
+
+
+def id_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-compatible id codec (OsmLocationTool.java:95-146): build
+    the reference's ``<tile><hex-int>`` id per place, convert to the
+    10-byte wire form (utf8 tile ++ int32-BE suffix) and back.  The
+    oracle reproduces both directions; ``roundtrip_ok`` must be all
+    true on BOTH engines."""
+    from ..functions import ids
+    from ..sources import places as P
+
+    pl = P.synthetic_places(spark, sf_dir)
+    key = F.conv(F.substring("suffix", 1, 6), 16, 10).cast("long")
+    base = pl.select(
+        ids.make_id(F.col("tile_id"), key % 2147483647).alias("place_id"))
+    return base.select(
+        "place_id",
+        ids.id_to_bytes(F.col("place_id")).alias("id_bytes"),
+        (ids.bytes_to_id(ids.id_to_bytes(F.col("place_id")))
+         == F.col("place_id")).alias("roundtrip_ok"),
+    )
+
+
+QUERIES["id_bytes_roundtrip"] = id_bytes_roundtrip
+
+
+def _id_roundtrip_oracle() -> str:
+    from ..functions import ids
+    from ..sources import places as P
+
+    key = "(CAST('0x' || substr(suffix, 1, 6) AS BIGINT) % 2147483647)"
+    pid = ids.make_id_sql("tile_id", key)
+    return f"""
+    WITH {P.places_sql_cte()},
+    base AS (SELECT {pid} AS place_id FROM places)
+    SELECT place_id,
+           {ids.id_to_bytes_sql('place_id')} AS id_bytes,
+           ({ids.bytes_to_id_sql(ids.id_to_bytes_sql('place_id'))}
+            = place_id) AS roundtrip_ok
+    FROM base
+"""
+
+
+ORACLES["id_bytes_roundtrip"] = _id_roundtrip_oracle()
