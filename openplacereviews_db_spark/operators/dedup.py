@@ -90,21 +90,36 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_words: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      min_jaccard: float = 0.5) -> DataFrame:
+                      min_jaccard: float = 0.5,
+                      fast_hash: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
     Plan shape: one scan computes (id, shingles, signature); band keys are
     exploded (bands× row amplification, constant factor); candidates join
     on the band key (pure equi-join → hash shuffle on band); exact Jaccard
     verifies each candidate once (dropDuplicates on the pair).
+
+    ``fast_hash=True`` swaps the md5 minhash family for xxhash64 —
+    several times cheaper per shingle.  The verify stage computes EXACT
+    Jaccard either way, so the hash family only moves candidate recall,
+    never pair values; md5 stays the default because the DuckDB oracles
+    pin it (DuckDB has no xxhash64).
     """
     rows = num_hashes // bands
+
+    def hash_i(i: int):
+        if fast_hash:
+            # fixed-width hex so lexicographic MIN == numeric MIN
+            return F.lpad(F.hex(F.xxhash64(F.lit(i), F.col("s"))),
+                          16, "0")
+        return F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
+
     # One codegen'd pass builds the distinct (id, shingle) rows; it feeds
     # the signature, and the verify step rebuilds per-doc shingle sets
     # from it.  Persisted because three branches consume it.
     exploded = exploded_shingles(df, text_col, id_col, shingle_words).persist()
     sig = exploded.groupBy("id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        F.min(hash_i(i)).alias(f"h{i}")
         for i in range(num_hashes)
     ]).select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
     banded = sig.select(

@@ -94,3 +94,26 @@ def test_gemm_bounded_contract(spark, sf_dir):
     embs = load_table(spark, "embeddings", sf_dir)
     with pytest.raises(ValueError, match="max_ref_rows"):
         similarity.cosine_pairs_gemm(embs, 0.40, max_ref_rows=5).collect()
+
+
+def test_minhash_fast_hash_mode(spark, sf_dir):
+    """xxhash64 minhash family: values of surviving pairs are EXACT
+    Jaccard (identical to md5-mode values on the common pairs), only
+    candidate recall may differ."""
+    from openplacereviews_db_spark.operators import dedup
+    from openplacereviews_db_spark.sources.testdata import load_table
+
+    docs = load_table(spark, "documents", sf_dir).where("length(text) > 0")
+    md5_pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                 for r in dedup.minhash_lsh_pairs(
+                     docs, shingle_words=2, num_hashes=16, bands=8,
+                     min_jaccard=0.1).collect()}
+    fast_pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+                  for r in dedup.minhash_lsh_pairs(
+                      docs, shingle_words=2, num_hashes=16, bands=8,
+                      min_jaccard=0.1, fast_hash=True).collect()}
+    common = set(md5_pairs) & set(fast_pairs)
+    assert common, "fast-hash mode found no overlapping pairs"
+    assert all(md5_pairs[k] == fast_pairs[k] for k in common)
+    # banded recall holds for either family on this corpus
+    assert len(fast_pairs) >= 0.8 * len(md5_pairs)
