@@ -59,16 +59,12 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composing the language key with the 8 banded MinHash keys bounds
     every block by near-dup cluster size instead; the oracle mirrors
     the banded candidate generation so the pair set stays value-exact.
+    One shingle pass feeds both the band keys and the exact shingle-id
+    sets (``banded_ngram_jaccard_pairs``).
     """
-    docs = _docs(spark, sf_dir)
-    bands = dedup.minhash_band_keys(docs, shingle_words=2,
-                                    num_hashes=16, bands=8)
-    banded = docs.join(bands, docs.doc_id == bands.id).select(
-        "doc_id", "text",
-        F.concat_ws("|", "lang", "band").alias("lang_band"))
-    return dedup.ngram_jaccard_pairs(
-        banded, block_col="lang_band", shingle_words=2,
-        min_jaccard=0.15, overlapping_blocks=True,
+    return dedup.banded_ngram_jaccard_pairs(
+        _docs(spark, sf_dir), attr_col="lang", shingle_words=2,
+        num_hashes=16, bands=8, min_jaccard=0.15,
     )
 
 
