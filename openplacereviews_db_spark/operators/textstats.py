@@ -34,25 +34,33 @@ def _stopword_hits(words: Column, lang: str) -> Column:
     return F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
 
 
+def _lang_cols(words: Column) -> tuple[Column, Column]:
+    """(pred_lang, best_ratio) expressions from a word-array column."""
+    n = F.greatest(F.size(words), F.lit(1))
+    langs = sorted(STOPWORDS)
+    ratios = {lang: F.round(_stopword_hits(words, lang) / n, 6)
+              for lang in langs}
+    best = F.greatest(*[ratios[lang] for lang in langs])
+    pred = F.coalesce(
+        *[F.when(ratios[lang] == best, F.lit(lang)) for lang in langs]
+    )
+    return F.when(best > 0, pred).otherwise(F.lit("und")), best
+
+
 def language_id(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Predict language by stopword-hit ratio; deterministic tie-break on
-    language code.  Output: (id, pred_lang, best_ratio)."""
-    words = _words(F.col(text_col))
-    n = F.greatest(F.size(words), F.lit(1))
-    out = df.select(F.col(id_col).alias("id"), words.alias("w"), n.alias("n"))
-    for lang in sorted(STOPWORDS):
-        out = out.withColumn(
-            f"r_{lang}", F.round(_stopword_hits(F.col("w"), lang) / F.col("n"), 6)
-        )
-    langs = sorted(STOPWORDS)
-    best = F.greatest(*[F.col(f"r_{lang}") for lang in langs])
-    pred = F.coalesce(
-        *[F.when(F.col(f"r_{lang}") == best, F.lit(lang)) for lang in langs]
-    )
-    return out.select(
+    language code.  Output: (id, pred_lang, best_ratio).
+
+    Words are projected once before the ratio expressions reference
+    them — inlining the split into every ratio multiplies the
+    expression tree past Catalyst's comfortable analysis size."""
+    base = df.select(F.col(id_col).alias("id"),
+                     _words(F.col(text_col)).alias("_w"))
+    pred, best = _lang_cols(F.col("_w"))
+    return base.select(
         "id",
-        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        pred.alias("pred_lang"),
         best.alias("best_ratio"),
     )
 
@@ -66,6 +74,10 @@ def quality_score(df: DataFrame, text_col: str = "text",
     the standard shape of pre-training corpus filters.
     """
     t = F.col(text_col)
+    return df.select(F.col(id_col).alias("id"), *_quality_cols(t))
+
+
+def _quality_cols(t: Column) -> list[Column]:
     words = _words(t)
     n_words = F.size(words)
     n_chars = F.length(t)
@@ -94,15 +106,14 @@ def quality_score(df: DataFrame, text_col: str = "text",
         ),
         6,
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return [
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
         mean_wlen.alias("mean_word_len"),
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         score.alias("quality_score"),
-    )
+    ]
 
 
 def token_counts(df: DataFrame, text_col: str = "text",
@@ -113,18 +124,50 @@ def token_counts(df: DataFrame, text_col: str = "text",
     per word — a deterministic, vocabulary-free stand-in for a BPE
     tokenizer's token count (≈4 chars/token), useful for budget math.
     """
-    t = F.col(text_col)
+    return df.select(F.col(id_col).alias("id"),
+                     *_token_cols(F.col(text_col)))
+
+
+def _token_cols(t: Column) -> list[Column]:
     ws_tokens = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
     alnum_words = F.filter(F.split(F.lower(t), r"[^a-z0-9]+"), lambda w: w != "")
     subword = F.aggregate(
         alnum_words, F.lit(0).cast("bigint"),
         lambda acc, w: acc + F.ceil(F.length(w) / 4.0).cast("bigint"),
     )
-    return df.select(
-        F.col(id_col).alias("id"),
+    return [
         ws_tokens.alias("ws_tokens"),
         F.size(alnum_words).alias("alnum_words"),
         subword.alias("subword_tokens"),
+    ]
+
+
+def corpus_features(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """ONE-PASS (id, quality_score, pred_lang, subword_tokens, fp) —
+    the columns the curation pipeline gates on, computed in a single
+    projection instead of four scans + three joins.  Expressions are
+    the same builders the standalone operators use, so values are
+    identical to joining their outputs."""
+    t = F.col(text_col)
+    base = df.select(F.col(id_col).alias("id"), t.alias("_t"),
+                     _words(t).alias("_w"))
+    langs = sorted(STOPWORDS)
+    n = F.greatest(F.size("_w"), F.lit(1))
+    staged = base.select(
+        "id", "_t", "_w",
+        *[F.round(_stopword_hits(F.col("_w"), lang) / n, 6)
+          .alias(f"_r_{lang}") for lang in langs])
+    best = F.greatest(*[F.col(f"_r_{lang}") for lang in langs])
+    pred = F.coalesce(
+        *[F.when(F.col(f"_r_{lang}") == best, F.lit(lang))
+          for lang in langs])
+    return staged.select(
+        "id",
+        _quality_cols(F.col("_t"))[5],
+        F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
+        _token_cols(F.col("_t"))[2],
+        H.fingerprint(F.col("_t")).alias("fp"),
     )
 
 

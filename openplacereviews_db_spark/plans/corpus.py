@@ -382,13 +382,9 @@ def curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ordered import global_cumsum
 
     docs = _docs(spark, sf_dir)
-    q = textstats.quality_score(docs).select("id", "quality_score")
-    l = textstats.language_id(docs).select("id", "pred_lang")
-    t = textstats.token_counts(docs).select("id", "subword_tokens")
-    fp = docs.select(F.col("doc_id").alias("id"),
-                     H.fingerprint(F.col("text")).alias("fp"))
+    feats = textstats.corpus_features(docs)  # one pass, no joins
     kept = (
-        q.join(l, "id").join(t, "id").join(fp, "id")
+        feats
         .where((F.col("quality_score") >= 0.5)
                & (F.col("pred_lang") == "en"))
         .withColumn("rn", F.row_number().over(
