@@ -188,3 +188,105 @@ def _id_roundtrip_oracle() -> str:
 
 
 ORACLES["id_bytes_roundtrip"] = _id_roundtrip_oracle()
+
+
+def m8_placetype_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8/M8 placetype bot (PlaceTypeBot.java:25-52): emit an edit op
+    for every place whose stored placetype differs from its main osm
+    ref's osm_value.  Staleness is synthesized deterministically
+    (suffix first hex digit < '8') so the op set is oracle-able."""
+    from ..operators import osm_sync
+    from ..sources import places as P
+
+    pl = P.synthetic_places(spark, sf_dir)
+    stale = F.substring("suffix", 1, 1) < "8"
+    aged = pl.withColumn(
+        "placetype",
+        F.when(stale, F.lit("stale")).otherwise(F.col("placetype")))
+    ops = osm_sync.placetype_ops(aged)
+    return ops.select("obj_id", "action", "change")
+
+
+QUERIES["m8_placetype_ops"] = m8_placetype_ops
+
+
+def _m8_oracle() -> str:
+    from ..sources import places as P
+
+    return f"""
+    WITH {P.places_sql_cte()}
+    SELECT tile_id || ',' || suffix AS obj_id,
+           'edit' AS action,
+           '{{"placetype":{{"set":"' || placetype || '"}}}}' AS change
+    FROM places
+    WHERE substr(suffix, 1, 1) < '8'
+"""
+
+
+ORACLES["m8_placetype_ops"] = _m8_oracle()
+
+
+def _xml_escape(s: str) -> str:
+    from xml.sax.saxutils import escape
+
+    return escape(s, {'"': "&quot;"})
+
+
+def s1_osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3: write a deterministic .osm file from the customer table
+    (write-once per sf), parse it with the streaming XML source, push
+    the S3 tag filter down, and project the entities.  The oracle reads
+    the same facts straight from the parquet — equality proves the XML
+    writer→parser→filter loop is lossless."""
+    from ..sources import osm_xml
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"osm_src_{tag}.osm")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_name", "c_mktsegment"])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write('<?xml version="1.0" encoding="UTF-8"?>\n<osm>\n')
+            for k, name, seg in zip(t["c_custkey"].to_pylist(),
+                                    t["c_name"].to_pylist(),
+                                    t["c_mktsegment"].to_pylist()):
+                lat = (k * 7919) % 16000 / 100.0 - 80.0
+                lon = (k * 104729) % 36000 / 100.0 - 180.0
+                f.write(f'  <node id="{k}" lat="{lat!r}" lon="{lon!r}" '
+                        f'version="{1 + k % 5}" '
+                        f'timestamp="2021-01-01T00:00:00Z">\n')
+                f.write(f'    <tag k="name" v="{_xml_escape(name)}"/>\n')
+                if k % 2 == 0:
+                    f.write(f'    <tag k="amenity" '
+                            f'v="{_xml_escape(seg.lower())}"/>\n')
+                f.write("  </node>\n")
+            f.write("</osm>\n")
+        os.replace(tmp, path)
+    ents = osm_xml.read_osm_xml(spark, path)
+    amen = osm_xml.filter_entities(ents, tag="amenity")
+    return amen.select(
+        "id",
+        F.round("lat", 6).alias("lat"),
+        F.round("lon", 6).alias("lon"),
+        F.col("tags")["name"].alias("name"),
+        F.col("tags")["amenity"].alias("amenity"),
+        F.col("version").cast("int").alias("version"),
+    )
+
+
+QUERIES["s1_osm_xml_roundtrip"] = s1_osm_xml_roundtrip
+
+ORACLES["s1_osm_xml_roundtrip"] = """
+    SELECT c_custkey AS id,
+           round((c_custkey * 7919) % 16000 / 100.0 - 80.0, 6) AS lat,
+           round((c_custkey * 104729) % 36000 / 100.0 - 180.0, 6) AS lon,
+           c_name AS name,
+           lower(c_mktsegment) AS amenity,
+           CAST(1 + c_custkey % 5 AS INT) AS version
+    FROM customer WHERE c_custkey % 2 = 0
+"""
