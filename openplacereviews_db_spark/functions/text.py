@@ -98,9 +98,16 @@ def check_names(a: Column, b: Column) -> Column:
     wa = F.transform(tokenize_words(a), normalized)
     wb = F.transform(tokenize_words(b), normalized)
     eq_bag = F.array_sort(wa) == F.array_sort(wb)
-    subset = words_fuzzy_subset(wa, wb) | words_fuzzy_subset(wb, wa)
     non_empty = (F.size(wa) > 0) & (F.size(wb) > 0)
-    return eq_norm | eq_ws | eq_bag | (non_empty & subset)
+    # CASE chain instead of OR so the O(|a|·|b|) Levenshtein subset
+    # scans only run when the cheap equality tiers miss — boolean
+    # result identical (each tier is null-free once names are non-null)
+    return (
+        F.when(eq_norm | eq_ws | eq_bag, F.lit(True))
+        .when(~non_empty, F.lit(False))
+        .when(words_fuzzy_subset(wa, wb), F.lit(True))
+        .otherwise(words_fuzzy_subset(wb, wa))
+    )
 
 
 def tag_equal_non_empty(a: Column, b: Column) -> Column:

@@ -477,3 +477,76 @@ ORACLES["mm_decode_stats"] = f"""
            substr(h, 1, 16) AS checksum
     FROM m
 """
+
+
+def mm_sample_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the synthetic video rows: decode n_frames
+    (sha256-stub), explode every-5th frame index AFTER decode so the
+    payload is read once per media row, not per frame."""
+    from ..operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir)
+    media = docs.where(F.col("doc_id") % 3 == 2).select(
+        F.col("doc_id").alias("media_id"), F.lit("video").alias("kind"),
+        F.lit("x").alias("mime"), F.lit(0).alias("width"),
+        F.lit(0).alias("height"), F.lit(0.0).alias("duration_s"),
+        F.col("text").cast("binary").alias("payload"))
+    return MM.sample_frames(media, every_n=5).select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+
+
+QUERIES["mm_sample_frames"] = mm_sample_frames
+
+ORACLES["mm_sample_frames"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, sha256(text) AS h
+        FROM documents WHERE length(text) > 0 AND doc_id % 3 = 2
+    ),
+    nf AS (
+        SELECT media_id, 1 + {_hx('h', 5)} % 30 AS n_frames FROM m
+    )
+    SELECT media_id,
+           CAST(unnest(generate_series(0, n_frames - 1, 5)) AS INTEGER)
+               AS frame_idx
+    FROM nf
+"""
+
+
+def mm_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction pinned end to end: the stub extractor packs
+    sha256 bytes as 16 little-endian uint16 codes scaled to [0,1]
+    float32; the query recovers the integer codes (round(x*65535) is
+    exact through the float32 roundtrip) so the oracle can rebuild
+    them from hex arithmetic — the whole mapInPandas path is
+    value-checked, real-extractor plumbing unchanged."""
+    from ..operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"))
+    feats = MM.extract_features(media)
+    return feats.select(
+        "media_id",
+        F.transform(F.col("features").cast("array<double>"),
+                    lambda x: F.round(x * 65535.0, 0).cast("long"))
+        .alias("codes"),
+    )
+
+
+QUERIES["mm_feature_codes"] = mm_feature_codes
+
+# little-endian uint16 at code index i: byte[2i] + 256*byte[2i+1];
+# hex char position of byte b is 2b+1 (1-based substr)
+_U16 = (lambda i: f"({_hx('h', 4 * i + 1)} + 256 * {_hx('h', 4 * i + 3)})")
+
+ORACLES["mm_feature_codes"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id, sha256(text) AS h
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT media_id,
+           [{", ".join(f"CAST({_U16(i)} AS BIGINT)" for i in range(16))}]
+               AS codes
+    FROM m
+"""
