@@ -13,8 +13,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from openplacereviews_db_spark.plans import (corpus, history, merge_plans,
-                                             oplog, places_reports, relational,
-                                             relational2, sync_plans)
+                                             oplog, pipeline, places_reports,
+                                             relational, relational2,
+                                             sync_plans)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,6 +33,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(relational2.QUERIES)
     out.update(history.QUERIES)
     out.update(sync_plans.QUERIES)
+    out.update(pipeline.QUERIES)
     return out
 
 
@@ -45,4 +47,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(relational2.ORACLES)
     out.update(history.ORACLES)
     out.update(sync_plans.ORACLES)
+    out.update(pipeline.ORACLES)
     return out

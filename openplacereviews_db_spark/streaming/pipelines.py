@@ -140,3 +140,69 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
     return (events.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "update",
         GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# availableNow contract runners (driver-checkable streaming)
+# ---------------------------------------------------------------------------
+
+#: per-process counter for unique memory-sink table names
+_SINK_SEQ = [0]
+
+
+def _run_to_memory(agg: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming aggregate to completion (availableNow) into a
+    memory sink and return the materialized result table."""
+    _SINK_SEQ[0] += 1
+    name = f"st_sink_{_SINK_SEQ[0]}"
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode(output_mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def _stream_events_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as a *bounded* stream: the parquet file source
+    replays the directory exactly once under availableNow, so a windowed
+    aggregate over it equals the batch aggregate — which is what makes
+    these streaming queries oracle-able.  events.ts is TIMESTAMP(NANOS);
+    read as epoch-nanos long and truncate to micros (sources/testdata.py
+    does the same for the batch path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = ("event_id long, ts long, user_id long, event_type string, "
+              "value double, props string")
+    # the file source requires a directory; narrow it to the events file
+    src = (spark.readStream.format("parquet").schema(schema)
+           .option("pathGlobFilter", "events.parquet").load(sf_dir))
+    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def event_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily tumbling-window per-type rollup as a finished stream.
+
+    The value sum is over pre-floored millis (exact integer arithmetic),
+    so the result is summation-order-independent and hash-comparable
+    against the batch oracle.  Complete output mode: the sink holds the
+    final state of every window — identical to the batch groupBy.
+    """
+    ev = _stream_events_parquet(spark, sf_dir)
+    agg = (ev.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt"),
+                F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+                .alias("sum_millis")))
+    out = _run_to_memory(agg, "complete")
+    return out.select(F.col("w.start").alias("window_start"),
+                      "event_type", "cnt", "sum_millis")
+
+
+def sessionize_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user gap sessions (30 min) as a finished stream; session end =
+    last event + gap, per ``session_window`` semantics (the oracle
+    rebuilds the same islands with a lag/cumsum window)."""
+    ev = _stream_events_parquet(spark, sf_dir)
+    agg = (ev.groupBy(F.session_window("ts", "30 minutes").alias("s"),
+                      "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    out = _run_to_memory(agg, "complete")
+    return out.select("user_id", F.col("s.start").alias("session_start"),
+                      F.col("s.end").alias("session_end"), "n_events")
