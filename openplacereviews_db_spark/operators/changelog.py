@@ -36,6 +36,15 @@ from __future__ import annotations
 import json
 from typing import Any, Iterable
 
+try:  # pragma: no cover - orjson is an optional fast path
+    import orjson
+
+    def _loads(s: str) -> Any:
+        return orjson.loads(s)
+except ImportError:  # pragma: no cover
+    _loads = json.loads
+
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -314,17 +323,17 @@ def apply_operations(docs: DataFrame, ops: DataFrame,
             out_docs: list[str] = []
             for obj_id, raw, op_list in zip(pdf[id_col], pdf[doc_col],
                                             pdf["ops"]):
-                doc = json.loads(raw) if raw is not None else None
+                doc = _loads(raw) if raw is not None else None
                 if op_list is not None:
                     for op in op_list:
                         action = op["action"]
                         if action == ACTION_CREATE:
-                            doc = json.loads(op["doc"])
+                            doc = _loads(op["doc"])
                         elif action == ACTION_DELETE:
                             doc = None
                         elif action == ACTION_EDIT:
                             if doc is not None and op["change"] is not None:
-                                apply_change_map(doc, json.loads(op["change"]))
+                                apply_change_map(doc, _loads(op["change"]))
                         else:
                             raise ValueError(f"unknown action {action!r}")
                 if doc is not None:
@@ -376,8 +385,8 @@ def extract_diff(old: DataFrame, new: DataFrame,
                 elif new_raw is None:
                     emit(oid, ACTION_DELETE)
                 elif old_raw != new_raw:
-                    change, current = generate_diff(json.loads(old_raw),
-                                                    json.loads(new_raw))
+                    change, current = generate_diff(_loads(old_raw),
+                                                    _loads(new_raw))
                     if change:
                         emit(oid, ACTION_EDIT,
                              change=json.dumps(change, ensure_ascii=False),
