@@ -146,11 +146,16 @@ def decontaminate(df: DataFrame, eval_df: DataFrame,
     exploded n-gram set is broadcast; the corpus side streams through a
     stateless explode→hash-join→re-aggregate — no corpus-wide shuffle on
     the raw text, only on (id, gram) pairs that actually collide.
+
+    N-grams come from ``dedup.exploded_shingles`` (posexplode + lead
+    windows), which stays in whole-stage codegen — the array
+    higher-order form is interpreted and ~10× slower on wide corpora.
     """
+    from .dedup import exploded_shingles
+
     def grams(frame: DataFrame, out: str) -> DataFrame:
-        return frame.select(
-            F.col(id_col).alias(out),
-            F.explode(H.word_shingles(F.col(text_col), n=ngram)).alias("g"))
+        return (exploded_shingles(frame, text_col, id_col, n=ngram)
+                .select(F.col("id").alias(out), F.col("s").alias("g")))
 
     corpus = grams(df, "id")
     evals = grams(eval_df, "eval_id").distinct()
