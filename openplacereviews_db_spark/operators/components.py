@@ -47,17 +47,18 @@ def connected_components(edges: DataFrame, src: str = "id_a",
         # smallest neighbor label per node
         nbr = (sym.join(labels, sym["b"] == labels["node"])
                .groupBy("a").agg(F.min("comp").alias("nbr_comp")))
+        merged = F.least(F.col("comp"),
+                         F.coalesce("nbr_comp", F.col("comp")))
+        # carry the changed flag instead of re-joining old vs new labels:
+        # the convergence check is then a bare sum over the checkpointed
+        # frame — one shuffle less per round
         new_labels = (
             labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select("node",
-                    F.least(F.col("comp"),
-                            F.coalesce("nbr_comp", F.col("comp")))
-                    .alias("comp"))
+            .select("node", merged.alias("comp"),
+                    (merged != F.col("comp")).cast("int").alias("_chg"))
         ).localCheckpoint()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), on="node")
-                   .where(F.col("n.comp") != F.col("o.comp")).count())
-        labels = new_labels
+        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
+        labels = new_labels.drop("_chg")
         if changed == 0:
             break
     return labels.select("node", "comp")
