@@ -4,6 +4,7 @@ beyond the oracle parity test: planted-fixture behavior and determinism."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from openplacereviews_db_spark.operators import curation
 
@@ -77,3 +78,61 @@ def test_mixture_weights_sum_to_one(docs):
     by_tokens = sorted(rows, key=lambda r: r["n_tokens"])
     ws = [r["weight"] for r in by_tokens]
     assert ws == sorted(ws)
+
+
+# --- property-based invariants (plain-Python mirrors of the column math) ---
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcd", min_size=1, max_size=4)
+
+
+@st.composite
+def _doc_rows(draw):
+    n = draw(st.integers(1, 6))
+    return [(i, " ".join(draw(st.lists(_word, min_size=0, max_size=12))),
+             draw(st.sampled_from(["en", "de"])),
+             draw(st.sampled_from(["a", "b"]))) for i in range(n)]
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_rows())
+def test_repetition_bounds(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    for r in curation.repetition_stats(df).collect():
+        assert 0.0 <= r["top_bigram_frac"] <= 1.0
+        assert 0.0 <= r["dup_word_frac"] <= 1.0
+        assert r["n_bigrams"] == max(r["n_words"] - 1, 0)
+
+
+@settings(max_examples=8, deadline=None)
+@given(_doc_rows())
+def test_pii_scrub_idempotent(spark, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    once = curation.pii_scrub(df)
+    # scrubbing already-scrubbed text finds nothing: rebuild a frame from
+    # placeholders and re-scrub
+    again = curation.pii_scrub(
+        df.select("doc_id",
+                  F.lit("x <EMAIL> y <PHONE> z <IP>").alias("text")))
+    assert all(r["n_emails"] == r["n_phones"] == r["n_ips"] == 0
+               for r in again.collect())
+    assert once.count() == len(rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(_doc_rows(), st.integers(1, 5))
+def test_stratified_rate_formula(spark, rows, cap):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    from collections import Counter
+    sizes = Counter(r[2] for r in rows if r[1])
+    got = curation.stratified_sample(df.where("length(text) > 0"),
+                                     "lang", "doc_id", cap).collect()
+    for r in got:
+        assert r["rate"] == pytest.approx(
+            min(1.0, cap / sizes[r["stratum"]]), abs=1e-9)
+        assert r["u"] < r["rate"]
