@@ -206,3 +206,74 @@ def sessionize_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = _run_to_memory(agg, "complete")
     return out.select("user_id", F.col("s.start").alias("session_start"),
                       F.col("s.end").alias("session_end"), "n_events")
+
+
+def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
+                         checkpoint_dir: str, pairs_dir: str,
+                         shingle_words: int = 2, num_hashes: int = 16,
+                         bands: int = 8, min_jaccard: float = 0.5):
+    """Incremental near-duplicate detection: each micro-batch of incoming
+    documents is checked against a persistent MinHash band index (and
+    against itself), verified with exact Jaccard, then merged into the
+    index — the online form of ``dedup.minhash_lsh_pairs`` for a crawl
+    feed.
+
+    State is a parquet index of (id, band, shingles): candidate lookup is
+    a band equi-join against it (never a corpus scan), and the index
+    grows append-only — both sides of every join are DataFrames, nothing
+    is collected.  Verified pairs append to ``pairs_dir``; the offset
+    lives in the checkpoint (same-epoch commit discipline as the
+    changelog fold above).
+    """
+    from ..operators.dedup import exploded_shingles
+    from ..functions import hashing as H
+
+    rows = num_hashes // bands
+
+    def index_batch(batch: DataFrame) -> DataFrame:
+        exploded = exploded_shingles(batch, "text", "doc_id",
+                                     shingle_words)
+        sig = exploded.groupBy("id").agg(
+            *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
+              .alias(f"h{i}") for i in range(num_hashes)],
+            F.collect_set("s").alias("shingles"),
+        )
+        return sig.select(
+            "id", "shingles",
+            F.explode(H.lsh_bands(
+                F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
+                bands, rows)).alias("band"))
+
+    def verify(cand: DataFrame) -> DataFrame:
+        jac = F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        return (cand.withColumn("jaccard", jac)
+                .where(F.col("jaccard") >= min_jaccard)
+                .select("id_a", "id_b", "jaccard"))
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        new_idx = index_batch(batch).localCheckpoint()
+        try:
+            old_idx = spark.read.parquet(index_dir)
+        except Exception:
+            old_idx = spark.createDataFrame(
+                [], "id long, shingles array<string>, band string")
+        a = new_idx.select(F.col("id").alias("id_a"),
+                           F.col("shingles").alias("sh_a"), "band")
+        # new-vs-corpus (any order) + new-vs-new (a < b, once per pair)
+        vs_old = a.join(
+            old_idx.select(F.col("id").alias("id_b"),
+                           F.col("shingles").alias("sh_b"), "band"),
+            "band")
+        vs_new = (a.join(new_idx.select(F.col("id").alias("id_b"),
+                                        F.col("shingles").alias("sh_b"),
+                                        "band"), "band")
+                  .where(F.col("id_a") < F.col("id_b")))
+        pairs = (verify(vs_old.unionByName(vs_new))
+                 .dropDuplicates(["id_a", "id_b"]))
+        pairs.write.mode("append").parquet(pairs_dir)
+        new_idx.write.mode("append").parquet(index_dir)
+
+    return (docs_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))

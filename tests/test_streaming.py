@@ -132,3 +132,47 @@ def test_stateful_user_totals(spark, tmp_path):
     _write_events(src / "b.json", EVENTS[3:])
     second = run()
     assert second[1] == (3, 6.0)
+
+
+def test_neardup_dedup_stream(spark, tmp_path):
+    """Two micro-batches; the batch-2 near-copy of a batch-1 doc must be
+    caught against the persistent index, and the in-batch pair too."""
+    src = tmp_path / "docs"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch1 = [
+        {"doc_id": 1, "text": base},
+        {"doc_id": 2, "text": "completely different words about spark"},
+    ]
+    batch2 = [
+        {"doc_id": 3, "text": base + " tonight"},     # near-dup of 1
+        {"doc_id": 4, "text": base + " tonight ok"},  # near-dup of 1 and 3
+        {"doc_id": 5, "text": "yet another unrelated document entirely"},
+    ]
+    with open(src / "a.json", "w") as f:
+        for r in batch1:
+            f.write(json.dumps(r) + "\n")
+
+    def run():
+        stream = (spark.readStream.format("json")
+                  .schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).load(str(src)))
+        q = SP.neardup_dedup_stream(
+            stream, index_dir=str(tmp_path / "idx"),
+            checkpoint_dir=str(tmp_path / "ck"),
+            pairs_dir=str(tmp_path / "pairs")).start()
+        q.awaitTermination(120)
+
+    run()                                  # batch 1: builds the index
+    with open(src / "b.json", "w") as f:
+        for r in batch2:
+            f.write(json.dumps(r) + "\n")
+    run()                                  # batch 2: resumes from offset
+
+    pairs = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+             for r in spark.read.parquet(str(tmp_path / "pairs")).collect()}
+    assert (1, 3) in pairs and (1, 4) in pairs      # cross-batch vs index
+    assert (3, 4) in pairs                          # in-batch
+    assert not any(2 in p or 5 in p for p in pairs)
+    idx = spark.read.parquet(str(tmp_path / "idx"))
+    assert idx.select("id").distinct().count() == 5  # index grew append-only
