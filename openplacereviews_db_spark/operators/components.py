@@ -6,16 +6,26 @@ each group elects a canonical representative (min id).  The reference's
 G2 greedy clustering is its small-scale, tile-local cousin; this is the
 corpus-scale version.
 
-Algorithm: iterative min-label propagation (a simplified large-star /
-small-star scheme).  Each round every node adopts the smallest label in
-its neighborhood (including its own); converged when no label changes.
-Rounds = O(log(diameter)) for near-dup graphs (components are tiny —
-near-dup relations are almost-cliques), so 3-5 shuffles in practice.
-Each round is two hash-shuffles (groupBy on each edge end); AQE
-coalesces as labels converge.
+Algorithm: iterated partition-local contraction (the Hash-to-Min scheme
+of Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds"):
 
-The driver-side loop only checks a scalar convergence count per round —
-no data is collected.
+1. hash-partition the symmetrized edges on the source node — a node's
+   whole neighborhood lands in one partition — and run union-find
+   inside each Arrow batch.  Every node collapses to a star edge
+   (node → min id of its partition-local component);
+2. components that span partitions leave chained stars; symmetrize the
+   (now much smaller) star graph and contract again.  Each pass merges
+   whole local components, so passes = O(log diameter); near-dup
+   components are almost-cliques and 2 passes is typical;
+3. converged when every node maps to a single root and every root maps
+   to itself — checked with ONE scalar action per pass (no data is
+   ever collected to the driver).
+
+Per-partition union-find memory is O(nodes in the partition), bounded
+by the shuffle partition size — raise the partition count to scale.
+``localCheckpoint`` truncates lineage each pass (iterative plans
+otherwise double per round).
 """
 
 from __future__ import annotations
@@ -24,44 +34,86 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _contract_star_edges(sym: DataFrame) -> DataFrame:
+    """(node, root) star edges from partition-local union-find over the
+    (directionally doubled) edge list; root = min id of the node's
+    partition-local component.  A node split across partitions emits one
+    star edge per partition, chaining its local roots — connectivity is
+    preserved exactly.  Duplicate input edges are harmless (no distinct
+    pass needed: union-find is idempotent)."""
+    import pandas as pd
+
+    def contract(batches):
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+                a, b = int(a), int(b)
+                parent.setdefault(a, a)
+                parent.setdefault(b, b)
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[ra] = rb
+        if not parent:
+            return
+        roots = {n: find(n) for n in parent}
+        root_min: dict[int, int] = {}
+        for n, r in roots.items():
+            if n < root_min.get(r, n + 1):
+                root_min[r] = n
+        yield pd.DataFrame({
+            "a": list(roots.keys()),
+            "b": [root_min[r] for r in roots.values()],
+        })
+
+    n_parts = sym.sparkSession.sparkContext.defaultParallelism
+    return (sym.repartition(n_parts, "a")
+            .mapInPandas(contract, schema="a long, b long"))
+
+
+def _symmetrize(df: DataFrame) -> DataFrame:
+    return df.unionByName(
+        df.select(F.col("b").alias("a"), F.col("a").alias("b")))
+
+
 def connected_components(edges: DataFrame, src: str = "id_a",
                          dst: str = "id_b", max_iter: int = 20) -> DataFrame:
     """(node, component) for every node in the edge list; component =
     min node id of its connected component."""
     # materialize the (possibly expensive) pair pipeline once — the
-    # symmetrize-union below references it twice
+    # symmetrize-union references it twice
     edges = edges.localCheckpoint()
-    sym = (edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-           .unionByName(edges.select(F.col(dst).alias("a"),
-                                     F.col(src).alias("b")))
-           .distinct()
-           # localCheckpoint (not persist): iterative algorithms must
-           # TRUNCATE lineage each round or the logical plan doubles
-           # per iteration — exponential analysis cost and multi-GB
-           # plan strings long before any data problem
-           .localCheckpoint())
-    labels = (sym.select("a").distinct()
-              .select(F.col("a").alias("node"), F.col("a").alias("comp"))
-              .localCheckpoint())
+    sym = _symmetrize(
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
+    labels = None
     for _ in range(max_iter):
-        # smallest neighbor label per node
-        nbr = (sym.join(labels, sym["b"] == labels["node"])
-               .groupBy("a").agg(F.min("comp").alias("nbr_comp")))
-        merged = F.least(F.col("comp"),
-                         F.coalesce("nbr_comp", F.col("comp")))
-        # carry the changed flag instead of re-joining old vs new labels:
-        # the convergence check is then a bare sum over the checkpointed
-        # frame — one shuffle less per round
-        new_labels = (
-            labels.join(nbr, labels["node"] == nbr["a"], "left")
-            .select("node", merged.alias("comp"),
-                    (merged != F.col("comp")).cast("int").alias("_chg"))
-        ).localCheckpoint()
-        changed = new_labels.agg(F.sum("_chg")).collect()[0][0] or 0
-        labels = new_labels.drop("_chg")
-        if changed == 0:
+        star = _contract_star_edges(sym).localCheckpoint()
+        m = (star.groupBy("a")
+             .agg(F.count_distinct("b").alias("nr"),
+                  F.min("b").alias("comp"))).localCheckpoint()
+        # converged ⇔ every node has ONE root and every root self-maps;
+        # one scalar action (roots are nodes, so the self-lookup is an
+        # equi-join of m with itself — nothing collected)
+        viol = (
+            m.alias("c")
+            .join(m.select(F.col("a").alias("ra"),
+                           F.col("comp").alias("rcomp")).alias("p"),
+                  F.col("c.comp") == F.col("p.ra"), "left")
+            .agg(F.sum(((F.col("nr") > 1)
+                        | (F.col("rcomp") != F.col("ra"))
+                        | F.col("rcomp").isNull()).cast("int")))
+            .collect()[0][0] or 0)
+        labels = m.select(F.col("a").alias("node"), "comp")
+        if viol == 0:
             break
-    return labels.select("node", "comp")
+        sym = _symmetrize(star)
+    return labels
 
 
 def dedup_groups(pairs: DataFrame, src: str = "id_a", dst: str = "id_b",

@@ -221,6 +221,78 @@ def cosine_pairs_blocked(embs: DataFrame, threshold: float,
     )
 
 
+#: executor-side cache of hyperplane sign matrices, keyed by
+#: (planes, dim, offset) — rebuilt at most once per Python worker
+_SIGN_CACHE: dict = {}
+
+
+def _sign_matrix(planes: int, dim: int, offset: int = 0):
+    """±1 hyperplane components, same derivation as
+    ``hyperplane_bucket``: +1 iff the first hex nibble of md5("i:j") is
+    even.  Pure constants — computed once per worker, not per row."""
+    import hashlib
+
+    import numpy as np
+
+    key = (planes, dim, offset)
+    if key not in _SIGN_CACHE:
+        s = np.empty((planes, dim), dtype=np.float64)
+        for i in range(planes):
+            for j in range(dim):
+                h = hashlib.md5(f"{i + offset}:{j}".encode()).hexdigest()
+                s[i, j] = 1.0 if int(h[0], 16) % 2 == 0 else -1.0
+        _SIGN_CACHE[key] = s
+    return _SIGN_CACHE[key]
+
+
+def banded_hyperplane_buckets(embs: DataFrame, planes: int, bands: int,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> DataFrame:
+    """(id, v, band_bucket) with one row per band — the OR-banding keys
+    of every vector, all ``bands × planes`` signature bits computed in a
+    single ``M @ S.T`` GEMM per Arrow batch (the column-expression form
+    interprets dim × planes md5 calls PER ROW; this is the vectorized
+    equivalent).  Bit semantics match ``hyperplane_bucket``: plane i's
+    sign comes from md5("i:j"), MSB = lowest plane index; float
+    summation order differs from the sequential fold, so a dot product
+    within ~1e-12 of zero can land in a different bucket — candidate
+    recall moves (gated by the recall-floor tests), verified pair values
+    never do.
+    """
+    import numpy as np
+    import pandas as pd
+
+    total = planes * bands
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.float64)
+            s = _sign_matrix(total, m.shape[1])
+            bits = (m @ s.T) >= 0  # [n, total]
+            weights = np.array(
+                [1 << (planes - 1 - i) for i in range(planes)],
+                dtype=np.int64)
+            out_ids, out_v, out_bb = [], [], []
+            for b in range(bands):
+                seg = bits[:, b * planes:(b + 1) * planes]
+                buckets = seg @ weights
+                out_ids.append(pdf["id"].to_numpy())
+                out_v.extend(pdf["v"])
+                out_bb.extend(f"{b}:{int(x)}" for x in buckets)
+            yield pd.DataFrame({
+                "id": np.concatenate(out_ids),
+                "v": out_v,
+                "band_bucket": out_bb,
+            })
+
+    src = embs.select(F.col(id_col).alias("id"),
+                      as_double(F.col(vec_col)).alias("v"))
+    return src.mapInPandas(
+        kernel, schema="id long, v array<double>, band_bucket string")
+
+
 def hyperplane_bucket(vec: Column, planes: int = 8,
                       plane_offset: int = 0) -> Column:
     """Deterministic random-hyperplane LSH bucket id (0..2^planes-1).
@@ -256,12 +328,15 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     """Approximate top-k: candidates restricted to the query's hyperplane
     bucket.  Same output schema as ``cosine_topk``; recall < 1 by design
     (scale path: bucket equi-join instead of all-pairs)."""
-    q = queries.select(
-        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec")
-    ).withColumn("bucket", hyperplane_bucket(F.col("q_vec"), planes))
-    c = corpus.select(
-        F.col(id_col).alias("c_id"), as_double(F.col(vec_col)).alias("c_vec")
-    ).withColumn("bucket", hyperplane_bucket(F.col("c_vec"), planes))
+    # both sides MUST derive buckets through the same kernel — mixing the
+    # column-expression fold with the GEMM kernel could disagree on a
+    # dot product within float noise of zero and miss the shared bucket
+    q = banded_hyperplane_buckets(queries, planes, 1, vec_col, id_col).select(
+        F.col("id").alias("q_id"), F.col("v").alias("q_vec"),
+        F.col("band_bucket").alias("bucket"))
+    c = banded_hyperplane_buckets(corpus, planes, 1, vec_col, id_col).select(
+        F.col("id").alias("c_id"), F.col("v").alias("c_vec"),
+        F.col("band_bucket").alias("bucket"))
     scored = (
         c.join(F.broadcast(q), on="bucket")
         .where(F.col("q_id") != F.col("c_id"))
@@ -293,16 +368,7 @@ def cosine_pairs_lsh(embs: DataFrame, threshold: float,
     import numpy as np
     import pandas as pd
 
-    src = embs.select(
-        F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v")
-    ).withColumn(
-        "band_bucket",
-        F.explode(F.array(*[
-            F.concat_ws(":", F.lit(b),
-                        hyperplane_bucket(F.col("v"), planes,
-                                          plane_offset=b * planes))
-            for b in range(bands)
-        ])))
+    src = banded_hyperplane_buckets(embs, planes, bands, vec_col, id_col)
 
     emit_floor = threshold - 1e-6
     schema = "id_a long, id_b long, sim_raw double"
