@@ -37,6 +37,11 @@ def global_cumsum(df: DataFrame, value_col: str, order_cols: list,
     sort_exprs = [F.col(c) if a else F.col(c).desc()
                   for c, a in zip(order_cols, asc)]
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # repartitionByRange runs a range-SAMPLING job that recomputes its
+    # whole input lineage, then the real exchange recomputes it again —
+    # materialize once so an expensive upstream pipeline (curate_corpus
+    # computes every text feature) only executes once
+    df = df.localCheckpoint()
     ranged = df.repartitionByRange(n, *sort_exprs).withColumn(
         "_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*sort_exprs) \
