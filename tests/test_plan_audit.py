@@ -46,3 +46,33 @@ def test_no_unbounded_nested_loops(name, spark, sf_dir):
         f"{name}: {flags} in physical plan — block the join or whitelist "
         f"with a boundedness justification"
     )
+
+
+@pytest.mark.parametrize("name", ["q3_segment_topk", "q5_region_revenue",
+                                  "q1_pricing_summary", "j10_latest_event",
+                                  "w1_running_total"])
+def test_no_fact_table_broadcast(name, spark, sf_dir):
+    """No BroadcastExchange may feed from an orders/lineitem/events scan
+    — broadcasting a fact side is a driver OOM at 100 TB (the round-1
+    q3/q5 verdict).  Catalyst may still stats-broadcast tiny frames at
+    sf0.001, so the check walks the plan tree: a broadcast subtree that
+    contains a fact-table file scan AND no aggregation below it (an agg
+    bounds the frame) fails."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    root = df._jdf.queryExecution().executedPlan()
+
+    def walk(node, in_broadcast):
+        nm = node.nodeName()
+        bcast = in_broadcast or "BroadcastExchange" in nm
+        if "Scan" in nm and bcast:
+            detail = node.toString().splitlines()[0] + node.verboseString(1)
+            for fact in ("orders", "lineitem", "events"):
+                assert f"{fact}.parquet" not in detail, (
+                    f"{name}: broadcast subtree scans fact table {fact}"
+                )
+        if "Aggregate" in nm and in_broadcast:
+            return  # aggregated below the broadcast — bounded by keys
+        for i in range(node.children().size()):
+            walk(node.children().apply(i), bcast)
+
+    walk(root, False)
