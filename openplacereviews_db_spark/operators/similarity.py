@@ -68,6 +68,39 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", w).where(F.col("rank") <= k)
 
 
+def knn_label_predict(corpus: DataFrame, queries: DataFrame, k: int = 7,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      label_col: str = "label") -> DataFrame:
+    """k-NN majority-vote label prediction — the auto-labeling /
+    label-propagation primitive of a training-data pipeline (assign a
+    class to new documents from their nearest labeled neighbors).
+
+    Composes :func:`cosine_topk` (exact, rounded sims, deterministic
+    rank tiebreak) with a per-query vote count; ties break on the
+    smaller label so the result is hash-stable.  Returns one row per
+    query: (q_id, pred_label, votes, true_label, correct).  The probe
+    side broadcasts; the corpus streams — at scale swap ``cosine_topk``
+    for ``cosine_topk_lsh``/IVF with the same vote tail.
+    """
+    topk = cosine_topk(corpus, queries, k, vec_col, id_col)
+    nbr = corpus.select(F.col(id_col).alias("c_id"),
+                        F.col(label_col).alias("nbr_label"))
+    votes = (topk.join(nbr, "c_id")
+             .groupBy("q_id", "nbr_label")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("q_id").orderBy(F.desc("votes"),
+                                           F.asc("nbr_label"))
+    pick = (votes.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") == 1).drop("_rk"))
+    truth = queries.select(F.col(id_col).alias("q_id"),
+                           F.col(label_col).alias("true_label"))
+    return (pick.join(truth, "q_id")
+            .select("q_id", F.col("nbr_label").alias("pred_label"),
+                    "votes", "true_label",
+                    (F.col("nbr_label") == F.col("true_label"))
+                    .alias("correct")))
+
+
 def cosine_pairs_gemm(embs: DataFrame, threshold: float,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       round_digits: int = 4,

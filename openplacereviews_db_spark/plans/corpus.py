@@ -78,6 +78,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(embs, queries, k=5)
 
 
+def ann_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote auto-labeling: every 20th vector is a probe,
+    classified by its 7 nearest labeled neighbors (exact cosine,
+    rounded, deterministic tiebreaks all the way down)."""
+    embs = _embs(spark, sf_dir)
+    probes = embs.where(F.col("vec_id") % 20 == 0)
+    return similarity.knn_label_predict(embs, probes, k=7)
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to the
     synthetic corpus' similarity distribution), via the distributed
@@ -112,6 +121,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash": dd_simhash,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_knn_label": ann_knn_label,
     "emb_neardup_pairs": emb_neardup_pairs,
     "tx_language_id": tx_language_id,
     "tx_quality_score": tx_quality_score,
@@ -227,6 +237,36 @@ ORACLES: dict[str, str] = {
             FROM scored)
         SELECT q_id, c_id, sim, CAST(rank AS INTEGER) AS rank
         FROM ranked WHERE rank <= 5
+    """,
+    "ann_knn_label": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                   round(list_dot_product(q.v, c.v)
+                         / (sqrt(list_dot_product(q.v, q.v))
+                            * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+            FROM e q, e c
+            WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+        ranked AS (
+            SELECT q_id, c_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY sim DESC, c_id ASC) AS rank
+            FROM scored),
+        votes AS (
+            SELECT t.q_id, l.label AS nbr_label, COUNT(*) AS votes
+            FROM ranked t JOIN embeddings l ON l.vec_id = t.c_id
+            WHERE t.rank <= 7 GROUP BY 1, 2),
+        pick AS (
+            SELECT q_id, nbr_label, votes,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY votes DESC, nbr_label ASC) AS rk
+            FROM votes)
+        SELECT p.q_id, p.nbr_label AS pred_label,
+               CAST(p.votes AS BIGINT) AS votes,
+               q.label AS true_label,
+               (p.nbr_label = q.label) AS correct
+        FROM pick p JOIN embeddings q ON q.vec_id = p.q_id
+        WHERE p.rk = 1
     """,
     "emb_neardup_pairs": """
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
