@@ -319,7 +319,12 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     """
     t = simhash_table(df, text_col, id_col)
     if block_bits > 0:
-        t = t.withColumn("blk", F.floor(F.col("simhash") / F.lit(2 ** (64 - block_bits))))
+        # arithmetic shift, not floor(x / 2^k): double division rounds
+        # the 64-bit value to 53 bits and can misplace hashes within
+        # ~2^11 of a block boundary — and the SQL mirror (>>) must
+        # agree bit-for-bit
+        t = t.withColumn("blk", F.shiftright(F.col("simhash"),
+                                             64 - block_bits))
         join_on = [F.col("a.blk") == F.col("b.blk")]
     else:
         t = t.withColumn("blk", F.lit(0))

@@ -51,6 +51,14 @@ def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(_docs(spark, sf_dir))
 
 
+def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs under the blocked (top-16-bit prefix)
+    default — the self-join is an equi-join on the prefix, never
+    quadratic; the oracle mirrors the same blocking with ``>>`` so the
+    missed-cross-prefix trade-off is identical on both sides."""
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
+
+
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within (lang × MinHash-band) blocks.
 
@@ -119,6 +127,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_exact": dd_exact,
     "dd_minhash_lsh": dd_minhash_lsh,
     "dd_simhash": dd_simhash,
+    "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_label": ann_knn_label,
@@ -195,6 +204,15 @@ ORACLES: dict[str, str] = {
                     / len(list_distinct(sa.shingles || sb.shingles)), 6) >= 0.1
     """,
     "dd_simhash": _SIMHASH_SQL,
+    "dd_simhash_pairs": f"""
+        WITH sim AS ({_SIMHASH_SQL}),
+        blk AS (SELECT id, simhash, simhash >> 48 AS blk FROM sim)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                   AS hamming
+        FROM blk a JOIN blk b ON a.blk = b.blk AND a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    """,
     "dd_ngram_jaccard": f"""
         WITH sh AS (
             SELECT doc_id, lang, {_SHINGLES2} AS shingles
