@@ -87,11 +87,15 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ann_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-NN majority-vote auto-labeling: every 20th vector is a probe,
-    classified by its 7 nearest labeled neighbors (exact cosine,
-    rounded, deterministic tiebreaks all the way down)."""
+    """k-NN majority-vote auto-labeling: a BOUNDED probe set (every
+    20th vector under id 1000 — ≤50 rows at any sf, so the broadcast
+    side is constant) classified by its 7 nearest labeled neighbors
+    (exact cosine, rounded, deterministic tiebreaks all the way
+    down).  An unbounded probe side must go through the LSH/IVF paths
+    instead."""
     embs = _embs(spark, sf_dir)
-    probes = embs.where(F.col("vec_id") % 20 == 0)
+    probes = embs.where((F.col("vec_id") % 20 == 0)
+                        & (F.col("vec_id") < 1000))
     return similarity.knn_label_predict(embs, probes, k=7)
 
 
@@ -264,7 +268,8 @@ ORACLES: dict[str, str] = {
                          / (sqrt(list_dot_product(q.v, q.v))
                             * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
             FROM e q, e c
-            WHERE q.vec_id % 20 = 0 AND q.vec_id <> c.vec_id),
+            WHERE q.vec_id % 20 = 0 AND q.vec_id < 1000
+              AND q.vec_id <> c.vec_id),
         ranked AS (
             SELECT q_id, c_id,
                    row_number() OVER (PARTITION BY q_id
