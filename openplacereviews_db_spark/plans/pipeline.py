@@ -100,6 +100,13 @@ def st_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.sessionize_once(spark, sf_dir)
 
 
+def st_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run to
+    completion: the converged per-user state equals the batch aggregate
+    because the state accumulates integer millis (order-independent)."""
+    return sp.user_totals_once(spark, sf_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_stratified_sample": tx_stratified_sample,
     "tx_mix_weights": tx_mix_weights,
@@ -108,6 +115,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_pii_scrub": tx_pii_scrub,
     "st_event_rollup": st_event_rollup,
     "st_sessionize": st_sessionize,
+    "st_user_totals": st_user_totals,
 }
 
 _U = curation.hash_uniform_sql("doc_id")
@@ -229,6 +237,12 @@ ORACLES: dict[str, str] = {
                CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
                    AS sum_millis
         FROM events GROUP BY 1, 2
+    """,
+    "st_user_totals": """
+        SELECT user_id, count(*) AS n_events,
+               CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS total_millis
+        FROM events GROUP BY user_id
     """,
     "st_sessionize": """
         WITH o AS (

@@ -208,6 +208,47 @@ def sessionize_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("s.end").alias("session_end"), "n_events")
 
 
+def user_totals_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals maintained by ``applyInPandasWithState``,
+    run to completion over the bounded events stream — the custom
+    stateful operator as a driver-checkable query.
+
+    State is (n, total_millis) with the value pre-floored to integer
+    millis, so the accumulated total is summation-order-independent and
+    the final emission per key equals the batch aggregate exactly —
+    which is what makes a stateful stream oracle-able.  Update output
+    mode emits one row per key per micro-batch; the LAST emission per
+    key is the converged state (max_by on the batch sequence).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    ev = _stream_events_parquet(spark, sf_dir).select(
+        "user_id", F.floor(F.col("value") * 1000).cast("bigint")
+        .alias("millis"))
+
+    out_schema = "user_id long, n_events long, total_millis long, seq long"
+    state_schema = "n long, total long, seq long"
+
+    def fn(key, pdfs, state: GroupState):
+        n, total, seq = state.get if state.exists else (0, 0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += int(pdf["millis"].sum())
+        seq += 1
+        state.update((n, total, seq))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "total_millis": [total], "seq": [seq]})
+
+    agg = ev.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout)
+    out = _run_to_memory(agg, "update")
+    last = out.groupBy("user_id").agg(
+        F.max_by(F.struct("n_events", "total_millis"), "seq").alias("s"))
+    return last.select("user_id", F.col("s.n_events").alias("n_events"),
+                       F.col("s.total_millis").alias("total_millis"))
+
+
 def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
                          checkpoint_dir: str, pairs_dir: str,
                          shingle_words: int = 2, num_hashes: int = 16,
