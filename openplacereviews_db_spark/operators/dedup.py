@@ -153,19 +153,18 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """Exact n-gram Jaccard within (attr × MinHash-band) blocks, with
     ONE shingle pass.
 
-    The naive composition (``minhash_band_keys`` + re-shingling inside
-    ``ngram_jaccard_pairs``) shingles every (doc × band) replica — a
-    bands× blowup of the most expensive stage.  Here the exploded
-    shingles are computed once (persisted): one branch builds the
-    minhash band keys, the other the per-doc xxhash64 shingle-id sets;
-    band replication then only duplicates the compact (id, sids) rows
-    into their (attr, band) GEMM groups.  Pair values are exact Jaccard
-    from the full sets — identical to any other blocking of the same
-    candidate pairs — and pairs colliding in several bands dedup once.
+    Plan shape (the ``minhash_lsh_pairs`` shape, with shingle-id sets
+    instead of shingle strings): the exploded shingles are computed
+    once (persisted); one branch builds the minhash band keys, another
+    the per-doc xxhash64 shingle-id sets.  Candidates come from an
+    ids-ONLY equi-join on (attr, band) — banding bounds the candidate
+    count, and nothing heavier than (id, band) rows replicates through
+    the band shuffle (an earlier version shipped every doc's sid set
+    ``bands``× into per-block GEMM groups; the compact candidate join
+    beats it at every scale).  Each surviving pair is verified once
+    with exact Jaccard from the full sets — JVM-side array intersect,
+    so values are identical to any other blocking of the same pairs.
     """
-    import numpy as np
-    import pandas as pd
-
     rows = num_hashes // bands
     base = df.withColumn("_attr",
                          F.col(attr_col) if attr_col else F.lit(""))
@@ -175,64 +174,31 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
           for i in range(num_hashes)],
         F.collect_list(F.xxhash64("s")).alias("sids"),
-    )
+    ).persist()
     banded = sig.select(
-        "id", "sids",
+        "id", "_attr",
         F.explode(H.lsh_bands(
             F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
             bands, rows)).alias("band"),
-        F.concat_ws("|", "_attr", "band").alias("blk"),
-    ).select("blk", "id", "sids")
-
-    emit_floor = min_jaccard - 1e-6
-    out_schema = "id_a long, id_b long, jac_raw double"
-
-    def gemm(pdf: pd.DataFrame) -> pd.DataFrame | None:
-        n = len(pdf)
-        if n < 2:
-            return None
-        pdf = pdf.sort_values("id").reset_index(drop=True)
-        ids = pdf["id"].to_numpy()
-        local = sorted({int(s) for row in pdf["sids"] for s in row})
-        remap = {s: i for i, s in enumerate(local)}
-        m = np.zeros((n, len(local)), dtype=np.float32)
-        for r, row in enumerate(pdf["sids"]):
-            m[r, [remap[int(s)] for s in row]] = 1.0
-        inter = (m @ m.T).astype(np.float64)
-        sizes = m.sum(axis=1, dtype=np.float64)
-        union = sizes[:, None] + sizes[None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, inter / union, 0.0)
-        iu, ju = np.triu_indices(n, 1)
-        keep = jac[iu, ju] >= emit_floor
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                             "jac_raw": jac[iu, ju][keep]})
-
-    def per_partition(batches):
-        # one Python invocation per PARTITION (blocks are hash-assigned
-        # to partitions, so a block never spans two): most band buckets
-        # hold 1-2 docs, and per-bucket applyInPandas would pay Arrow
-        # round-trip overhead per tiny bucket
-        pdfs = list(batches)
-        if not pdfs:
-            return
-        pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
-        outs = [o for _, g in pdf.groupby("blk", sort=False)
-                if (o := gemm(g)) is not None]
-        if outs:
-            yield pd.concat(outs, ignore_index=True)
-
-    n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
-    pairs = (
-        banded.repartition(n_parts, "blk")
-        .mapInPandas(per_partition, schema=out_schema)
+    ).select("id", F.concat_ws("|", "_attr", "band").alias("blk"))
+    cand = (
+        banded.alias("a").join(banded.alias("b"), on="blk")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        pairs.withColumn("jaccard", F.round("jac_raw", 6))
+    sets = sig.select("id", "sids")
+    verified = (
+        cand.join(sets.select(F.col("id").alias("id_a"),
+                              F.col("sids").alias("s_a")), on="id_a")
+        .join(sets.select(F.col("id").alias("id_b"),
+                          F.col("sids").alias("s_b")), on="id_b")
+        .withColumn("jaccard",
+                    F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+    return verified
 
 
 def minhash_band_keys(df: DataFrame, text_col: str = "text",
