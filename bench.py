@@ -28,6 +28,20 @@ def main() -> None:
     # JIT/codegen warmup on a tiny query so q1 doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    import gc
+
+    def drop_retained_blocks() -> None:
+        # clearCache only empties the catalog cache; localCheckpoint /
+        # persist blocks of finished queries stay in the block manager
+        # and 90+ queries in one JVM accumulate heap + GC pressure —
+        # unpersist every retained RDD explicitly
+        spark.catalog.clearCache()
+        it = (spark.sparkContext._jsc.sc()
+              .getPersistentRDDs().values().iterator())
+        while it.hasNext():
+            it.next().unpersist(False)
+        gc.collect()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in entrymod.queries().items():
@@ -35,9 +49,7 @@ def main() -> None:
         df = fn(spark, sf_dir)
         n = len(df.collect())
         dt = time.time() - t0
-        # drop per-query persisted frames so 60+ queries in one JVM
-        # don't accumulate block-manager heap
-        spark.catalog.clearCache()
+        drop_retained_blocks()
         timings[name] = round(dt, 3)
         total += dt
         print(f"# {name}: {dt:.3f}s rows={n}", file=sys.stderr)
