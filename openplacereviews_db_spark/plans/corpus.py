@@ -406,6 +406,34 @@ def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dd_dup_groups"] = dd_dup_groups
 
+
+def dd_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline's END action: one row per document with its
+    canonical id, duplicate-group size, and whether a keep-one-per-group
+    pass retains it — pairs → groups → survivor flags, the frame a
+    curation pipeline actually filters on."""
+    from ..operators.components import dedup_groups
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_words=2, num_hashes=16, bands=8, min_jaccard=0.1)
+    groups = dedup_groups(pairs)
+    base = docs.select(F.col("doc_id").alias("id"))
+    return (
+        base.join(groups, base["id"] == groups["node"], "left")
+        .select(
+            "id",
+            F.coalesce("canonical_id", F.col("id")).alias("canonical_id"),
+            F.coalesce("group_size", F.lit(1).cast("bigint"))
+            .alias("group_size"),
+            (F.coalesce("canonical_id", F.col("id")) == F.col("id"))
+            .alias("kept"),
+        )
+    )
+
+
+QUERIES["dd_apply"] = dd_apply
+
 ORACLES["dd_dup_groups"] = f"""
     WITH RECURSIVE pairs AS (
         {ORACLES["dd_minhash_lsh"]}
@@ -425,6 +453,16 @@ ORACLES["dd_dup_groups"] = f"""
     SELECT node, canonical_id,
            COUNT(*) OVER (PARTITION BY canonical_id) AS group_size
     FROM comp
+"""
+
+ORACLES["dd_apply"] = f"""
+    WITH groups AS ({ORACLES["dd_dup_groups"]}),
+    base AS (SELECT doc_id AS id FROM documents WHERE length(text) > 0)
+    SELECT b.id,
+           COALESCE(g.canonical_id, b.id) AS canonical_id,
+           CAST(COALESCE(g.group_size, 1) AS BIGINT) AS group_size,
+           (COALESCE(g.canonical_id, b.id) = b.id) AS kept
+    FROM base b LEFT JOIN groups g ON g.node = b.id
 """
 
 

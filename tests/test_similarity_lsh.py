@@ -47,6 +47,57 @@ def test_connected_components(spark):
     assert groups[4] == (1, 4) and groups[22] == (20, 3)
 
 
+def test_connected_components_random_graphs(spark):
+    """Property check of the iterated-contraction CC against a straight
+    union-find: random sparse graphs, including long paths that force
+    multiple contraction passes."""
+    import random
+
+    from openplacereviews_db_spark.operators.components import (
+        connected_components)
+
+    def reference_cc(edges):
+        parent = {}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for n in parent:
+            r = find(n)
+            comp.setdefault(r, []).append(n)
+        return {n: min(ns) for r, ns in comp.items() for n in ns}
+
+    rng = random.Random(7)
+    cases = []
+    for trial in range(4):
+        n = rng.randint(2, 120)
+        m = rng.randint(1, 3 * n)
+        cases.append([(rng.randint(0, n), rng.randint(0, n))
+                      for _ in range(m)])
+    # adversarial: one long path (diameter >> partitions) + shuffled ids
+    path_ids = list(range(300))
+    rng.shuffle(path_ids)
+    cases.append(list(zip(path_ids, path_ids[1:])))
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b] or [(0, 1)]
+        want = reference_cc(edges)
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["comp"]
+               for r in connected_components(df).collect()}
+        assert got == want, (len(edges), sorted(set(got.items()) ^ set(want.items()))[:5])
+
+
 def test_lsh_topk_recall(spark, sf_dir):
     embs = load_table(spark, "embeddings", sf_dir)
     queries = embs.limit(20)
