@@ -584,3 +584,73 @@ ORACLES["d3_aligned_windows"] = """
     FROM events
     GROUP BY 1
 """
+
+
+def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: an OR of conjunctive (brand × container ×
+    quantity-range) predicates across a join.  The point is optimizer
+    behavior: Catalyst extracts the common `p_partkey = l_partkey`
+    conjunct, pushes the part-side disjuncts below the join, and the
+    parquet scan reports PushedFilters for the Or tree — verified by
+    the executedPlan assertion in tests/test_skew.py's sibling audit.
+    """
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    case1 = ((F.col("p_brand") == "Brand#1") & (F.col("p_size") <= 10)
+             & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 11))
+    case2 = ((F.col("p_brand") == "Brand#2")
+             & (F.col("p_size") >= 11) & (F.col("p_size") <= 25)
+             & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 20))
+    case3 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size") >= 26)
+             & (F.col("l_quantity") >= 20) & (F.col("l_quantity") <= 30))
+    return (
+        j.where(case1 | case2 | case3)
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )
+
+
+QUERIES["q19_disjunctive_filter"] = q19_disjunctive_filter
+
+ORACLES["q19_disjunctive_filter"] = """
+    SELECT round(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size <= 10
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 11 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size >= 26
+           AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q16_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: COUNT(DISTINCT supplier) per (brand, type,
+    size) after an anti-ish exclusion — the distinct aggregate is the
+    two-level shuffle (partial distinct per partition, exact merge)
+    that replaces the reference's in-memory TreeSet counting."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(part, li.l_partkey == part.p_partkey)
+    out = (
+        j.where(~F.col("p_type").startswith("MEDIUM POLISHED"))
+        .groupBy("p_brand", F.col("p_size"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .where(F.col("supplier_cnt") >= 2)
+    )
+    return out.select("p_brand", "p_size", "supplier_cnt")
+
+
+QUERIES["q16_distinct_count"] = q16_distinct_count
+
+ORACLES["q16_distinct_count"] = """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE NOT starts_with(p_type, 'MEDIUM POLISHED')
+    GROUP BY p_brand, p_size
+    HAVING COUNT(DISTINCT l_suppkey) >= 2
+"""
