@@ -38,7 +38,17 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     internal).  Replication cost: ``|small| × salt_factor`` rows through
     the shuffle — keep the small side genuinely small or salt only the
     known-hot keys.
+
+    Only ``inner``/``left`` (big-side-preserving) joins are legal: an
+    outer-preserved SMALL side would emit its unmatched rows once per
+    salt replica.
     """
+    if how not in ("inner", "left", "leftouter", "left_outer",
+                   "leftsemi", "left_semi", "leftanti", "left_anti"):
+        raise ValueError(
+            f"salted_join: how={how!r} would duplicate unmatched "
+            f"small-side rows across salt replicas; use inner/left "
+            f"variants or salt the other side")
     big_s = big.withColumn(
         "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]),
                         F.lit(salt_factor)).cast("int"))
