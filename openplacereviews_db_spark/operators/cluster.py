@@ -122,6 +122,12 @@ def greedy_proximity_groups(df: DataFrame, dist_m: float = 150.0,
     id_type = dict(df.dtypes)[id_col]
     schema = (f"{tile_col} string, id {id_type}, lat double, "
               f"lon double, status string, group_id {id_type}, seq int")
+    # EXPLICIT partition count, deliberately: AQE would coalesce this
+    # exchange to shuffle-byte-sized partitions (a few, for a small
+    # corpus) and serialize the CPU-bound greedy kernel onto 1-4 Python
+    # workers — measured 4x slower than pinning cores×2 tasks.  The
+    # opposite call from components._contract_star_edges, whose per-row
+    # work is trivial and task overhead dominates.
     n_parts = df.sparkSession.sparkContext.defaultParallelism * 2
     return (
         df.select(tile_col, F.col(id_col).alias("id"), "lat", "lon", "status")

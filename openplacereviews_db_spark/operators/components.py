@@ -72,8 +72,12 @@ def _contract_star_edges(sym: DataFrame) -> DataFrame:
             "b": [root_min[r] for r in roots.values()],
         })
 
-    n_parts = sym.sparkSession.sparkContext.defaultParallelism
-    return (sym.repartition(n_parts, "a")
+    # hash-partition on the node WITHOUT an explicit count: an explicit
+    # N pins the exchange and AQE cannot coalesce it, so a tiny star
+    # graph would still spawn shuffle-partition-many Python tasks; with
+    # AQE the count adapts from spark.sql.shuffle.partitions down (or
+    # raise the conf up at 100 TB)
+    return (sym.repartition("a")
             .mapInPandas(contract, schema="a long, b long"))
 
 
