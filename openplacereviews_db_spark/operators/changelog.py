@@ -41,8 +41,19 @@ try:  # pragma: no cover - orjson is an optional fast path
 
     def _loads(s: str) -> Any:
         return orjson.loads(s)
+
+    def _dumps_sorted(doc: Any) -> str:
+        # ~2-3x faster than json.dumps on the M9 output path; compact
+        # separators are safe because every consumer parses the JSON
+        # (from_json / loads), never string-matches it.  Non-ASCII is
+        # emitted raw, same as ensure_ascii=False.
+        return orjson.dumps(doc, option=orjson.OPT_SORT_KEYS).decode()
 except ImportError:  # pragma: no cover
     _loads = json.loads
+
+    def _dumps_sorted(doc: Any) -> str:
+        return json.dumps(doc, sort_keys=True, ensure_ascii=False,
+                          separators=(",", ":"))
 
 
 from pyspark.sql import DataFrame
@@ -338,8 +349,7 @@ def apply_operations(docs: DataFrame, ops: DataFrame,
                             raise ValueError(f"unknown action {action!r}")
                 if doc is not None:
                     out_ids.append(obj_id)
-                    out_docs.append(json.dumps(doc, sort_keys=True,
-                                               ensure_ascii=False))
+                    out_docs.append(_dumps_sorted(doc))
             yield pd.DataFrame({id_col: out_ids, doc_col: out_docs})
 
     return joined.mapInPandas(fold_batches, schema=out_schema)

@@ -170,9 +170,15 @@ def cosine_pairs_gemm(embs: DataFrame, threshold: float,
     )
 
 
+#: auto-chunking target: rows per chunk so one GEMM block is
+#: ~(4096)² doubles ≈ 128 MB of similarities — comfortably in-memory
+_CHUNK_TARGET_ROWS = 4096
+
+
 def cosine_pairs_blocked(embs: DataFrame, threshold: float,
                          vec_col: str = "embedding", id_col: str = "vec_id",
-                         chunks: int = 8, round_digits: int = 4) -> DataFrame:
+                         chunks: int | None = None,
+                         round_digits: int = 4) -> DataFrame:
     """EXACT all pairs (a < b) with cosine >= threshold, fully
     distributed — nothing is ever collected to the driver.
 
@@ -189,9 +195,19 @@ def cosine_pairs_blocked(embs: DataFrame, threshold: float,
 
     Same rounding/threshold contract as ``cosine_pairs_gemm``, so the
     two are drop-in interchangeable and share the exact SQL oracle.
+
+    ``chunks=None`` sizes the grid from a cheap count: small inputs run
+    1-3 chunk pairs (no pointless 36-task replication at bench scale),
+    big inputs grow linearly to keep each block ~`_CHUNK_TARGET_ROWS`
+    rows (capped at 64 chunks = 2080 tasks; beyond that pass an
+    explicit count-aware value).
     """
     import numpy as np
     import pandas as pd
+
+    if chunks is None:
+        n = embs.count()
+        chunks = min(64, max(1, -(-n // _CHUNK_TARGET_ROWS)))
 
     src = embs.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"),

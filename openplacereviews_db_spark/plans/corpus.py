@@ -627,11 +627,17 @@ def mm_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         F.col("text").cast("binary").alias("payload"))
     feats = MM.extract_features(media)
+    # codes are emitted as a comma-joined string, not array<long>: the
+    # driver canonicalizer sorts on every output column and cannot sort
+    # list cells (round-2 hard FAIL).  Contract outputs must be scalar
+    # at top level — tests/test_plan_audit.py enforces this.
     return feats.select(
         "media_id",
-        F.transform(F.col("features").cast("array<double>"),
-                    lambda x: F.round(x * 65535.0, 0).cast("long"))
-        .alias("codes"),
+        F.array_join(
+            F.transform(F.col("features").cast("array<double>"),
+                        lambda x: F.round(x * 65535.0, 0).cast("long")
+                        .cast("string")),
+            ",").alias("codes"),
     )
 
 
@@ -647,7 +653,7 @@ ORACLES["mm_feature_codes"] = f"""
         FROM documents WHERE length(text) > 0
     )
     SELECT media_id,
-           [{", ".join(f"CAST({_U16(i)} AS BIGINT)" for i in range(16))}]
+           {" || ',' || ".join(f"CAST(CAST({_U16(i)} AS BIGINT) AS VARCHAR)" for i in range(16))}
                AS codes
     FROM m
 """

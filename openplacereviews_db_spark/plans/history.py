@@ -45,6 +45,7 @@ _PLACE_DOC_DDL = (
     "deleted:string>>>,deleted:string>")
 
 
+@P._memo_plan
 def synthetic_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic operations corpus over the place ids:
 

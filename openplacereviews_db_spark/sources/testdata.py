@@ -25,15 +25,22 @@ def load_table(spark: SparkSession, name: str,
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS), which Spark's parquet reader
-        # rejects; read it as epoch-nanos long and truncate to micros
-        # (exactly what DuckDB's microsecond timestamps do).
+        # events.ts has shipped as TIMESTAMP(NANOS) (which Spark's
+        # parquet reader rejects — read as epoch-nanos long, truncate
+        # to micros like DuckDB) and as TIMESTAMP(MICROS) (read as NTZ;
+        # cast to session-TZ timestamp — UTC session makes it the same
+        # instant).  Normalize both to TIMESTAMP so downstream plans
+        # and oracles see one type.
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        from pyspark.sql import functions as F
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return spark.read.parquet(path)
 
 

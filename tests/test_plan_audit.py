@@ -49,6 +49,23 @@ def test_no_unbounded_nested_loops(name, spark, sf_dir):
     )
 
 
+@pytest.mark.parametrize("name", sorted(set(entrymod.queries()) - _SKIP))
+def test_no_complex_top_level_columns(name, spark, sf_dir):
+    """The driver's oracle canonicalizer sorts result frames on every
+    column with pandas; array/map/struct cells are unhashable and crash
+    it (round-2 ``mm_feature_codes`` FAIL).  Contract outputs must be
+    scalar at top level — serialize lists with ``array_join``."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    df = entrymod.queries()[name](spark, sf_dir)
+    bad = [f.name for f in df.schema.fields
+           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+    assert not bad, (
+        f"{name}: complex-typed top-level columns {bad} crash the driver "
+        f"canonicalizer — serialize to a scalar (array_join / to_json)"
+    )
+
+
 @pytest.mark.parametrize("name", ["q3_segment_topk", "q5_region_revenue",
                                   "q1_pricing_summary", "j10_latest_event",
                                   "w1_running_total"])
