@@ -56,6 +56,12 @@ except ImportError:  # pragma: no cover
                           separators=(",", ":"))
 
 
+#: public name for the canonical document serialization (sorted keys,
+#: compact separators) — goldens that string-compare folded docs MUST
+#: build their expected strings with this, not ad-hoc json.dumps, so the
+#: byte form has exactly one definition in the codebase.
+dumps_sorted = _dumps_sorted
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

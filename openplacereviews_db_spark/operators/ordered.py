@@ -39,9 +39,14 @@ def global_cumsum(df: DataFrame, value_col: str, order_cols: list,
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # repartitionByRange runs a range-SAMPLING job that recomputes its
     # whole input lineage, then the real exchange recomputes it again —
-    # materialize once so an expensive upstream pipeline (curate_corpus
-    # computes every text feature) only executes once
-    df = df.localCheckpoint()
+    # persist so an expensive upstream pipeline (curate_corpus computes
+    # every text feature) only executes once, and so both jobs see the
+    # SAME blocks (sampling determinism).  persist, not localCheckpoint:
+    # it is lazy (plan construction runs zero jobs — the plan-audit
+    # laziness test enforces this; localCheckpoint(eager=False) still
+    # finalizes AQE stages at toRdd) and its blocks are freed by
+    # spark.catalog.clearCache() between bench queries.
+    df = df.persist()
     ranged = df.repartitionByRange(n, *sort_exprs).withColumn(
         "_pid", F.spark_partition_id())
     w = Window.partitionBy("_pid").orderBy(*sort_exprs) \

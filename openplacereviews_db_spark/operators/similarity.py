@@ -175,9 +175,24 @@ def cosine_pairs_gemm(embs: DataFrame, threshold: float,
 _CHUNK_TARGET_ROWS = 4096
 
 
+def _auto_chunks(n_hint: int, cores: int) -> int:
+    """Size the chunk grid from a row-count HINT (no Spark job): one
+    chunk per ``_CHUNK_TARGET_ROWS`` rows, and once the input outgrows a
+    single target block, floored so chunk-pairs ``c*(c+1)/2 >= 2*cores``
+    (the GEMM stays at least 2×-cores wide); capped at 64 chunks
+    (2080 tasks) — beyond that pass an explicit value."""
+    import math
+
+    by_rows = max(1, -(-n_hint // _CHUNK_TARGET_ROWS))
+    if n_hint <= _CHUNK_TARGET_ROWS:
+        return by_rows
+    floor_c = math.ceil((math.sqrt(16 * cores + 1) - 1) / 2)
+    return min(64, max(by_rows, floor_c))
+
+
 def cosine_pairs_blocked(embs: DataFrame, threshold: float,
                          vec_col: str = "embedding", id_col: str = "vec_id",
-                         chunks: int | None = None,
+                         chunks: int | None = None, n_hint: int | None = None,
                          round_digits: int = 4) -> DataFrame:
     """EXACT all pairs (a < b) with cosine >= threshold, fully
     distributed — nothing is ever collected to the driver.
@@ -196,18 +211,20 @@ def cosine_pairs_blocked(embs: DataFrame, threshold: float,
     Same rounding/threshold contract as ``cosine_pairs_gemm``, so the
     two are drop-in interchangeable and share the exact SQL oracle.
 
-    ``chunks=None`` sizes the grid from a cheap count: small inputs run
-    1-3 chunk pairs (no pointless 36-task replication at bench scale),
-    big inputs grow linearly to keep each block ~`_CHUNK_TARGET_ROWS`
-    rows (capped at 64 chunks = 2080 tasks; beyond that pass an
-    explicit count-aware value).
+    Plan construction is LAZY — no Spark action ever runs here (r3
+    regression: ``chunks=None`` used to ``embs.count()`` at build time,
+    eagerly executing the whole upstream pipeline once per call).  When
+    ``chunks`` is None the grid is sized from ``n_hint`` (callers that
+    read parquet can take it from the file footer's row count for free)
+    via ``_auto_chunks``; with no hint either, a fixed data-independent
+    8 (36 chunk-pair tasks) — the shape that benched best at small SF.
     """
     import numpy as np
     import pandas as pd
 
     if chunks is None:
-        n = embs.count()
-        chunks = min(64, max(1, -(-n // _CHUNK_TARGET_ROWS)))
+        cores = embs.sparkSession.sparkContext.defaultParallelism
+        chunks = _auto_chunks(n_hint, cores) if n_hint is not None else 8
 
     src = embs.select(
         F.col(id_col).alias("id"), as_double(F.col(vec_col)).alias("v"),

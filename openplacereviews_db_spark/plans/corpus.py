@@ -99,12 +99,28 @@ def ann_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_predict(embs, probes, k=7)
 
 
+def _parquet_num_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from the parquet footer — driver-side file
+    metadata only, no Spark job, so plan builders that need a size hint
+    stay lazy."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(
+        os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to the
     synthetic corpus' similarity distribution), via the distributed
     chunk-pair GEMM kernel — exact all-pairs, no driver collect, so the
-    same plan survives an unbounded corpus."""
-    return similarity.cosine_pairs_blocked(_embs(spark, sf_dir), threshold=0.40)
+    same plan survives an unbounded corpus.  The chunk grid is sized
+    from the parquet footer row count (free), keeping construction
+    lazy."""
+    return similarity.cosine_pairs_blocked(
+        _embs(spark, sf_dir), threshold=0.40,
+        n_hint=_parquet_num_rows(sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------

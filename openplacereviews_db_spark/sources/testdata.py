@@ -19,28 +19,32 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def normalize_events_ts(df: DataFrame) -> DataFrame:
+    """Normalize the events.ts column to TIMESTAMP regardless of how the
+    parquet shipped it.  events.ts has shipped as TIMESTAMP(NANOS) (which
+    Spark's parquet reader rejects — read as epoch-nanos long with
+    ``spark.sql.legacy.parquet.nanosAsLong``, truncate to micros like
+    DuckDB) and as TIMESTAMP(MICROS) (read as NTZ; cast to session-TZ
+    timestamp — UTC session makes it the same instant).  Shared by the
+    batch loader AND the streaming source (streaming/pipelines.py) so
+    both paths always agree on the instant."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def load_table(spark: SparkSession, name: str,
                sf_dir: str = DEFAULT_SF_DIR) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
-        # events.ts has shipped as TIMESTAMP(NANOS) (which Spark's
-        # parquet reader rejects — read as epoch-nanos long, truncate
-        # to micros like DuckDB) and as TIMESTAMP(MICROS) (read as NTZ;
-        # cast to session-TZ timestamp — UTC session makes it the same
-        # instant).  Normalize both to TIMESTAMP so downstream plans
-        # and oracles see one type.
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
-
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(path)
-        ts_type = df.schema["ts"].dataType
-        if isinstance(ts_type, T.LongType):
-            return df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return normalize_events_ts(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

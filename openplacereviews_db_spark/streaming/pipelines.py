@@ -165,16 +165,25 @@ def _stream_events_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as a *bounded* stream: the parquet file source
     replays the directory exactly once under availableNow, so a windowed
     aggregate over it equals the batch aggregate — which is what makes
-    these streaming queries oracle-able.  events.ts is TIMESTAMP(NANOS);
-    read as epoch-nanos long and truncate to micros (sources/testdata.py
-    does the same for the batch path)."""
+    these streaming queries oracle-able.
+
+    events.ts has shipped both as TIMESTAMP(NANOS) and TIMESTAMP(MICROS)
+    across driver testdata generations; a stream needs its schema
+    declared up front, so take it from a batch footer read of the same
+    file and route the result through the SAME type-branched conversion
+    as the batch loader (sources/testdata.py:normalize_events_ts) — the
+    two paths can never diverge again."""
+    import os
+
+    from ..sources.testdata import normalize_events_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = ("event_id long, ts long, user_id long, event_type string, "
-              "value double, props string")
+    path = os.path.join(sf_dir, "events.parquet")
+    schema = spark.read.parquet(path).schema
     # the file source requires a directory; narrow it to the events file
     src = (spark.readStream.format("parquet").schema(schema)
            .option("pathGlobFilter", "events.parquet").load(sf_dir))
-    return src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalize_events_ts(src)
 
 
 def event_rollup_once(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -186,3 +186,32 @@ def test_extract_diff_then_apply_roundtrip(spark):
            for r in C.apply_operations(old, ops).collect()}
     want = {r["obj_id"]: json.loads(r["doc"]) for r in new.collect()}
     assert got == want
+
+
+def test_dumps_sorted_impl_agreement():
+    """The orjson fast path and the stdlib fallback must emit identical
+    bytes for the doc shapes the engine produces (ADVICE r3): unicode is
+    raw (ensure_ascii=False), separators compact, keys sorted.  Known
+    residual divergence is exponent-formatted floats (1e16 vs 1e+16) and
+    NaN/Infinity — the fold never produces either (values come from
+    JSON parse, which has no NaN, and magnitudes stay in plain-notation
+    range), so agreement on this representative doc pins the contract."""
+    import json
+
+    from openplacereviews_db_spark.operators import changelog
+
+    doc = {
+        "name": "Café Жи 中文",
+        "tags": {"b": [1, 2.5, -0.125, 1234567.875], "a": None,
+                 "nested": {"z": True, "y": False, "x": "mixed ß"}},
+        "osm": [{"id": 123456789012, "lat": 48.858844, "lon": 2.294351}],
+        "empty": {}, "list": [], "s": "quote\"back\\slash\n\t",
+    }
+    stdlib = json.dumps(doc, sort_keys=True, ensure_ascii=False,
+                        separators=(",", ":"))
+    assert changelog.dumps_sorted(doc) == stdlib
+    try:
+        import orjson
+    except ImportError:
+        return
+    assert orjson.dumps(doc, option=orjson.OPT_SORT_KEYS).decode() == stdlib

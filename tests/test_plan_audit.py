@@ -94,3 +94,50 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
             walk(node.children().apply(i), bcast)
 
     walk(root, False)
+
+
+#: builders whose CONSTRUCTION legitimately executes Spark jobs:
+#: - dd_dup_groups / dd_apply: the connected-components contraction must
+#:   iterate to convergence — a data-dependent round count cannot be a
+#:   lazy plan;
+#: - ann_ivf_topk: IVF is train-then-query; centroid selection is a
+#:   bounded collect (n_cells=16 rows, documented at
+#:   operators/similarity.py:ivf_assign) — index build IS execution.
+EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk"}
+
+
+def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
+    """Building a contract DataFrame must be LAZY — no *computation*
+    job at plan-construction time (r3 regression: emb_neardup_pairs ran
+    ``embs.count()`` inside its ``queries()`` callable, eagerly
+    executing the whole upstream embedding pipeline once per build).
+
+    The only jobs Spark itself runs at build are parquet schema
+    inference (single-task stages named ``parquet at ...``) — those are
+    allowed; anything else (count/collect/checkpoint stages) fails.
+    Memoized plans are cleared first so every builder really runs;
+    streaming ``st_*`` runners execute by design and are excluded, as
+    everywhere else in this audit."""
+    from openplacereviews_db_spark.sources import places
+
+    places._PLAN_MEMO.clear()
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+    offenders = []
+    for name in sorted(set(entrymod.queries()) - _SKIP - EAGER_BUILD_OK):
+        group = f"plan-build-audit-{name}"
+        sc.setJobGroup(group, "plan-construction laziness audit")
+        try:
+            entrymod.queries()[name](spark, sf_dir)
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        for j in tracker.getJobIdsForGroup(group) or ():
+            info = tracker.getJobInfo(j)
+            for s in (info.stageIds if info else ()):
+                st = tracker.getStageInfo(s)
+                if st and not st.name.startswith("parquet at "):
+                    offenders.append((name, j, st.name))
+    assert not offenders, (
+        f"computation jobs ran during plan construction — these "
+        f"queries() builders are eager: {offenders}"
+    )

@@ -200,8 +200,7 @@ def test_patch_replay_matches_python_fold(spark):
         seed = _seed_doc(current)
         folded = changelog.apply_change_map(json.loads(json.dumps(seed)),
                                             change)
-        expected[key] = json.dumps(folded, sort_keys=True,
-                                   ensure_ascii=False)
+        expected[key] = changelog.dumps_sorted(folded)
         doc_rows.append((key, json.dumps(seed, ensure_ascii=False)))
         op_rows.append((key, block_id, seq, "edit", None,
                         json.dumps(change, ensure_ascii=False)))
