@@ -23,17 +23,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return relational.q1_pricing_summary(spark, "/root/testdata/sf0.001")
 
 
+#: The driver samples the FIRST 50 ``queries()`` entries per round, so
+#: insertion order decides which queries get driver-grade correctness
+#: evidence.  Round 4 front-loads (a) every query never yet sampled in a
+#: CORRECTNESS_r*.json (44 — the whole history/sync/merge/relational2/
+#: curation-extension/streaming surface) and (b) six canaries whose
+#: plans changed this round.  Everything else follows in module order.
+_DRIVER_PRIORITY = [
+    # canaries: changed this round / flagship
+    "q1_pricing_summary", "emb_neardup_pairs", "curate_corpus",
+    "m9_apply_changelog", "geo_tile_report", "g1_sessionize",
+    # never driver-sampled through round 3
+    "j3_border_correct", "a5_merge_counters", "m5_merge_ops",
+    "m7_migrate_ids", "s14_pack_ops", "a8_rollup_status_priority",
+    "a9_cube_flags", "p11_json_extraction", "q6_revenue_delta",
+    "w2_event_deltas", "w3_percentiles", "o4_topk_per_group",
+    "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
+    "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",
+    "e2_config_delta", "g5_way_stats", "g4_simplify_ways",
+    "o5_orthogonal_distance", "g6_points_in_triangle",
+    "d3_aligned_windows", "q19_disjunctive_filter", "q16_distinct_count",
+    "p6_change_classification", "p7_review_candidates", "history_report",
+    "j7_history_full_check", "p4_history_features", "s4_adaptive_split",
+    "s5_staged_scan", "id_bytes_roundtrip", "m8_placetype_ops",
+    "s1_osm_xml_roundtrip", "tx_stratified_sample", "tx_mix_weights",
+    "tx_repetition", "tx_decontaminate", "tx_pii_scrub",
+    "st_event_rollup", "st_sessionize", "st_user_totals",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    out.update(relational.QUERIES)
-    out.update(corpus.QUERIES)
-    out.update(oplog.QUERIES)
-    out.update(places_reports.QUERIES)
-    out.update(merge_plans.QUERIES)
-    out.update(relational2.QUERIES)
-    out.update(history.QUERIES)
-    out.update(sync_plans.QUERIES)
-    out.update(pipeline.QUERIES)
+    merged: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    merged.update(relational.QUERIES)
+    merged.update(corpus.QUERIES)
+    merged.update(oplog.QUERIES)
+    merged.update(places_reports.QUERIES)
+    merged.update(merge_plans.QUERIES)
+    merged.update(relational2.QUERIES)
+    merged.update(history.QUERIES)
+    merged.update(sync_plans.QUERIES)
+    merged.update(pipeline.QUERIES)
+    out = {n: merged[n] for n in _DRIVER_PRIORITY if n in merged}
+    out.update(merged)
     return out
 
 

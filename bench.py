@@ -28,6 +28,31 @@ def main() -> None:
     # JIT/codegen warmup on a tiny query so q1 doesn't absorb startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # Python-worker warmup: the first Arrow-kernel query otherwise pays
+    # one python worker spawn PER CORE (each importing pandas/numpy/
+    # orjson) inside its measured time — the r3 "cold-path spike".  One
+    # echo pass with a task on every core pre-forks the whole pool with
+    # the heavy imports done.
+    def _echo(batches):
+        import numpy  # noqa: F401  — preload into the worker
+        import pandas  # noqa: F401
+        try:
+            import orjson  # noqa: F401
+        except ImportError:
+            pass
+        yield from batches
+
+    n_cores = spark.sparkContext.defaultParallelism
+    (spark.range(0, n_cores * 4, 1, n_cores)
+     .mapInPandas(_echo, "id long").count())
+
+    # Input warmup: one metadata+data pass per table warms the OS page
+    # cache and the parquet footer reads, so the first query touching
+    # each table measures the query, not first-touch file IO.
+    from openplacereviews_db_spark.sources.testdata import TABLES, load_table
+    for t in TABLES:
+        load_table(spark, t, sf_dir).count()
+
     import gc
 
     def drop_retained_blocks() -> None:

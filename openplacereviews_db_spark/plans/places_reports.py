@@ -37,9 +37,62 @@ GEO_AREA_PREFIX = geo.olc_encode_py(
     P.synthetic_lat_py(42), P.synthetic_lon_py(42), 2)
 
 
+def _cap_first(col):
+    """``OUtils.capitalizeFirstLetter``: first char upper, rest verbatim
+    (NOT initcap — only the first letter changes)."""
+    return F.concat(F.upper(F.substring(col, 1, 1)),
+                    F.substring(col, 2, 2 ** 31 - 1))
+
+
+def _placetype_label(osm_tag, osm_value):
+    """``placeTypes()`` label (BaseOprPlaceDataProvider.java:161-200):
+    ``capFirst(tag) + " - " + capFirst(value).replace('_', ' ')`` — the
+    engine treats every corpus placetype as bot-configured, so the map
+    lookup reduces to the label formula."""
+    return F.concat(_cap_first(osm_tag), F.lit(" - "),
+                    F.replace(_cap_first(osm_value), F.lit("_"), F.lit(" ")))
+
+
+def _source_el_json(x, i):
+    """One ``sources`` feature row, serialized exactly like the
+    reference builds it (BaseOprPlaceDataProvider.java:254-296: property
+    order source_type, source_ind, id, type, version, changeset, lat,
+    lon, deleted, tags; null keys omitted — changeset is always null in
+    this corpus).  Built with explicit formatting (not ``to_json``) so
+    the DuckDB oracle can produce the identical bytes."""
+    return F.concat(
+        F.lit('{"source_type":"osm","source_ind":'), i.cast("string"),
+        F.lit(',"id":'), x["id"].cast("string"),
+        F.lit(',"type":"'), x["type"], F.lit('"'),
+        F.lit(',"version":"'), x["version"], F.lit('"'),
+        F.lit(',"lat":'), F.format_string("%.2f", x["lat"]),
+        F.lit(',"lon":'), F.format_string("%.2f", x["lon"]),
+        F.coalesce(F.concat(F.lit(',"deleted":"'), x["deleted"],
+                            F.lit('"')), F.lit("")),
+        F.lit(',"tags":{"name":"'), x["tags"]["name"],
+        F.lit('","amenity":"'), x["tags"]["amenity"], F.lit('"}}'),
+    )
+
+
 def geo_tile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`geo` endpoint (§3.1): live places of one OLC area, projected to
-    feature properties.
+    the FULL feature property set of the reference
+    (``BaseOprPlaceDataProvider.java:211-301``):
+
+    - main element = first live source.osm ref, falling back to the
+      first ref (``MergeUtil.getMainOsmFromList``, :209-229);
+    - title falls back to the subtitle when the main element has no
+      name tag (:326-334); subtitle is the placeTypes() label (:335-341);
+    - images_size / img_review_size inline counts (:227-238);
+    - place_deleted / place_deleted_osm flags (:222-224, :239-243 —
+      NULL for every row this filtered endpoint emits, via the same
+      expressions the unfiltered corpus would use);
+    - has_tripadvisor (:258-260) — constant false: nothing populates
+      tripadvisor sources (TripAdvisorBot's emission is dead code in
+      the reference too);
+    - sources: one serialized row per source ref (:254-296), and the
+      aggregated main-tags map (:261-285), both as deterministic JSON
+      strings (scalar columns — the driver canonicalizer requirement).
 
     The tile filter hits the corpus' blocking key, so at scale this is a
     partition-pruned scan (S8) — no shuffle at all; the projection (P3)
@@ -47,18 +100,42 @@ def geo_tile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     pl = P.synthetic_places(spark, sf_dir)
     live_refs = F.filter(F.col("source.osm"), lambda x: x["deleted"].isNull())
+    main = F.coalesce(F.try_element_at(live_refs, F.lit(1)),
+                      F.try_element_at(F.col("source.osm"), F.lit(1)))
+    rev = F.element_at(F.col("images"), F.lit("review"))
+    subtitle = _placetype_label(F.col("main.osm_tag"), F.col("main.osm_value"))
+    first_live = F.try_element_at(live_refs, F.lit(1))
+    main_tags_json = F.concat(
+        F.lit('{"name":{"value":"'), first_live["tags"]["name"],
+        F.lit('","source":"osm"},"amenity":{"value":"'),
+        first_live["tags"]["amenity"], F.lit('","source":"osm"}}'))
     return (
         pl.where(F.col("tile_id").startswith(GEO_AREA_PREFIX))
         .where(F.col("deleted").isNull())  # P1 live filter
-        .withColumn("main", F.element_at(live_refs, 1))
+        .withColumn("main", main)
         .select(
             F.concat_ws(",", "tile_id", "suffix").alias("opr_id"),
             F.col("main.lat").alias("lat"),
             F.col("main.lon").alias("lon"),
             F.col("main.id").alias("main_osm_id"),
-            F.col("main.tags")["name"].alias("title"),
-            F.col("placetype").alias("place_type"),
+            F.coalesce(F.col("main.tags")["name"], subtitle).alias("title"),
+            subtitle.alias("subtitle"),
+            F.col("main.osm_value").alias("place_type"),
             F.size("source.osm").cast("int").alias("n_sources"),
+            F.aggregate(F.map_values("images"), F.lit(0),
+                        lambda a, v: a + F.size(v)).cast("int")
+            .alias("images_size"),
+            F.when(rev.isNotNull(), F.size(rev)).cast("int")
+            .alias("img_review_size"),
+            F.col("deleted").alias("place_deleted"),
+            F.when(F.col("main.deleted").isNotNull(), F.lit("deleted"))
+            .alias("place_deleted_osm"),
+            F.lit(False).alias("has_tripadvisor"),
+            F.concat(F.lit("["),
+                     F.array_join(F.transform(F.col("source.osm"),
+                                              _source_el_json), ","),
+                     F.lit("]")).alias("sources_json"),
+            main_tags_json.alias("main_tags_json"),
         )
     )
 
@@ -102,6 +179,24 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _DECODE_LAT4, _DECODE_LON4 = geo.olc_decode_center_sql("area", 4)
 
+#: SQL mirror of ``_placetype_label`` (capitalizeFirstLetter, not initcap)
+_SUBTITLE_SQL = ("'Amenity - ' || upper(substr(placetype, 1, 1)) || "
+                 "replace(substr(placetype, 2), '_', ' ')")
+
+
+def _src_el_sql(id_expr: str, ind: int, dead: bool) -> str:
+    """SQL mirror of ``_source_el_json`` for one synthetic osm ref —
+    byte-identical property order and formatting."""
+    deleted = (f"',\"deleted\":\"{P.DELETED_OSM_TS}\"' || " if dead else "")
+    return ("'{\"source_type\":\"osm\",\"source_ind\":" + str(ind) +
+            ",\"id\":' || CAST(" + id_expr + " AS VARCHAR) || "
+            "',\"type\":\"node\",\"version\":\"' || version || "
+            "'\",\"lat\":' || printf('%.2f', lat) || "
+            "',\"lon\":' || printf('%.2f', lon) || " + deleted +
+            "',\"tags\":{\"name\":\"' || name || "
+            "'\",\"amenity\":\"' || placetype || '\"}}'")
+
+
 ORACLES: dict[str, str] = {
     "geo_tile_report": f"""
         WITH {P.places_sql_cte()}
@@ -109,8 +204,26 @@ ORACLES: dict[str, str] = {
                lat, lon,
                main_osm_id,
                name AS title,
+               {_SUBTITLE_SQL} AS subtitle,
                placetype AS place_type,
-               n_osm AS n_sources
+               n_osm AS n_sources,
+               CAST(key % 3 + key % 2 AS INTEGER) AS images_size,
+               CAST(CASE WHEN key % 2 = 1 THEN 1 END AS INTEGER)
+                   AS img_review_size,
+               deleted AS place_deleted,
+               CAST(NULL AS VARCHAR) AS place_deleted_osm,
+               FALSE AS has_tripadvisor,
+               CASE WHEN key % 13 = 0
+                    THEN '[' || {_src_el_sql("key", 0, True)} || ',' ||
+                         {_src_el_sql("key + 5000000", 1, False)} || ']'
+                    WHEN key % 7 = 0
+                    THEN '[' || {_src_el_sql("key", 0, False)} || ',' ||
+                         {_src_el_sql("key + 5000000", 1, True)} || ']'
+                    ELSE '[' || {_src_el_sql("key", 0, False)} || ']'
+               END AS sources_json,
+               '{{"name":{{"value":"' || name ||
+               '","source":"osm"}},"amenity":{{"value":"' || placetype ||
+               '","source":"osm"}}}}' AS main_tags_json
         FROM places
         WHERE tile_id LIKE '{GEO_AREA_PREFIX}%' AND deleted IS NULL
     """,

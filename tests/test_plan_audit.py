@@ -102,8 +102,13 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 #:   lazy plan;
 #: - ann_ivf_topk: IVF is train-then-query; centroid selection is a
 #:   bounded collect (n_cells=16 rows, documented at
-#:   operators/similarity.py:ivf_assign) — index build IS execution.
-EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk"}
+#:   operators/similarity.py:ivf_assign) — index build IS execution;
+#: - curate_corpus / s14_pack_ops: the two-phase global cumsum
+#:   localCheckpoints its input so range-sampling + exchange compute
+#:   the upstream pipeline once (operators/ordered.py — measured 2-4x
+#:   cheaper than lazy persist on first execution).
+EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk",
+                  "curate_corpus", "s14_pack_ops"}
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
