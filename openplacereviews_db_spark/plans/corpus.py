@@ -653,7 +653,10 @@ def mm_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.transform(F.col("features").cast("array<double>"),
                         lambda x: F.round(x * 65535.0, 0).cast("long")
                         .cast("string")),
-            ",").alias("codes"),
+            # null_replacement so a null feature element fails LOUDLY as
+            # a value mismatch on both sides instead of being silently
+            # dropped here while the oracle's || chain yields NULL
+            ",", null_replacement="null").alias("codes"),
     )
 
 
