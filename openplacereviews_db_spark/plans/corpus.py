@@ -676,3 +676,134 @@ ORACLES["mm_feature_codes"] = f"""
                AS codes
     FROM m
 """
+
+
+# ---------------------------------------------------------------------------
+# X23/X24: corpus-statistics operators (TF-IDF salience, boilerplate
+# n-gram pruning) — the remaining text-analysis staples of a training
+# corpus pipeline, both pure shuffle-on-key relational shapes.
+# ---------------------------------------------------------------------------
+
+
+def tx_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (X23).
+
+    Scale shape: words explode once; tf is a (doc, term) partial-agg;
+    df a (term) agg; the tf⟷df equi-join shuffles on the term key (AQE
+    may broadcast df when the vocabulary is small); the corpus size is
+    a 1-row aggregate broadcast (bounded — plan-audit whitelisted).
+    Scoring and ranking stay in codegen; the per-doc window partitions
+    on doc_id, never global.  Ranking orders on the ROUNDED score so a
+    last-ulp ln() divergence between engines can never flip a rank;
+    ties break on the term itself.
+    """
+    from pyspark.sql.window import Window
+
+    from ..functions import hashing as H
+
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.filter(F.split(H.norm_text(F.col("text")), " "),
+                           lambda w: w != "")).alias("term"))
+    tf = words.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("dfreq"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", F.round(
+            F.col("tf") * F.log(F.col("n_docs") / F.col("dfreq")), 6))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select(F.col("id").alias("doc_id"), "rank", "term", "score")
+    )
+
+
+QUERIES["tx_tfidf_topk"] = tx_tfidf_topk
+
+ORACLES["tx_tfidf_topk"] = f"""
+    WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) > 0),
+    w AS (SELECT doc_id, unnest({_WORDS}) AS term FROM d),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM w GROUP BY 1, 2),
+    dfq AS (SELECT term, COUNT(*) AS dfreq FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM d),
+    s AS (SELECT tf.doc_id, tf.term,
+                 round(CAST(tf.tf AS DOUBLE)
+                       * ln(CAST(n.n_docs AS DOUBLE) / dfreq), 6) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    r AS (SELECT doc_id, term, score,
+                 CAST(ROW_NUMBER() OVER (
+                     PARTITION BY doc_id
+                     ORDER BY score DESC, term ASC) AS INTEGER) AS rank
+          FROM s)
+    SELECT doc_id, rank, term, score FROM r WHERE rank <= 3
+"""
+
+#: corpus document-frequency threshold above which a 3-gram counts as
+#: boilerplate (tuned so the synthetic corpus has a non-trivial split)
+_BOILERPLATE_MIN_DF = 3
+
+# 3-word shingles of the normalized text (mirrors dedup.exploded_shingles
+# n=3: <3-word docs yield the whole normalized text, empty docs nothing)
+_SHINGLES3 = f"""
+    CASE WHEN len({_WORDS}) = 0 THEN []::VARCHAR[]
+         WHEN len({_WORDS}) < 3 THEN [{_NORM}]
+         ELSE list_distinct(list_transform(
+              generate_series(1, len({_WORDS}) - 2),
+              i -> {_WORDS}[i] || ' ' || {_WORDS}[i + 1]
+                   || ' ' || {_WORDS}[i + 2]))
+    END
+"""
+
+
+def tx_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-span statistics per document (X24): the FineWeb-style
+    "prune spans that repeat across the corpus" gate, reported as
+    (distinct 3-gram shingles, how many are corpus-boilerplate, ratio).
+
+    A shingle is boilerplate when its corpus document frequency reaches
+    ``_BOILERPLATE_MIN_DF``.  Scale shape: one distinct-shingle explode
+    (the same codegen pipeline the MinHash family uses), a (shingle)
+    agg for document frequency, a shuffle-on-shingle join back, and a
+    final (doc) agg — every stage keys on the data it groups by, no
+    broadcast of anything unbounded, so the plan is the one you'd run
+    at 100 TB (where the df side would also be the natural place to
+    persist a reusable boilerplate index).
+    """
+    docs = _docs(spark, sf_dir)
+    sh = dedup.exploded_shingles(docs, "text", "doc_id", 3)
+    dfreq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq"))
+    flagged = sh.join(
+        dfreq.select("s", (F.col("dfreq") >= _BOILERPLATE_MIN_DF)
+                     .alias("is_boiler")), "s")
+    return (
+        flagged.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_shingles"),
+             F.sum(F.col("is_boiler").cast("long")).alias("n_boilerplate"))
+        .select(F.col("id").alias("doc_id"), "n_shingles", "n_boilerplate",
+                F.round(F.col("n_boilerplate") / F.col("n_shingles"), 6)
+                .alias("boilerplate_ratio"))
+    )
+
+
+QUERIES["tx_boilerplate"] = tx_boilerplate
+
+ORACLES["tx_boilerplate"] = f"""
+    WITH sh AS (
+        SELECT doc_id, unnest({_SHINGLES3}) AS s
+        FROM documents WHERE length(text) > 0),
+    dfq AS (SELECT s, COUNT(*) AS dfreq FROM sh GROUP BY 1),
+    fl AS (SELECT sh.doc_id, (dfq.dfreq >= {_BOILERPLATE_MIN_DF}) AS b
+           FROM sh JOIN dfq USING (s))
+    SELECT doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_boilerplate,
+           round(CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS boilerplate_ratio
+    FROM fl GROUP BY doc_id
+"""

@@ -29,6 +29,7 @@ BOUNDED_JOIN_OK = {
     "g3_tile_grid",         # constant 36×18 grid × constant split table
     "a5_merge_counters",    # 1-row global counters joined to 1-row total
     "tx_mix_weights",       # 1-row normalizing total (documented)
+    "tx_tfidf_topk",        # 1-row corpus-size aggregate (documented)
     "s4_adaptive_split",    # constant split-schedule frame (36×18 → 4×4 → 2×2)
 }
 
