@@ -52,16 +52,30 @@ def _decoder():
         }
 
     try:  # pragma: no cover - not installed in this container
-        import PIL.Image  # noqa: F401
+        import io
 
-        # A real codec backend is detectable but not wired yet: degrade
-        # to the deterministic stub (never return a raising backend —
-        # decode must not crash at runtime just because PIL is present).
-        import warnings
+        import PIL.Image
 
-        warnings.warn("PIL detected but the real decode backend is not "
-                      "wired; using the deterministic stub decoder")
-        return "fake(pil-present)", fake_decode
+        def pil_decode(payload: bytes, kind: str) -> dict:
+            # Real image decode; any non-image payload (or non-image
+            # kind) falls back PER ROW to the deterministic fake, so a
+            # corpus with mixed/corrupt payloads never crashes the
+            # kernel and non-decodable rows stay engine-reproducible.
+            if kind == "image" and payload:
+                try:
+                    with PIL.Image.open(io.BytesIO(payload)) as im:
+                        return {
+                            "decoded_w": int(im.width),
+                            "decoded_h": int(im.height),
+                            "n_frames": int(getattr(im, "n_frames", 1)),
+                            "checksum": hashlib.sha256(payload)
+                            .hexdigest()[:16],
+                        }
+                except Exception:
+                    pass
+            return fake_decode(payload, kind)
+
+        return "pil", pil_decode
     except ImportError:
         pass
 

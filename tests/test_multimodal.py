@@ -47,3 +47,31 @@ def test_media_stats_prunes_payload(spark, tmp_path):
     physical = stats._jdf.queryExecution().executedPlan().toString()
     scan_lines = [ln for ln in physical.splitlines() if "ReadSchema" in ln]
     assert scan_lines and all("payload" not in ln for ln in scan_lines)
+
+
+def test_pil_backend_decodes_real_image_when_available(spark):
+    """When a real codec is importable the backend must decode actual
+    image bytes (real width/height), and still fall back per-row to the
+    deterministic fake for non-image payloads.  Skips in containers
+    without PIL — the fake-backend path is covered by every other test
+    here."""
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from openplacereviews_db_spark.operators import multimodal as MM
+
+    assert MM.DECODE_BACKEND == "pil"
+    buf = io.BytesIO()
+    PIL.new("RGB", (20, 11)).save(buf, format="PNG")
+    png = buf.getvalue()
+    rows = [(1, "image", "image/png", 20, 11, None, bytearray(png)),
+            (2, "image", "image/png", 0, 0, None, bytearray(b"not an image"))]
+    media = spark.createDataFrame(rows, MM.MEDIA_DDL)
+    got = {r["media_id"]: r for r in MM.decode_media(media).collect()}
+    assert (got[1]["decoded_w"], got[1]["decoded_h"]) == (20, 11)
+    # invalid payload → deterministic fake, never a crash
+    import hashlib
+    h = hashlib.sha256(b"not an image").digest()
+    assert got[2]["decoded_w"] == 16 + h[0] % 64
