@@ -147,3 +147,31 @@ def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
         f"computation jobs ran during plan construction — these "
         f"queries() builders are eager: {offenders}"
     )
+
+
+@pytest.mark.parametrize("name,allowed", [
+    ("tx_tfidf_topk", {"doc_id", "text"}),
+    ("tx_boilerplate", {"doc_id", "text"}),
+    ("tx_fingerprints", {"doc_id", "text"}),
+])
+def test_documents_scan_column_pruning(name, allowed, spark, sf_dir):
+    """Column pruning must reach the parquet scan: a documents query
+    that uses only (doc_id, text) may not read lang/source/n_chars —
+    at 100 TB those are petabytes of wasted IO.  Checked via the
+    FileScan output list (plan toString truncates the ReadSchema tail).
+    """
+    import re
+
+    df = entrymod.queries()[name](spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in physical.splitlines()
+             if "FileScan" in ln and "documents.parquet" in ln]
+    assert scans, f"{name}: no documents FileScan found in plan"
+    for ln in scans:
+        m = re.search(r"FileScan parquet \[([^\]]*)\]", ln)
+        assert m, ln
+        cols = {c.split("#")[0] for c in m.group(1).split(",") if c}
+        extra = cols - allowed
+        assert not extra, (
+            f"{name}: documents scan reads pruned-out columns {extra}: "
+            f"{ln.strip()[:160]}")
