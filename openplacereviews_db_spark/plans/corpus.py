@@ -807,3 +807,68 @@ ORACLES["tx_boilerplate"] = f"""
                  / COUNT(*), 6) AS boilerplate_ratio
     FROM fl GROUP BY doc_id
 """
+
+
+#: training sequence length for X25 packing
+_PACK_SEQ_LEN = 2048
+
+
+def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style training-sequence packing (X25): concatenate every
+    document's token stream in a deterministic shuffled order (md5 of
+    the id — reproducible training-order randomization) and chunk into
+    fixed ``_PACK_SEQ_LEN``-token sequences; each document reports the
+    sequence containing its first token and its offset inside it.
+
+    Scale shape: token counts are one projection; the only global state
+    is the running token offset, computed with the two-phase
+    range-partition cumsum (``operators.ordered.global_cumsum``) — no
+    single-task window, so the same plan packs a 100 TB corpus.  The
+    seq_id derivation uses integer ``div``/``%`` on BIGINT (never a
+    double round-trip — boundary-exact at any offset).
+    """
+    from ..operators.ordered import global_cumsum
+
+    toks = textstats.token_counts(_docs(spark, sf_dir)).select(
+        "id", "subword_tokens",
+        F.md5(F.col("id").cast("string")).alias("shuf"))
+    cum = global_cumsum(toks, "subword_tokens", ["shuf", "id"],
+                        "cum_tokens")
+    start = (F.col("cum_tokens") - F.col("subword_tokens")).cast("long")
+    return (
+        cum.withColumn("start_tok", start)
+        .select(
+            F.col("id").alias("doc_id"),
+            "start_tok",
+            F.expr(f"start_tok div {_PACK_SEQ_LEN}").alias("seq_id"),
+            F.pmod(F.col("start_tok"), F.lit(_PACK_SEQ_LEN)).cast("int")
+            .alias("seq_off"),
+        )
+    )
+
+
+QUERIES["tx_pack_sequences"] = tx_pack_sequences
+
+_SUBWORD_SQL = """CAST(list_sum(list_transform(
+    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''),
+    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)"""
+
+ORACLES["tx_pack_sequences"] = f"""
+    WITH t AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuf,
+               {_SUBWORD_SQL} AS subword_tokens
+        FROM documents WHERE length(text) > 0),
+    c AS (
+        SELECT doc_id, subword_tokens,
+               CAST(SUM(subword_tokens) OVER (
+                    ORDER BY shuf, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t)
+    SELECT doc_id,
+           CAST(cum - subword_tokens AS BIGINT) AS start_tok,
+           CAST((cum - subword_tokens) // {_PACK_SEQ_LEN} AS BIGINT)
+               AS seq_id,
+           CAST((cum - subword_tokens) % {_PACK_SEQ_LEN} AS INTEGER)
+               AS seq_off
+    FROM c
+"""
