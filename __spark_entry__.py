@@ -30,9 +30,11 @@ def entry(spark: SparkSession) -> DataFrame:
 #: curation-extension/streaming surface) and (b) six canaries whose
 #: plans changed this round.  Everything else follows in module order.
 _DRIVER_PRIORITY = [
-    # canaries: changed this round / flagship
-    "q1_pricing_summary", "emb_neardup_pairs", "curate_corpus",
-    "m9_apply_changelog", "geo_tile_report", "g1_sessionize",
+    # canaries changed this round (schema/serializer/plan) + flagship,
+    # plus the round's two new operators; unchanged previously-green
+    # canaries (curate_corpus, g1_sessionize) yield their slots
+    "q1_pricing_summary", "emb_neardup_pairs", "tx_tfidf_topk",
+    "m9_apply_changelog", "geo_tile_report", "tx_boilerplate",
     # never driver-sampled through round 3
     "j3_border_correct", "a5_merge_counters", "m5_merge_ops",
     "m7_migrate_ids", "s14_pack_ops", "a8_rollup_status_priority",
