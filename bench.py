@@ -88,15 +88,21 @@ def main() -> None:
     # timed run starts with a clean block manager.
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
+        t_warm = time.time()
         for name, fn in entrymod.queries().items():
             try:
                 fn(spark, warm_dir).collect()
             except Exception as ex:  # never let warmup kill the bench
                 print(f"# warmup {name} failed: {ex}", file=progress)
-            drop_retained_blocks()
+            spark.catalog.clearCache()
+        # one full cleanup AFTER warmup (cheap clearCache per query
+        # above): the timed run starts with an empty block manager but
+        # warmup doesn't pay a gc.collect() per query
+        drop_retained_blocks()
         for v in spark.catalog.listTables():
             if v.name.startswith("st_sink_"):
                 spark.catalog.dropTempView(v.name)
+        print(f"# warmup pass: {time.time() - t_warm:.1f}s", file=progress)
 
     timings: dict[str, float] = {}
     total = 0.0
