@@ -171,7 +171,13 @@ def douglas_peucker(points: list[tuple[float, float]],
                 t = 0.0
             else:
                 t = max(0.0, min(1.0, ((px - ax) * abx + (py - ay) * aby) / denom))
-            d = math.hypot(px - (ax + t * abx), py - (ay + t * aby))
+            # explicit sqrt(dx²+dy²), NOT math.hypot: hypot's fused
+            # algorithm differs from SQL sqrt(dx*dx+dy*dy) in the last
+            # ulp, and the DuckDB oracle must replay this arithmetic
+            # bit-for-bit for the split structure to match
+            dx = px - (ax + t * abx)
+            dy = py - (ay + t * aby)
+            d = math.sqrt(dx * dx + dy * dy)
             if d > best_d:
                 best, best_d = i, d
         if best >= 0:

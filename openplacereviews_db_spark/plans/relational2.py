@@ -484,9 +484,15 @@ ORACLES["g5_way_stats"] = f"""
 
 
 def g4_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Douglas-Peucker over the synthetic ways (rows-only check; the
-    kernel is pinned by geometry unit goldens).  epsilon 0.5° on
-    0-10° coords → real reduction on most ways."""
+    """Douglas-Peucker over the synthetic ways.  epsilon 0.5° on
+    0-10° coords → real reduction on most ways.
+
+    Value-hash-checked against a RECURSIVE-CTE DuckDB oracle that
+    replays the exact split structure: same clamped-projection
+    arithmetic (explicit sqrt(dx²+dy²), same operation order as the
+    Python kernel), same strict ``> ε`` threshold, same
+    max-distance / lowest-index argmax tiebreak.  The kernel is also
+    pinned by geometry unit goldens."""
     from ..functions import geometry as GM
 
     ways = _ways(spark, sf_dir)
@@ -495,6 +501,79 @@ def g4_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["g4_simplify_ways"] = g4_simplify_ways
+
+# Correlated segment-endpoint frame (lo/hi coords of seg ``s``) used
+# twice inside the recursive term below.
+_G4_AB = """
+                    SELECT pa.lon AS ax, pa.lat AS ay,
+                           pb.lon - pa.lon AS abx, pb.lat - pa.lat AS aby,
+                           (pb.lon - pa.lon) * (pb.lon - pa.lon)
+                           + (pb.lat - pa.lat) * (pb.lat - pa.lat) AS denom
+                    FROM pts pa, pts pb
+                    WHERE pa.way_id = s.way_id AND pa.i = s.lo
+                      AND pb.way_id = s.way_id AND pb.i = s.hi
+"""
+
+ORACLES["g4_simplify_ways"] = f"""
+    WITH RECURSIVE
+    dedup AS (
+        SELECT l_orderkey, l_linenumber,
+               ((MAX(l_partkey) % 1000) / CAST(100.0 AS DOUBLE)) AS lat,
+               ((MAX(l_suppkey) % 1000) / CAST(100.0 AS DOUBLE)) AS lon
+        FROM lineitem GROUP BY l_orderkey, l_linenumber
+    ),
+    pts AS (
+        SELECT l_orderkey AS way_id,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber) - 1 AS i,
+               lat, lon
+        FROM dedup
+    ),
+    sz AS (SELECT way_id, COUNT(*) AS n FROM pts GROUP BY 1),
+    -- one row per Douglas-Peucker recursion interval; every lo/hi that
+    -- ever appears is a kept vertex
+    segs(way_id, lo, hi) AS (
+        SELECT way_id, CAST(0 AS BIGINT), n - 1 FROM sz WHERE n >= 3
+      UNION ALL
+        SELECT s.way_id, u.lo2, u.hi2
+        FROM segs s, LATERAL (
+            SELECT q2.i FROM (
+                SELECT q.i, sqrt(q.dx * q.dx + q.dy * q.dy) AS d FROM (
+                    SELECT p.i,
+                           p.lon - (ab.ax + p.tt * ab.abx) AS dx,
+                           p.lat - (ab.ay + p.tt * ab.aby) AS dy
+                    FROM (
+                        SELECT p0.i, p0.lat, p0.lon,
+                               CASE WHEN ab0.denom = 0 THEN 0.0
+                                    ELSE GREATEST(0.0, LEAST(1.0,
+                                         ((p0.lon - ab0.ax) * ab0.abx
+                                          + (p0.lat - ab0.ay) * ab0.aby)
+                                         / ab0.denom))
+                               END AS tt
+                        FROM pts p0, ({_G4_AB}) ab0
+                        WHERE p0.way_id = s.way_id
+                          AND p0.i > s.lo AND p0.i < s.hi
+                    ) p, ({_G4_AB}) ab
+                ) q
+            ) q2
+            WHERE q2.d > 0.5
+            ORDER BY q2.d DESC, q2.i ASC
+            LIMIT 1
+        ) b, LATERAL (VALUES (s.lo, b.i), (b.i, s.hi)) u(lo2, hi2)
+        WHERE s.hi - s.lo >= 2
+    ),
+    kept AS (
+        SELECT DISTINCT way_id, i FROM (
+            SELECT way_id, lo AS i FROM segs
+            UNION ALL
+            SELECT way_id, hi AS i FROM segs
+        )
+    ),
+    out3 AS (SELECT way_id, COUNT(*) AS n_out FROM kept GROUP BY 1)
+    SELECT sz.way_id AS way_id, CAST(sz.n AS INTEGER) AS n_in,
+           CAST(COALESCE(out3.n_out, sz.n) AS INTEGER) AS n_out
+    FROM sz LEFT JOIN out3 USING (way_id)
+"""
 
 
 def o5_orthogonal_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
