@@ -99,16 +99,26 @@ def ann_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_label_predict(embs, probes, k=7)
 
 
-def _parquet_num_rows(sf_dir: str, name: str) -> int:
+def _parquet_num_rows(sf_dir: str, name: str) -> int | None:
     """Exact row count from the parquet footer — driver-side file
     metadata only, no Spark job, so plan builders that need a size hint
-    stay lazy."""
+    stay lazy.  ``pyarrow.dataset`` handles both a single
+    ``<name>.parquet`` file and a multi-file directory layout (testdata
+    layout has drifted between rounds before — events.ts NANOS→MICROS);
+    any metadata failure degrades to ``None`` (the fixed-grid fallback)
+    rather than crashing plan construction."""
     import os
 
-    import pyarrow.parquet as pq
+    try:
+        import pyarrow.dataset as ds
 
-    return pq.ParquetFile(
-        os.path.join(sf_dir, f"{name}.parquet")).metadata.num_rows
+        return sum(
+            f.metadata.num_rows
+            for f in ds.dataset(
+                os.path.join(sf_dir, f"{name}.parquet"),
+                format="parquet").get_fragments())
+    except Exception:
+        return None
 
 
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -368,9 +378,9 @@ ORACLES: dict[str, str] = {
         SELECT doc_id AS id,
                CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS INTEGER) AS ws_tokens,
                CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')) AS INTEGER) AS alnum_words,
-               CAST(list_sum(list_transform(
+               CAST(COALESCE(list_sum(list_transform(
                     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''),
-                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS subword_tokens
+                    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS subword_tokens
         FROM documents WHERE length(text) > 0
     """,
     "tx_fingerprints": f"""
@@ -849,9 +859,11 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tx_pack_sequences"] = tx_pack_sequences
 
-_SUBWORD_SQL = """CAST(list_sum(list_transform(
+# COALESCE: DuckDB list_sum over an empty list is NULL while the Spark
+# aggregate's zero-seed returns 0 — a zero-alnum document must agree
+_SUBWORD_SQL = """CAST(COALESCE(list_sum(list_transform(
     list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> ''),
-    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT)"""
+    w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT)"""
 
 ORACLES["tx_pack_sequences"] = f"""
     WITH t AS (

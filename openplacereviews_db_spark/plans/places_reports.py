@@ -179,9 +179,21 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _DECODE_LAT4, _DECODE_LON4 = geo.olc_decode_center_sql("area", 4)
 
-#: SQL mirror of ``_placetype_label`` (capitalizeFirstLetter, not initcap)
-_SUBTITLE_SQL = ("'Amenity - ' || upper(substr(placetype, 1, 1)) || "
-                 "replace(substr(placetype, 2), '_', ' ')")
+def _cap_first_sql(expr: str) -> str:
+    """SQL mirror of ``_cap_first`` (capitalizeFirstLetter, not initcap)."""
+    return f"(upper(substr({expr}, 1, 1)) || substr({expr}, 2))"
+
+
+#: SQL mirror of ``_placetype_label``, derived from the SAME formula the
+#: Spark side uses — capFirst(osm_tag) || ' - ' ||
+#: replace(capFirst(value), '_', ' ') with the replace over the WHOLE
+#: capitalized value, so parity holds even if the synthetic corpus ever
+#: gains a second placetype tag or a value starting with '_'.  osm_tag
+#: is the generator's literal 'amenity' (sources/places.py:131).
+_CAP_TAG = _cap_first_sql("'amenity'")
+_CAP_VALUE = _cap_first_sql("placetype")
+_SUBTITLE_SQL = (_CAP_TAG + " || ' - ' || "
+                 "replace(" + _CAP_VALUE + ", '_', ' ')")
 
 
 def _src_el_sql(id_expr: str, ind: int, dead: bool) -> str:

@@ -642,10 +642,16 @@ ORACLES["g6_points_in_triangle"] = f"""
 def d3_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sync-timestamp alignment (OsmSyncBot.java:103-107,223-238): shift
     3 minutes back for source lag, floor to the 15-minute grid — then
-    count events per aligned bucket (the incremental-sync window key)."""
+    count events per aligned bucket (the incremental-sync window key).
+
+    The bucket is emitted as BIGINT epoch seconds — the repo-wide
+    window-oracle convention (w2/g1) — because DuckDB ``to_timestamp``
+    is TIMESTAMPTZ while Spark's is naive, a driver schema/hash FAIL
+    that the r4 local parity suite was blind to (``_type_class`` now
+    distinguishes tz-ness)."""
     ev = _t(spark, sf_dir, "events")
-    aligned = F.timestamp_seconds(
-        F.floor((F.unix_timestamp("ts") - 180) / 900) * 900)
+    aligned = (F.floor((F.unix_timestamp("ts") - 180) / 900) * 900
+               ).cast("long")
     return (
         ev.groupBy(aligned.alias("window_start"))
         .agg(F.count(F.lit(1)).alias("n"),
@@ -656,8 +662,8 @@ def d3_aligned_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["d3_aligned_windows"] = d3_aligned_windows
 
 ORACLES["d3_aligned_windows"] = """
-    SELECT to_timestamp(CAST(floor((floor(epoch(ts)) - 180) / 900) * 900
-                        AS BIGINT)) AS window_start,
+    SELECT CAST(floor((floor(epoch(ts)) - 180) / 900) * 900
+                AS BIGINT) AS window_start,
            COUNT(*) AS n,
            round(SUM(value), 2) AS sum_value
     FROM events

@@ -151,7 +151,10 @@ def id_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's ``<tile><hex-int>`` id per place, convert to the
     10-byte wire form (utf8 tile ++ int32-BE suffix) and back.  The
     oracle reproduces both directions; ``roundtrip_ok`` must be all
-    true on BOTH engines."""
+    true on BOTH engines.  The wire form is asserted as lowercase hex
+    TEXT, not raw BINARY — the driver's pandas canonicalizer cannot
+    hash bytearray cells (the r2 mm_feature_codes / r4 id_bytes failure
+    class, now banned by the plan audit)."""
     from ..functions import ids
     from ..sources import places as P
 
@@ -161,7 +164,8 @@ def id_bytes_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids.make_id(F.col("tile_id"), key % 2147483647).alias("place_id"))
     return base.select(
         "place_id",
-        ids.id_to_bytes(F.col("place_id")).alias("id_bytes"),
+        F.lower(F.hex(ids.id_to_bytes(F.col("place_id"))))
+        .alias("id_bytes_hex"),
         (ids.bytes_to_id(ids.id_to_bytes(F.col("place_id")))
          == F.col("place_id")).alias("roundtrip_ok"),
     )
@@ -180,7 +184,7 @@ def _id_roundtrip_oracle() -> str:
     WITH {P.places_sql_cte()},
     base AS (SELECT {pid} AS place_id FROM places)
     SELECT place_id,
-           {ids.id_to_bytes_sql('place_id')} AS id_bytes,
+           lower(to_hex({ids.id_to_bytes_sql('place_id')})) AS id_bytes_hex,
            ({ids.bytes_to_id_sql(ids.id_to_bytes_sql('place_id'))}
             = place_id) AS roundtrip_ok
     FROM base

@@ -54,7 +54,11 @@ def _type_class(t):
     if pa.types.is_date(t):
         return "date"
     if pa.types.is_timestamp(t):
-        return "timestamp"
+        # tz-aware vs naive is a DRIVER schema mismatch (r4
+        # d3_aligned_windows: DuckDB to_timestamp → timestamp[us,
+        # tz=Etc/UTC], Spark timestamp_seconds → naive) — never
+        # collapse tz-ness here
+        return "timestamptz" if t.tz is not None else "timestamp"
     if pa.types.is_list(t) or pa.types.is_large_list(t):
         return ("list", _type_class(t.value_type))
     if pa.types.is_binary(t) or pa.types.is_large_binary(t):

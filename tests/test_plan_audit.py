@@ -54,16 +54,21 @@ def test_no_unbounded_nested_loops(name, spark, sf_dir):
 def test_no_complex_top_level_columns(name, spark, sf_dir):
     """The driver's oracle canonicalizer sorts result frames on every
     column with pandas; array/map/struct cells are unhashable and crash
-    it (round-2 ``mm_feature_codes`` FAIL).  Contract outputs must be
-    scalar at top level — serialize lists with ``array_join``."""
-    from pyspark.sql.types import ArrayType, MapType, StructType
+    it (round-2 ``mm_feature_codes`` FAIL), and BINARY arrives as
+    pandas ``bytearray`` — also unhashable (round-4 ``id_bytes``
+    FAIL).  Contract outputs must be hashable scalars at top level —
+    serialize lists with ``array_join``, binary with ``hex``."""
+    from pyspark.sql.types import (ArrayType, BinaryType, MapType,
+                                   StructType)
 
     df = entrymod.queries()[name](spark, sf_dir)
     bad = [f.name for f in df.schema.fields
-           if isinstance(f.dataType, (ArrayType, MapType, StructType))]
+           if isinstance(f.dataType,
+                         (ArrayType, MapType, StructType, BinaryType))]
     assert not bad, (
-        f"{name}: complex-typed top-level columns {bad} crash the driver "
-        f"canonicalizer — serialize to a scalar (array_join / to_json)"
+        f"{name}: complex/binary top-level columns {bad} crash the driver "
+        f"canonicalizer — serialize to a scalar (array_join / to_json / "
+        f"hex)"
     )
 
 
