@@ -32,7 +32,8 @@ from ..functions import hashing as H
 
 def exploded_shingles(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
-                      extra_cols: list[str] | None = None) -> DataFrame:
+                      extra_cols: list[str] | None = None,
+                      distinct: bool = True) -> DataFrame:
     """(id, s [, extra_cols...]) — one row per distinct n-word shingle.
 
     Semantically identical to ``functions.hashing.word_shingles`` (docs
@@ -40,6 +41,12 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
     yield nothing) but built from posexplode + lead windows so the whole
     pipeline stays in codegen — the array higher-order form is interpreted
     and an order of magnitude slower on wide corpora.
+
+    ``distinct=False`` skips the dedup shuffle and may emit repeated
+    shingle rows per document — correct (and one exchange cheaper) for
+    consumers whose aggregates are duplicate-insensitive (``min`` minhash,
+    ``collect_set``): the window already hash-partitions by (id, extra),
+    so a following ``groupBy(id, extra)`` runs exchange-free.
     """
     extra = extra_cols or []
     words = df.select(
@@ -62,11 +69,11 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
         (F.col("pos") == 0).alias("first"),
         (cnt < n).alias("short"),
     )
-    return (
+    kept = (
         shingled.where(F.col("full") | (F.col("first") & F.col("short")))
         .select("id", *extra, "s")
-        .distinct()
     )
+    return kept.distinct() if distinct else kept
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -114,16 +121,28 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                           16, "0")
         return F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
 
-    # One codegen'd pass builds the distinct (id, shingle) rows; it feeds
-    # the signature, and the verify step rebuilds per-doc shingle sets
-    # from it.  Persisted because three branches consume it.
-    exploded = exploded_shingles(df, text_col, id_col, shingle_words).persist()
-    sig = exploded.groupBy("id").agg(*[
-        F.min(hash_i(i)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]).select("id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
-    banded = sig.select(
-        "id", F.explode(H.lsh_bands(F.col("sig"), bands, rows)).alias("band")
+    # ONE aggregation pass builds everything per-document: the minhash
+    # signature (min is duplicate-insensitive, so the shingle rows skip
+    # the distinct shuffle) and the exact-verify shingle set
+    # (collect_set dedups on its own).  The shingle window already
+    # hash-partitions by id, so this groupBy is exchange-free — the
+    # whole (documents → per-doc state) stretch is a single shuffle.
+    # Only the compact per-doc frame is persisted (one row per doc, vs
+    # the r2-r4 shape that persisted the ~100x larger exploded shingle
+    # rows and paid its InMemoryRelation build inside the timed run);
+    # three branches (band keys + both verify sides) read it with
+    # column pruning into the cached batches.
+    exploded = exploded_shingles(df, text_col, id_col, shingle_words,
+                                 distinct=False)
+    per_doc = exploded.groupBy("id").agg(
+        *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
+        F.collect_set("s").alias("shingles"),
+    ).persist()
+    banded = per_doc.select(
+        "id",
+        F.explode(H.lsh_bands(
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
+            bands, rows)).alias("band"),
     )
     cand = (
         banded.alias("a").join(banded.alias("b"), on="band")
@@ -131,7 +150,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sets = exploded.groupBy("id").agg(F.collect_set("s").alias("shingles"))
+    sets = per_doc.select("id", "shingles")
     verified = (
         cand.join(sets.select(F.col("id").alias("id_a"),
                               F.col("shingles").alias("sh_a")), on="id_a")
@@ -168,12 +187,17 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     base = df.withColumn("_attr",
                          F.col(attr_col) if attr_col else F.lit(""))
+    # duplicate-shingle rows are fine here: min is duplicate-insensitive
+    # and collect_set dedups the shingle-id sets — so the distinct
+    # shuffle is skipped and the groupBy rides the shingle window's
+    # (id, _attr) partitioning exchange-free.  Only the compact per-doc
+    # sig frame is persisted.
     exploded = exploded_shingles(base, text_col, id_col, shingle_words,
-                                 extra_cols=["_attr"]).persist()
+                                 extra_cols=["_attr"], distinct=False)
     sig = exploded.groupBy("_attr", "id").agg(
         *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
           for i in range(num_hashes)],
-        F.collect_list(F.xxhash64("s")).alias("sids"),
+        F.collect_set(F.xxhash64("s")).alias("sids"),
     ).persist()
     banded = sig.select(
         "id", "_attr",
@@ -214,7 +238,8 @@ def minhash_band_keys(df: DataFrame, text_col: str = "text",
     a bare ``lang`` block is one task per language and dies on the
     first billion-doc language."""
     rows = num_hashes // bands
-    exploded = exploded_shingles(df, text_col, id_col, shingle_words)
+    exploded = exploded_shingles(df, text_col, id_col, shingle_words,
+                                 distinct=False)  # min is dup-insensitive
     sig = exploded.groupBy("id").agg(*[
         F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -331,7 +356,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     """
     base = df.withColumn("blk", F.col(block_col) if block_col else F.lit(0))
     exploded = exploded_shingles(
-        base, text_col, id_col, shingle_words, extra_cols=["blk"]
+        base, text_col, id_col, shingle_words, extra_cols=["blk"],
+        distinct=False,  # collect_set dedups; skips a full shuffle
     )
     # Shingle ids are xxhash64 of the shingle text — no dictionary pass,
     # no global-window bottleneck.  A 64-bit collision would merge two
@@ -340,7 +366,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     encoded = (
         exploded.withColumn("sid", F.xxhash64("s"))
         .groupBy("blk", "id")
-        .agg(F.collect_list("sid").alias("sids"))
+        .agg(F.collect_set("sid").alias("sids"))
     )
 
     emit_floor = min_jaccard - 1e-6
