@@ -25,29 +25,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
-#: evidence.  Round 4 front-loads (a) every query never yet sampled in a
-#: CORRECTNESS_r*.json (44 — the whole history/sync/merge/relational2/
-#: curation-extension/streaming surface) and (b) six canaries whose
-#: plans changed this round.  Everything else follows in module order.
+#: evidence.  Round 5 front-loads (a) the two r4 driver-red queries, now
+#: repaired (id_bytes_roundtrip hex wire form, d3_aligned_windows epoch
+#: buckets), (b) the one never-sampled query (tx_pack_sequences), and
+#: (c) every query whose plan or oracle changed this round: the minhash
+#: restructure family (dd_minhash_lsh/dd_ngram_jaccard/dd_dup_groups/
+#: dd_apply), the COALESCE'd token oracles (tx_token_counts), the
+#: generic subtitle mirror (geo_tile_report), the O2 label_rank pin
+#: (a4_place_types), the n_hint guard (emb_neardup_pairs), and
+#: j2_proximity_pairs (cell fix landed after its last r3 sample).
+#: r4-green unchanged queries yield their slots.
 _DRIVER_PRIORITY = [
-    # canaries changed this round (schema/serializer/plan) + flagship,
-    # plus the round's two new operators; unchanged previously-green
-    # canaries (curate_corpus, g1_sessionize) yield their slots
-    "q1_pricing_summary", "emb_neardup_pairs", "tx_tfidf_topk",
-    "m9_apply_changelog", "geo_tile_report", "tx_boilerplate",
-    # never driver-sampled through round 3
-    "j3_border_correct", "a5_merge_counters", "m5_merge_ops",
-    "m7_migrate_ids", "s14_pack_ops", "a8_rollup_status_priority",
+    "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
+    "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",
+    "dd_dup_groups", "dd_apply", "a4_place_types", "tx_token_counts",
+    "geo_tile_report", "emb_neardup_pairs", "j2_proximity_pairs",
+    # unchanged rotation (green when last sampled)
+    "a8_rollup_status_priority",
     "a9_cube_flags", "p11_json_extraction", "q6_revenue_delta",
     "w2_event_deltas", "w3_percentiles", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
     "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",
     "e2_config_delta", "g5_way_stats", "g4_simplify_ways",
     "o5_orthogonal_distance", "g6_points_in_triangle",
-    "d3_aligned_windows", "q19_disjunctive_filter", "q16_distinct_count",
+    "q19_disjunctive_filter", "q16_distinct_count",
     "p6_change_classification", "p7_review_candidates", "history_report",
     "j7_history_full_check", "p4_history_features", "s4_adaptive_split",
-    "s5_staged_scan", "id_bytes_roundtrip", "m8_placetype_ops",
+    "s5_staged_scan", "m8_placetype_ops",
     "s1_osm_xml_roundtrip", "tx_stratified_sample", "tx_mix_weights",
     "tx_repetition", "tx_decontaminate", "tx_pii_scrub",
     "st_event_rollup", "st_sessionize", "st_user_totals",

@@ -359,12 +359,28 @@ ORACLES["a2_images_size"] = f"""
 
 
 def a4_place_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A4 (BaseOprPlaceDataProvider.java:161-200): distinct place types
-    with display names (capitalize + underscore→space), sorted by label."""
+    """A4 + O2 (BaseOprPlaceDataProvider.java:161-200): distinct place
+    types with display names (capitalize + underscore→space), ranked in
+    display order.
+
+    O2 ordering parity is EXACT, not approximate: the reference sorts
+    labels with ``Comparator.naturalOrder()`` (:182-194) — plain UTF-16
+    code-unit order, NOT a locale collator — and Java code-unit order
+    equals Spark/DuckDB binary UTF-8 order for all BMP strings (they
+    only diverge on supplementary-plane characters, which cannot appear
+    in OSM placetype values).  ``label_rank`` pins the order in the
+    value-hashed output; ties (two placetypes mapping to one label)
+    break on the raw placetype, mirroring LinkedHashMap insertion from
+    a sorted key list.  The rank window is unpartitioned by design: it
+    runs over the already-aggregated distinct-placetype frame, whose
+    cardinality is the placetype vocabulary (dozens), not the corpus.
+    """
+    from pyspark.sql.window import Window
+
     from ..functions.text import display_place_type
 
     pl = P.synthetic_places(spark, sf_dir)
-    return (
+    agg = (
         pl.where(F.col("deleted").isNull())
         .groupBy("placetype")
         .agg(F.count(F.lit(1)).alias("n_places"))
@@ -372,6 +388,8 @@ def a4_place_types(spark: SparkSession, sf_dir: str) -> DataFrame:
                 display_place_type(F.col("placetype")).alias("label"),
                 "n_places")
     )
+    rank = F.row_number().over(Window.orderBy("label", "placetype"))
+    return agg.withColumn("label_rank", rank.cast("int"))
 
 
 def p10_name_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -393,13 +411,19 @@ QUERIES["a4_place_types"] = a4_place_types
 QUERIES["p10_name_tags"] = p10_name_tags
 
 ORACLES["a4_place_types"] = f"""
-    WITH {P.places_sql_cte()}
-    SELECT placetype,
-           upper(substr(replace(placetype, '_', ' '), 1, 1))
-             || substr(replace(placetype, '_', ' '), 2) AS label,
-           COUNT(*) AS n_places
-    FROM places WHERE deleted IS NULL
-    GROUP BY placetype
+    WITH {P.places_sql_cte()},
+    agg AS (
+        SELECT placetype,
+               upper(substr(replace(placetype, '_', ' '), 1, 1))
+                 || substr(replace(placetype, '_', ' '), 2) AS label,
+               COUNT(*) AS n_places
+        FROM places WHERE deleted IS NULL
+        GROUP BY placetype
+    )
+    SELECT placetype, label, n_places,
+           CAST(row_number() OVER (ORDER BY label, placetype) AS INTEGER)
+               AS label_rank
+    FROM agg
 """
 
 ORACLES["p10_name_tags"] = f"""

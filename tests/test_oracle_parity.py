@@ -71,7 +71,13 @@ def _assert_type_classes(name, sdf, duck, oracle_sql):
 
     spark_arrow = to_arrow_schema(sdf.schema)
     duck_arrow = duck.execute(oracle_sql).fetch_arrow_table().schema
-    s = {f.name: _type_class(f.type) for f in spark_arrow}
+    # Asymmetric tz handling, mirroring the driver: Spark TimestampType
+    # reaches the driver's pandas canonicalizer as NAIVE datetimes (even
+    # though to_arrow_schema reports the session tz), so collapse tz on
+    # the SPARK side only; DuckDB TIMESTAMPTZ stays tz-aware end to end
+    # and must be flagged (the r4 d3_aligned_windows driver FAIL).
+    s = {f.name: ("timestamp" if _type_class(f.type) == "timestamptz"
+                  else _type_class(f.type)) for f in spark_arrow}
     d = {duck_arrow.field(i).name: _type_class(duck_arrow.field(i).type)
          for i in range(len(duck_arrow))}
     mism = {c: (s[c], d[c]) for c in s if c in d and s[c] != d[c]}

@@ -45,3 +45,24 @@ def test_display_place_type(spark):
 
 def test_normalized_accent_fold(spark):
     assert _one(spark, TX.normalized(F.lit("Crème Brûlée"))) == "creme brulee"
+
+
+def test_o2_label_sort_matches_java_natural_order(spark):
+    """O2 display-name sort parity golden: the reference sorts placeType
+    labels with ``Comparator.naturalOrder()``
+    (BaseOprPlaceDataProvider.java:182-194) — UTF-16 code-unit order, NOT
+    a locale collator.  For BMP strings (all OSM placetype values) that
+    equals code-POINT order, which is exactly Python ``sorted()`` and
+    Spark's binary string ORDER BY — so Spark's sort must reproduce Java's
+    byte-for-byte, accents included (é sorts AFTER z, as Java does, unlike
+    an ICU/locale collation which would interleave it with e)."""
+    labels = ["Amenity - Cafe", "Amenity - Café", "Amenity - cafe",
+              "Amenity - Zoo", "Amenity - Éclair shop", "Amenity - bar",
+              "Leisure - Ángel park", "Amenity - Fast food"]
+    df = spark.createDataFrame([(x,) for x in labels], "label string")
+    got = [r["label"] for r in df.orderBy("label").collect()]
+    # Python sorted() compares by code point == Java naturalOrder on BMP
+    assert got == sorted(labels)
+    # the accented initials really do land after ASCII, as in Java
+    assert got.index("Amenity - Café") > got.index("Amenity - Cafe")
+    assert got[-2:] == ["Amenity - Éclair shop", "Leisure - Ángel park"]
