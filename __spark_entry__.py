@@ -40,8 +40,8 @@ _DRIVER_PRIORITY = [
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",
     "dd_dup_groups", "dd_apply", "a4_place_types", "tx_token_counts",
     "geo_tile_report", "emb_neardup_pairs", "j2_proximity_pairs",
+    "d4_lenient_timestamps",  # new this round (lenient tombstone parse)
     # unchanged rotation (green when last sampled)
-    "a8_rollup_status_priority",
     "a9_cube_flags", "p11_json_extraction", "q6_revenue_delta",
     "w2_event_deltas", "w3_percentiles", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

@@ -671,6 +671,67 @@ ORACLES["d3_aligned_windows"] = """
 """
 
 
+def d4_lenient_timestamps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lenient tombstone-timestamp parse (MergePlaceBot.java:52
+    ``yyyy-MM-dd'T'HH:mm:ss.[SSSZ][SSSSZ]``, getDeletedDate :267-278):
+    the deleted field carries 3- OR 4-digit fractional seconds, parsed
+    by a try-each-format cascade; the bot then flags places deleted
+    >= 10 days before today (wasDeletedMoreThanDaysAgo :280-288,
+    DAYS_TO_TRY_PERMANENTLY_CLOSED).  Today is an injected literal
+    (2024-01-21, mid-corpus) per the determinism rule; the date is
+    derived from epoch-day arithmetic so no engine-local timezone can
+    leak into the comparison (the wire offset is always +0000)."""
+    ev = _t(spark, sf_dir, "events")
+    base = F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss")
+    wire = F.concat(base, F.when(F.col("event_id") % 2 == 0,
+                                 F.lit(".123+0000"))
+                    .otherwise(F.lit(".1234+0000")))
+    parsed = F.coalesce(
+        F.try_to_timestamp(wire, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSZ")),
+        F.try_to_timestamp(wire, F.lit("yyyy-MM-dd'T'HH:mm:ss.SSSSZ")))
+    epoch = F.unix_timestamp(parsed)
+    deleted_date = F.date_add(F.lit("1970-01-01").cast("date"),
+                              F.floor(epoch / 86400).cast("int"))
+    today = F.lit("2024-01-21").cast("date")
+    return ev.select(
+        "event_id",
+        epoch.alias("deleted_epoch"),
+        deleted_date.alias("deleted_date"),
+        (F.datediff(today, deleted_date) >= 10).alias("closed_permanently"),
+    )
+
+
+QUERIES["d4_lenient_timestamps"] = d4_lenient_timestamps
+
+# %g = exactly-3-digit millis (the SSSZ arm), %f = microseconds (catches
+# the 4-digit arm); epoch-seconds flooring makes the fraction moot, so
+# the cascade shape — not fraction width — is what parity asserts
+ORACLES["d4_lenient_timestamps"] = """
+    WITH wire AS (
+        SELECT event_id,
+               strftime(ts, '%Y-%m-%dT%H:%M:%S') ||
+               CASE WHEN event_id % 2 = 0 THEN '.123+0000'
+                    ELSE '.1234+0000' END AS s
+        FROM events),
+    parsed AS (
+        SELECT event_id,
+               CAST(floor(epoch(COALESCE(
+                   try_strptime(s, '%Y-%m-%dT%H:%M:%S.%g%z'),
+                   try_strptime(s, '%Y-%m-%dT%H:%M:%S.%f%z'))))
+               AS BIGINT) AS deleted_epoch
+        FROM wire)
+    SELECT event_id, deleted_epoch,
+           DATE '1970-01-01'
+               + CAST(floor(deleted_epoch / 86400.0) AS INTEGER)
+               AS deleted_date,
+           (datediff('day',
+                     DATE '1970-01-01'
+                       + CAST(floor(deleted_epoch / 86400.0) AS INTEGER),
+                     DATE '2024-01-21') >= 10) AS closed_permanently
+    FROM parsed
+"""
+
+
 def q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: an OR of conjunctive (brand × container ×
     quantity-range) predicates across a join.  The point is optimizer
