@@ -41,8 +41,9 @@ _DRIVER_PRIORITY = [
     "dd_dup_groups", "dd_apply", "a4_place_types", "tx_token_counts",
     "geo_tile_report", "emb_neardup_pairs", "j2_proximity_pairs",
     "d4_lenient_timestamps",  # new this round (lenient tombstone parse)
+    "tx_domain_cap", "tx_group_split",  # new this round (X26/X27)
     # unchanged rotation (green when last sampled)
-    "a9_cube_flags", "p11_json_extraction", "q6_revenue_delta",
+    "p11_json_extraction",
     "w2_event_deltas", "w3_percentiles", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
     "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",

@@ -76,23 +76,68 @@ def char_shingles(text: Column, k: int = 5) -> Column:
     )
 
 
-def minhash_sig(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash signature as array<string> of length ``num_hashes``.
+#: MinHash universal-hash family h_i(s) = (a_i·base(s) + b_i) mod P over
+#: one shared base hash per shingle — ONE md5 per shingle instead of
+#: num_hashes of them (16× less hashing; at 100 TB the hash work IS the
+#: minhash cost).  P is the Mersenne prime 2^61−1; base < 2^31 and
+#: a_i < 2^21, so a_i·base + b_i < 2^52 — no overflow on either engine
+#: (Spark ANSI would raise, DuckDB would error; both stay in range).
+MINHASH_P = (1 << 61) - 1
+MINHASH_M = 1 << 31
 
-    h_i(doc) = min over shingles s of md5(CONCAT(i, ':', s)).  md5 hex is
-    fixed-width lowercase, so lexicographic min == numeric min of the
-    128-bit hash — identical semantics in DuckDB.
-    """
+
+def minhash_a(i: int) -> int:
+    return 1000003 + 7919 * i
+
+
+def minhash_b(i: int) -> int:
+    return 12345 + 69061 * i
+
+
+def minhash_base(s: Column) -> Column:
+    """Shared base hash: first 15 hex digits of md5 (60 bits), reduced
+    mod 2^31.  Two shingles colliding here collide in every h_i — at
+    probability ~n²/2⁶¹, negligible for any real corpus."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+        F.lit(MINHASH_M))
+
+
+def minhash_base_sql(s: str) -> str:
+    return (f"(CAST('0x' || substr(md5({s}), 1, 15) AS BIGINT) "
+            f"% {MINHASH_M})")
+
+
+def minhash_perm(i: int, base: Column) -> Column:
+    """The i-th minhash function applied to a base hash column."""
+    return F.pmod(F.lit(minhash_a(i)) * base + F.lit(minhash_b(i)),
+                  F.lit(MINHASH_P))
+
+
+def minhash_perm_sql(seed_expr: str, base_expr: str) -> str:
+    """SQL mirror of :func:`minhash_perm` with the seed as an expression
+    (DuckDB generate_series), a_i/b_i inlined as the same formulas."""
+    return (f"(((1000003 + 7919 * {seed_expr}) * {base_expr} "
+            f"+ (12345 + 69061 * {seed_expr})) % {MINHASH_P})")
+
+
+def minhash_sig(shingles: Column, num_hashes: int = 16) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes`` —
+    the array-HOF expression form of the family above (the exploded
+    aggregate form in ``operators.dedup`` is the production path)."""
     def one(i: int) -> Column:
         return F.array_min(
-            F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{i}:"), s)))
+            F.transform(shingles, lambda s: minhash_perm(i, minhash_base(s)))
         )
 
     return F.array(*[one(i) for i in range(num_hashes)])
 
 
 def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
-    """array<string> of band keys 'b|h(band slice)' for LSH bucketing."""
+    """array<string> of band keys 'b|h(band slice)' for LSH bucketing.
+    Accepts string or numeric signatures (bigint minhashes are rendered
+    in decimal — identical text on both engines)."""
+    sig = sig.cast("array<string>")
     keys = []
     for b in range(bands):
         sl = F.slice(sig, b * rows_per_band + 1, rows_per_band)

@@ -61,6 +61,40 @@ def stratified_sample(df: DataFrame, stratum_col: str, id_col: str,
             .select("id", "stratum", "u", "rate"))
 
 
+def domain_cap(df: DataFrame, domain_col: str, id_col: str,
+               cap: int, buckets: int = 32) -> DataFrame:
+    """EXACT per-domain cap: keep the ``cap`` rows with the smallest
+    hash-uniform draw per domain — the deterministic form of the
+    C4/RefinedWeb-style over-representation guard.  Complements
+    :func:`stratified_sample`, which thins by expected RATE; here the
+    bound is a hard row count.
+
+    Scale shape — exact top-K per group without a one-task-per-domain
+    window: rows first rank inside (domain, salt-bucket) windows
+    (``buckets`` parallel tasks per domain), and only per-bucket
+    survivors (≤ buckets×cap rows per domain) enter the final
+    per-domain window — so no task ever holds more than
+    max(|bucket|, buckets×cap) rows however skewed the domain.  Values
+    are identical to a single global window: a row in the global
+    top-cap is necessarily in its bucket's top-cap.  Output
+    (id, domain, u, rank), rank 1-based in (u, id) order.
+    """
+    from pyspark.sql.window import Window
+
+    u = F.round(hash_uniform(F.col(id_col)), 9)
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(domain_col).alias("domain"),
+        u.alias("u"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(buckets)).alias("_b"))
+    wb = Window.partitionBy("domain", "_b").orderBy("u", "id")
+    pre = (base.withColumn("_r", F.row_number().over(wb))
+           .where(F.col("_r") <= cap))
+    wd = Window.partitionBy("domain").orderBy("u", "id")
+    return (pre.withColumn("rank", F.row_number().over(wd).cast("int"))
+            .where(F.col("rank") <= cap)
+            .select("id", "domain", "u", "rank"))
+
+
 def mixture_weights(df: DataFrame, domain_col: str, text_col: str,
                     temperature: float = 0.7) -> DataFrame:
     """Temperature-scaled domain mixture weights (the multinomial

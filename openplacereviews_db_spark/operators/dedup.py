@@ -106,20 +106,25 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     on the band key (pure equi-join → hash shuffle on band); exact Jaccard
     verifies each candidate once (dropDuplicates on the pair).
 
-    ``fast_hash=True`` swaps the md5 minhash family for xxhash64 —
-    several times cheaper per shingle.  The verify stage computes EXACT
-    Jaccard either way, so the hash family only moves candidate recall,
-    never pair values; md5 stays the default because the DuckDB oracles
-    pin it (DuckDB has no xxhash64).
+    The hash family is ONE base hash per shingle (md5 by default) fed
+    through ``num_hashes`` universal-hash permutations
+    (``functions.hashing.minhash_perm``) — 16× less hash work than the
+    classic md5-per-seed form, and the same integer arithmetic is
+    reproduced verbatim by the DuckDB oracles.  ``fast_hash=True``
+    swaps the md5 base for xxhash64 — cheaper again.  The verify stage
+    computes EXACT Jaccard either way, so the base hash only moves
+    candidate recall, never pair values; md5 stays the default because
+    DuckDB has no xxhash64.
     """
     rows = num_hashes // bands
 
+    if fast_hash:
+        base_h = F.pmod(F.xxhash64(F.col("s")), F.lit(H.MINHASH_M))
+    else:
+        base_h = H.minhash_base(F.col("s"))
+
     def hash_i(i: int):
-        if fast_hash:
-            # fixed-width hex so lexicographic MIN == numeric MIN
-            return F.lpad(F.hex(F.xxhash64(F.lit(i), F.col("s"))),
-                          16, "0")
-        return F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))
+        return H.minhash_perm(i, F.col("_mhb"))
 
     # ONE aggregation pass builds everything per-document: the minhash
     # signature (min is duplicate-insensitive, so the shingle rows skip
@@ -134,7 +139,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # column pruning into the cached batches.
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)
-    per_doc = exploded.groupBy("id").agg(
+    per_doc = exploded.withColumn("_mhb", base_h).groupBy("id").agg(
         *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
         F.collect_set("s").alias("shingles"),
     ).persist()
@@ -194,11 +199,12 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # sig frame is persisted.
     exploded = exploded_shingles(base, text_col, id_col, shingle_words,
                                  extra_cols=["_attr"], distinct=False)
-    sig = exploded.groupBy("_attr", "id").agg(
-        *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-          for i in range(num_hashes)],
-        F.collect_set(F.xxhash64("s")).alias("sids"),
-    ).persist()
+    sig = (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
+           .groupBy("_attr", "id").agg(
+               *[F.min(H.minhash_perm(i, F.col("_mhb"))).alias(f"h{i}")
+                 for i in range(num_hashes)],
+               F.collect_set(F.xxhash64("s")).alias("sids"),
+           ).persist())
     banded = sig.select(
         "id", "_attr",
         F.explode(H.lsh_bands(
@@ -240,11 +246,12 @@ def minhash_band_keys(df: DataFrame, text_col: str = "text",
     rows = num_hashes // bands
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)  # min is dup-insensitive
-    sig = exploded.groupBy("id").agg(*[
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]).select("id", F.array(*[F.col(f"h{i}")
-                              for i in range(num_hashes)]).alias("sig"))
+    sig = (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
+           .groupBy("id").agg(*[
+               F.min(H.minhash_perm(i, F.col("_mhb"))).alias(f"h{i}")
+               for i in range(num_hashes)
+           ]).select("id", F.array(*[F.col(f"h{i}")
+                                     for i in range(num_hashes)]).alias("sig")))
     return sig.select(
         "id", F.explode(H.lsh_bands(F.col("sig"), bands, rows)).alias("band"))
 

@@ -201,6 +201,28 @@ _SIMHASH_SQL = """
     FROM votes GROUP BY doc_id
 """.format(words=_WORDS)
 
+# MinHash mins/bands CTE text shared by the two banded-LSH oracles —
+# the SAME one-md5-base + universal-hash-permutation family the Spark
+# operators compute (functions/hashing.py: minhash_base/minhash_perm);
+# integer arithmetic is engine-independent, so the band keys are
+# bit-identical.
+from ..functions.hashing import minhash_base_sql as _mhb_sql  # noqa: E402
+from ..functions.hashing import minhash_perm_sql as _mhp_sql  # noqa: E402
+
+_MINHASH_MINS_BANDS = f"""
+        mins AS (
+            SELECT doc_id, seed,
+                   min({_mhp_sql('seed', _mhb_sql('s'))}) AS mh
+            FROM sh, unnest(sh.shingles) AS u(s),
+                 generate_series(0, 15) AS g(seed)
+            GROUP BY doc_id, seed),
+        bands AS (
+            SELECT doc_id,
+                   (seed // 2)::VARCHAR || '|' ||
+                       md5(string_agg(CAST(mh AS VARCHAR), ','
+                                      ORDER BY seed)) AS band
+            FROM mins GROUP BY doc_id, (seed // 2))"""
+
 ORACLES: dict[str, str] = {
     "dd_exact": f"""
         SELECT md5({_NORM}) AS fp, min(doc_id) AS keep_id,
@@ -212,14 +234,7 @@ ORACLES: dict[str, str] = {
         WITH sh AS (
             SELECT doc_id, {_SHINGLES2} AS shingles
             FROM documents WHERE length(text) > 0),
-        mins AS (
-            SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
-            FROM sh, unnest(sh.shingles) AS u(s), generate_series(0, 15) AS g(seed)
-            GROUP BY doc_id, seed),
-        bands AS (
-            SELECT doc_id, (seed // 2) AS b,
-                   (seed // 2)::VARCHAR || '|' || md5(string_agg(mh, ',' ORDER BY seed)) AS band
-            FROM mins GROUP BY doc_id, (seed // 2)),
+        {_MINHASH_MINS_BANDS},
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b USING (band)
@@ -247,14 +262,7 @@ ORACLES: dict[str, str] = {
         WITH sh AS (
             SELECT doc_id, lang, {_SHINGLES2} AS shingles
             FROM documents WHERE length(text) > 0),
-        mins AS (
-            SELECT doc_id, seed, min(md5(seed::VARCHAR || ':' || s)) AS mh
-            FROM sh, unnest(sh.shingles) AS u(s), generate_series(0, 15) AS g(seed)
-            GROUP BY doc_id, seed),
-        bands AS (
-            SELECT doc_id, (seed // 2) AS b,
-                   (seed // 2)::VARCHAR || '|' || md5(string_agg(mh, ',' ORDER BY seed)) AS band
-            FROM mins GROUP BY doc_id, (seed // 2)),
+        {_MINHASH_MINS_BANDS},
         cand AS (
             SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
             FROM bands a JOIN bands b USING (band)
@@ -489,6 +497,52 @@ ORACLES["dd_apply"] = f"""
            CAST(COALESCE(g.group_size, 1) AS BIGINT) AS group_size,
            (COALESCE(g.canonical_id, b.id) = b.id) AS kept
     FROM base b LEFT JOIN groups g ON g.node = b.id
+"""
+
+
+def tx_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test assignment (X27): every document in
+    a near-duplicate GROUP (minhash-LSH pairs → connected components)
+    is assigned by the hash of its group's CANONICAL id, so near-dups
+    can never straddle the train/eval boundary — the contamination mode
+    that n-gram decontamination misses once paraphrase-level rewrites
+    enter the corpus.  90/5/5 by hash_uniform(canonical); singletons
+    hash their own id.  Eager by necessity (the CC contraction loop
+    runs at build — EAGER_BUILD_OK)."""
+    from ..operators.components import dedup_groups
+    from ..operators.curation import hash_uniform
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_words=2, num_hashes=16, bands=8, min_jaccard=0.1)
+    groups = dedup_groups(pairs)
+    base = docs.select(F.col("doc_id").alias("id"))
+    j = base.join(groups, base["id"] == groups["node"], "left")
+    canon = F.coalesce("canonical_id", F.col("id"))
+    u = F.round(hash_uniform(canon), 9)
+    split = (F.when(u < 0.90, "train").when(u < 0.95, "val")
+             .otherwise("test"))
+    return j.select("id", canon.alias("canonical_id"), u.alias("u"),
+                    split.alias("split"))
+
+
+QUERIES["tx_group_split"] = tx_group_split
+
+from ..operators.curation import hash_uniform_sql as _husql  # noqa: E402
+
+_CANON_U = f"round({_husql('canonical_id')}, 9)"
+
+ORACLES["tx_group_split"] = f"""
+    WITH groups AS ({ORACLES["dd_dup_groups"]}),
+    base AS (SELECT doc_id AS id FROM documents WHERE length(text) > 0),
+    assigned AS (
+        SELECT b.id, COALESCE(g.canonical_id, b.id) AS canonical_id
+        FROM base b LEFT JOIN groups g ON g.node = b.id)
+    SELECT id, canonical_id, {_CANON_U} AS u,
+           CASE WHEN {_CANON_U} < 0.90 THEN 'train'
+                WHEN {_CANON_U} < 0.95 THEN 'val'
+                ELSE 'test' END AS split
+    FROM assigned
 """
 
 

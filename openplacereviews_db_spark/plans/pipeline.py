@@ -44,6 +44,14 @@ def tx_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         temperature=0.7)
 
 
+def tx_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard cap of 15 docs per source (X26) — exact top-K per domain by
+    deterministic hash order, the over-representation guard applied
+    before mixing."""
+    return curation.domain_cap(
+        _docs(spark, sf_dir), domain_col="source", id_col="doc_id", cap=15)
+
+
 # ---------------------------------------------------------------------------
 # quality / decontamination / PII
 # ---------------------------------------------------------------------------
@@ -110,6 +118,7 @@ def st_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_stratified_sample": tx_stratified_sample,
     "tx_mix_weights": tx_mix_weights,
+    "tx_domain_cap": tx_domain_cap,
     "tx_repetition": tx_repetition,
     "tx_decontaminate": tx_decontaminate,
     "tx_pii_scrub": tx_pii_scrub,
@@ -146,6 +155,17 @@ _PHONE_RE = curation.PHONE_RE
 _IPV4_RE = curation.IPV4_RE
 
 ORACLES: dict[str, str] = {
+    "tx_domain_cap": f"""
+        WITH ranked AS (
+            SELECT doc_id AS id, source AS domain,
+                   round({_U}, 9) AS u,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY round({_U}, 9), doc_id) AS INTEGER)
+                       AS rank
+            FROM documents WHERE length(text) > 0)
+        SELECT id, domain, u, rank FROM ranked WHERE rank <= 15
+    """,
     "tx_stratified_sample": f"""
         WITH counts AS (
             SELECT lang AS stratum, count(*) AS n

@@ -282,12 +282,14 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
 
     def index_batch(batch: DataFrame) -> DataFrame:
         exploded = exploded_shingles(batch, "text", "doc_id",
-                                     shingle_words)
-        sig = exploded.groupBy("id").agg(
-            *[F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("s"))))
-              .alias(f"h{i}") for i in range(num_hashes)],
-            F.collect_set("s").alias("shingles"),
-        )
+                                     shingle_words, distinct=False)
+        sig = (exploded
+               .withColumn("_mhb", H.minhash_base(F.col("s")))
+               .groupBy("id").agg(
+                   *[F.min(H.minhash_perm(i, F.col("_mhb")))
+                     .alias(f"h{i}") for i in range(num_hashes)],
+                   F.collect_set("s").alias("shingles"),
+               ))
         return sig.select(
             "id", "shingles",
             F.explode(H.lsh_bands(
