@@ -42,8 +42,8 @@ _DRIVER_PRIORITY = [
     "geo_tile_report", "emb_neardup_pairs", "j2_proximity_pairs",
     "d4_lenient_timestamps",  # new this round (lenient tombstone parse)
     "tx_domain_cap", "tx_group_split",  # new this round (X26/X27)
+    "s2_diff_roundtrip",  # new this round (S2 diff parse + P9 scrub)
     # unchanged rotation (green when last sampled)
-    "p11_json_extraction",
     "w2_event_deltas", "w3_percentiles", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
     "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",

@@ -285,6 +285,109 @@ def s1_osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s1_osm_xml_roundtrip"] = s1_osm_xml_roundtrip
 
+
+def s2_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2+P9 driver-grade: write a deterministic Overpass-style adiff
+    file (write-once per sf), stream-parse it (OsmParser.java:85-102
+    diff mode: ``<action type=…>`` with ``<old>``/``<new>`` wrappers,
+    create entities directly under the action like Overpass emits),
+    pivot through ``diff_pairs`` into DiffEntity rows, and project.
+
+    Every NEW section also carries a ``<tag k="" v="junk"/>`` that the
+    parser must scrub (P9, ``_row``) — ``n_new_tags`` counts the tags
+    that survive, so the empty-tag scrub is value-checked by the
+    oracle, which derives the same facts straight from the parquet."""
+    from ..sources import osm_xml
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"osm_diff_{tag}.osm")
+    if not os.path.exists(path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "customer.parquet"),
+                          columns=["c_custkey", "c_name", "c_mktsegment"])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+
+        def node(f, k, name, seg, version, new_section, name_suffix=""):
+            lat = (k * 7919) % 16000 / 100.0 - 80.0
+            lon = (k * 104729) % 36000 / 100.0 - 180.0
+            f.write(f'    <node id="{k}" lat="{lat!r}" lon="{lon!r}" '
+                    f'version="{version}">\n')
+            f.write(f'      <tag k="name" '
+                    f'v="{_xml_escape(name + name_suffix)}"/>\n')
+            if k % 2 == 0:
+                f.write(f'      <tag k="amenity" '
+                        f'v="{_xml_escape(seg.lower())}"/>\n')
+            if new_section:
+                f.write('      <tag k="" v="junk"/>\n')  # P9 scrub bait
+            f.write("    </node>\n")
+
+        with open(tmp, "w", encoding="utf-8") as f:
+            f.write('<?xml version="1.0" encoding="UTF-8"?>\n<osm>\n')
+            for k, name, seg in zip(t["c_custkey"].to_pylist(),
+                                    t["c_name"].to_pylist(),
+                                    t["c_mktsegment"].to_pylist()):
+                v = 1 + k % 5
+                mode = k % 3
+                if mode == 0:  # create: entity directly under action
+                    f.write('  <action type="create">\n')
+                    node(f, k, name, seg, v, new_section=True)
+                    f.write('  </action>\n')
+                elif mode == 1:  # modify: old + new
+                    f.write('  <action type="modify">\n    <old>\n')
+                    node(f, k, name, seg, v, new_section=False)
+                    f.write('    </old>\n    <new>\n')
+                    node(f, k, name, seg, v + 1, new_section=True,
+                         name_suffix=" v2")
+                    f.write('    </new>\n  </action>\n')
+                else:  # delete: old only
+                    f.write('  <action type="delete">\n    <old>\n')
+                    node(f, k, name, seg, v, new_section=False)
+                    f.write('    </old>\n  </action>\n')
+            f.write("</osm>\n")
+        os.replace(tmp, path)
+    ents = osm_xml.read_osm_xml(spark, path)
+    d = osm_xml.diff_pairs(ents)
+    return d.select(
+        "id", "action",
+        F.col("old.version").cast("int").alias("old_version"),
+        F.col("new.version").cast("int").alias("new_version"),
+        F.col("old.tags")["name"].alias("old_name"),
+        F.col("new.tags")["name"].alias("new_name"),
+        F.when(F.col("new").isNotNull(), F.size("new.tags"))
+        .cast("int").alias("n_new_tags"),
+        F.round(F.col("new.lat"), 6).alias("new_lat"),
+    )
+
+
+QUERIES["s2_diff_roundtrip"] = s2_diff_roundtrip
+
+ORACLES["s2_diff_roundtrip"] = """
+    SELECT c_custkey AS id,
+           CASE c_custkey % 3 WHEN 0 THEN 'create'
+                WHEN 1 THEN 'modify' ELSE 'delete' END AS action,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                ELSE CAST(1 + c_custkey % 5 AS INT) END AS old_version,
+           CASE WHEN c_custkey % 3 = 2 THEN NULL
+                WHEN c_custkey % 3 = 1 THEN CAST(2 + c_custkey % 5 AS INT)
+                ELSE CAST(1 + c_custkey % 5 AS INT) END AS new_version,
+           CASE WHEN c_custkey % 3 = 0 THEN NULL
+                ELSE c_name END AS old_name,
+           CASE WHEN c_custkey % 3 = 2 THEN NULL
+                WHEN c_custkey % 3 = 1 THEN c_name || ' v2'
+                ELSE c_name END AS new_name,
+           CASE WHEN c_custkey % 3 = 2 THEN NULL
+                ELSE CAST(1 + CASE WHEN c_custkey % 2 = 0
+                                   THEN 1 ELSE 0 END AS INT)
+           END AS n_new_tags,
+           CASE WHEN c_custkey % 3 = 2 THEN NULL
+                ELSE round((c_custkey * 7919) % 16000 / 100.0 - 80.0, 6)
+           END AS new_lat
+    FROM customer
+"""
+
 ORACLES["s1_osm_xml_roundtrip"] = """
     SELECT c_custkey AS id,
            round((c_custkey * 7919) % 16000 / 100.0 - 80.0, 6) AS lat,
