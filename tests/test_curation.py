@@ -136,3 +136,50 @@ def test_stratified_rate_formula(spark, rows, cap):
         assert r["rate"] == pytest.approx(
             min(1.0, cap / sizes[r["stratum"]]), abs=1e-9)
         assert r["u"] < r["rate"]
+
+
+def test_domain_cap_two_phase_equals_single_window(spark):
+    """The salted two-phase top-K (X26 scale path) must return EXACTLY
+    the rows a naive one-window-per-domain plan would, including ranks,
+    on a skewed corpus (one domain 50x the others)."""
+    from pyspark.sql.window import Window
+
+    rows = ([(i, f"text {i}", "en", "big") for i in range(200)]
+            + [(1000 + i, f"text {i}", "en", "small") for i in range(4)]
+            + [(2000, "x", "en", "one")])
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string")
+    got = {(r["id"], r["domain"]): (r["u"], r["rank"])
+           for r in curation.domain_cap(df, "source", "doc_id",
+                                        cap=7, buckets=5).collect()}
+    u = F.round(curation.hash_uniform(F.col("doc_id")), 9)
+    naive = (df.select(F.col("doc_id").alias("id"),
+                       F.col("source").alias("domain"), u.alias("u"))
+             .withColumn("rank", F.row_number().over(
+                 Window.partitionBy("domain").orderBy("u", "id"))
+                 .cast("int"))
+             .where(F.col("rank") <= 7))
+    want = {(r["id"], r["domain"]): (r["u"], r["rank"])
+            for r in naive.collect()}
+    assert got == want
+    # the cap is exact per domain
+    from collections import Counter
+    per = Counter(d for _, d in got)
+    assert per["big"] == 7 and per["small"] == 4 and per["one"] == 1
+
+
+def test_group_split_never_straddles(spark, sf_dir):
+    """X27 invariant: every near-duplicate group lands in exactly ONE
+    of train/val/test, and the assignment is the canonical id's hash."""
+    from openplacereviews_db_spark.plans.corpus import tx_group_split
+
+    rows = tx_group_split(spark, sf_dir).collect()
+    by_group: dict = {}
+    for r in rows:
+        by_group.setdefault(r["canonical_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_group.values())
+    # and at least one group is non-trivial on this corpus
+    sizes = {}
+    for r in rows:
+        sizes[r["canonical_id"]] = sizes.get(r["canonical_id"], 0) + 1
+    assert max(sizes.values()) >= 2
