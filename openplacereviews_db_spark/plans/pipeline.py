@@ -115,6 +115,13 @@ def st_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.user_totals_once(spark, sf_dir)
 
 
+def st_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 incremental near-dup stream run to completion over a 2-batch
+    split of the corpus; the final pair set provably equals the batch
+    LSH output, so it shares ``dd_minhash_lsh``'s oracle."""
+    return sp.neardup_once(spark, sf_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_stratified_sample": tx_stratified_sample,
     "tx_mix_weights": tx_mix_weights,
@@ -125,6 +132,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_event_rollup": st_event_rollup,
     "st_sessionize": st_sessionize,
     "st_user_totals": st_user_totals,
+    "st_neardup_pairs": st_neardup_pairs,
 }
 
 _U = curation.hash_uniform_sql("doc_id")
@@ -284,3 +292,9 @@ ORACLES: dict[str, str] = {
         FROM g GROUP BY user_id, grp
     """,
 }
+
+# X19's finished stream equals the batch LSH output exactly (see
+# streaming/pipelines.py:neardup_once) — it shares the batch oracle.
+from .corpus import ORACLES as _CORPUS_ORACLES  # noqa: E402
+
+ORACLES["st_neardup_pairs"] = _CORPUS_ORACLES["dd_minhash_lsh"]

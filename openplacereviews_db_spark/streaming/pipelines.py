@@ -258,6 +258,61 @@ def user_totals_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("s.total_millis").alias("total_millis"))
 
 
+def neardup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19 run to completion as a driver-checkable query: the documents
+    corpus is staged as TWO parquet files (write-once per sf, split on
+    doc_id parity) and streamed one file per micro-batch through
+    ``neardup_dedup_stream`` — so the cross-batch index-join path really
+    executes — then the accumulated pairs are read back, canonicalized
+    to (min, max) id order.
+
+    Why this is oracle-able with the BATCH oracle: for any pair (x, y)
+    sharing a band key, either both arrive in one batch (found by the
+    batch's self-join) or the later one finds the earlier in the
+    persistent index (found by the index join) — so the final pair set
+    equals ``dd_minhash_lsh``'s batch LSH output exactly, verify
+    threshold and all.  Working dirs are wiped per call so reruns are
+    reproducible."""
+    import os
+    import shutil
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"neardup_{tag}")
+    src = os.path.join(root, "src")
+    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
+        os.makedirs(src, exist_ok=True)
+        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        pq.write_table(t.filter(even), os.path.join(src, "batch_a.parquet"))
+        pq.write_table(t.filter(pc.invert(even)),
+                       os.path.join(src, "batch_b.parquet"))
+    index_dir = os.path.join(root, "index")
+    chk_dir = os.path.join(root, "chk")
+    pairs_dir = os.path.join(root, "pairs")
+    for d in (index_dir, chk_dir, pairs_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    schema = spark.read.parquet(src).schema
+    docs = (spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(src)
+            .where(F.length("text") > 0))
+    q = neardup_dedup_stream(
+        docs, index_dir, chk_dir, pairs_dir,
+        shingle_words=2, num_hashes=16, bands=8,
+        min_jaccard=0.1).start()
+    q.awaitTermination()
+    pairs = spark.read.parquet(pairs_dir)
+    lo = F.least("id_a", "id_b")
+    hi = F.greatest("id_a", "id_b")
+    return (pairs.select(lo.alias("id_a"), hi.alias("id_b"), "jaccard")
+            .dropDuplicates(["id_a", "id_b"]))
+
+
 def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
                          checkpoint_dir: str, pairs_dir: str,
                          shingle_words: int = 2, num_hashes: int = 16,
