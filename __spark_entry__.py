@@ -44,13 +44,13 @@ _DRIVER_PRIORITY = [
     "tx_domain_cap", "tx_group_split",  # new this round (X26/X27)
     "s2_diff_roundtrip",  # new this round (S2 diff parse + P9 scrub)
     "st_neardup_pairs",  # new this round (X19 stream, batch oracle)
+    "x22_bucketed_lookup",  # new this round (bucketed co-located join)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "w3_percentiles", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
     "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",
     "e2_config_delta", "g5_way_stats", "g4_simplify_ways",
     "o5_orthogonal_distance", "g6_points_in_triangle",
-    "q16_distinct_count",
     "p6_change_classification", "p7_review_candidates", "history_report",
     "j7_history_full_check", "p4_history_features", "s4_adaptive_split",
     "s5_staged_scan", "m8_placetype_ops",

@@ -364,6 +364,62 @@ def s2_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["s2_diff_roundtrip"] = s2_diff_roundtrip
 
+
+def x22_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22 driver-grade: the osmid GIN-index analog
+    (OpenPlaceReviewsDbBoot.java:167-178 / J1 OsmSyncBot.java:413-449)
+    as a write-once BUCKETED side table — the exploded
+    (osm_id, tile_id, suffix) index and a deterministic lookup batch
+    are both saved bucketed by osm_id (16 buckets, /tmp-backed
+    database), and the merge-hinted join runs bucket-to-bucket with
+    ZERO Exchange on either side (plan asserted by
+    tests/test_bucketed.py; this query is the value check).  First
+    build per sf writes the tables — eager by necessity, whitelisted
+    in EAGER_BUILD_OK like the other index builders."""
+    from ..sources import places as P
+    from ..sources.bucketed import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                       "bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS oprbuck LOCATION '{loc}'")
+    idx_t, lk_t = f"oprbuck.osmid_index_{tag}", f"oprbuck.lookup_{tag}"
+    if (not spark.catalog.tableExists(idx_t)
+            or not spark.catalog.tableExists(lk_t)):
+        pl = P.synthetic_places(spark, sf_dir)
+        index = (pl.select(F.explode("source.osm").alias("o"),
+                           "tile_id", "suffix")
+                 .select(F.col("o.id").alias("osm_id"),
+                         "tile_id", "suffix"))
+        lookup = (index.select("osm_id")
+                  .where(F.col("osm_id") % 7 == 0).distinct())
+        write_bucketed(index, idx_t, "osm_id", buckets=16)
+        write_bucketed(lookup, lk_t, "osm_id", buckets=16)
+    j = (spark.table(idx_t).hint("merge")
+         .join(spark.table(lk_t), "osm_id"))
+    return j.select("osm_id", "tile_id", "suffix")
+
+
+QUERIES["x22_bucketed_lookup"] = x22_bucketed_lookup
+
+
+def _x22_oracle() -> str:
+    from ..sources import places as P
+
+    return f"""
+    WITH {P.places_sql_cte()},
+    refs AS (
+        SELECT key AS osm_id, tile_id, suffix FROM places
+        UNION ALL
+        SELECT key + 5000000, tile_id, suffix FROM places
+        WHERE key % 13 = 0 OR key % 7 = 0
+    )
+    SELECT osm_id, tile_id, suffix FROM refs WHERE osm_id % 7 = 0
+"""
+
+
+ORACLES["x22_bucketed_lookup"] = _x22_oracle()
+
 ORACLES["s2_diff_roundtrip"] = """
     SELECT c_custkey AS id,
            CASE c_custkey % 3 WHEN 0 THEN 'create'

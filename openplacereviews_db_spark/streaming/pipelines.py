@@ -323,63 +323,73 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
     index — the online form of ``dedup.minhash_lsh_pairs`` for a crawl
     feed.
 
-    State is a parquet index of (id, band, shingles): candidate lookup is
-    a band equi-join against it (never a corpus scan), and the index
-    grows append-only — both sides of every join are DataFrames, nothing
-    is collected.  Verified pairs append to ``pairs_dir``; the offset
-    lives in the checkpoint (same-epoch commit discipline as the
-    changelog fold above).
+    State is TWO append-only parquet tables under ``index_dir`` —
+    ``bands/`` (id, band) and ``sets/`` (id, shingles) — mirroring the
+    batch operator's lesson (operators/dedup.py): candidate lookup is an
+    ids-ONLY band equi-join (never a corpus scan, and no shingle array
+    ever replicates bands× through the band shuffle); only the bounded
+    candidate pairs join the sets table for the exact-Jaccard verify.
+    Verified pairs append to ``pairs_dir``; the offset lives in the
+    checkpoint (same-epoch commit discipline as the changelog fold
+    above).
     """
-    from ..operators.dedup import exploded_shingles
+    import os
+
     from ..functions import hashing as H
+    from ..operators.dedup import exploded_shingles
 
     rows = num_hashes // bands
+    bands_dir = os.path.join(index_dir, "bands")
+    sets_dir = os.path.join(index_dir, "sets")
 
-    def index_batch(batch: DataFrame) -> DataFrame:
-        exploded = exploded_shingles(batch, "text", "doc_id",
-                                     shingle_words, distinct=False)
-        sig = (exploded
-               .withColumn("_mhb", H.minhash_base(F.col("s")))
-               .groupBy("id").agg(
-                   *[F.min(H.minhash_perm(i, F.col("_mhb")))
-                     .alias(f"h{i}") for i in range(num_hashes)],
-                   F.collect_set("s").alias("shingles"),
-               ))
-        return sig.select(
-            "id", "shingles",
-            F.explode(H.lsh_bands(
-                F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
-                bands, rows)).alias("band"))
-
-    def verify(cand: DataFrame) -> DataFrame:
+    def verify(cand: DataFrame, sets: DataFrame) -> DataFrame:
+        sa = sets.select(F.col("id").alias("id_a"),
+                         F.col("shingles").alias("sh_a"))
+        sb = sets.select(F.col("id").alias("id_b"),
+                         F.col("shingles").alias("sh_b"))
         jac = F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
-        return (cand.withColumn("jaccard", jac)
+        return (cand.join(sa, "id_a").join(sb, "id_b")
+                .withColumn("jaccard", jac)
                 .where(F.col("jaccard") >= min_jaccard)
                 .select("id_a", "id_b", "jaccard"))
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        new_idx = index_batch(batch).localCheckpoint()
+        exploded = exploded_shingles(batch, "text", "doc_id",
+                                     shingle_words, distinct=False)
+        per_doc = (exploded
+                   .withColumn("_mhb", H.minhash_base(F.col("s")))
+                   .groupBy("id").agg(
+                       *[F.min(H.minhash_perm(i, F.col("_mhb")))
+                         .alias(f"h{i}") for i in range(num_hashes)],
+                       F.collect_set("s").alias("shingles"),
+                   )).localCheckpoint()
+        new_bands = per_doc.select(
+            "id", F.explode(H.lsh_bands(
+                F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
+                bands, rows)).alias("band"))
+        new_sets = per_doc.select("id", "shingles")
         try:
-            old_idx = spark.read.parquet(index_dir)
+            old_bands = spark.read.parquet(bands_dir)
+            old_sets = spark.read.parquet(sets_dir)
         except Exception:
-            old_idx = spark.createDataFrame(
-                [], "id long, shingles array<string>, band string")
-        a = new_idx.select(F.col("id").alias("id_a"),
-                           F.col("shingles").alias("sh_a"), "band")
-        # new-vs-corpus (any order) + new-vs-new (a < b, once per pair)
-        vs_old = a.join(
-            old_idx.select(F.col("id").alias("id_b"),
-                           F.col("shingles").alias("sh_b"), "band"),
-            "band")
-        vs_new = (a.join(new_idx.select(F.col("id").alias("id_b"),
-                                        F.col("shingles").alias("sh_b"),
-                                        "band"), "band")
+            old_bands = spark.createDataFrame([], "id long, band string")
+            old_sets = spark.createDataFrame(
+                [], "id long, shingles array<string>")
+        a = new_bands.select(F.col("id").alias("id_a"), "band")
+        # new-vs-corpus (any order) + new-vs-new (a < b, once per pair);
+        # ids only — shingle sets join in at the verify, once per pair
+        vs_old = a.join(old_bands.select(F.col("id").alias("id_b"),
+                                         "band"), "band")
+        vs_new = (a.join(new_bands.select(F.col("id").alias("id_b"),
+                                          "band"), "band")
                   .where(F.col("id_a") < F.col("id_b")))
-        pairs = (verify(vs_old.unionByName(vs_new))
-                 .dropDuplicates(["id_a", "id_b"]))
+        cand = (vs_old.unionByName(vs_new)
+                .select("id_a", "id_b").dropDuplicates())
+        pairs = verify(cand, old_sets.unionByName(new_sets))
         pairs.write.mode("append").parquet(pairs_dir)
-        new_idx.write.mode("append").parquet(index_dir)
+        new_bands.write.mode("append").parquet(bands_dir)
+        new_sets.write.mode("append").parquet(sets_dir)
 
     return (docs_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint_dir)

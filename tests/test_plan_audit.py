@@ -115,7 +115,8 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 #:   cheaper than lazy persist on first execution).
 EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk",
                   "curate_corpus", "s14_pack_ops", "tx_pack_sequences",
-                  "tx_group_split"}  # CC contraction loop, like dd_apply
+                  "tx_group_split",   # CC contraction loop, like dd_apply
+                  "x22_bucketed_lookup"}  # write-once bucketed tables
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):

@@ -174,5 +174,10 @@ def test_neardup_dedup_stream(spark, tmp_path):
     assert (1, 3) in pairs and (1, 4) in pairs      # cross-batch vs index
     assert (3, 4) in pairs                          # in-batch
     assert not any(2 in p or 5 in p for p in pairs)
-    idx = spark.read.parquet(str(tmp_path / "idx"))
-    assert idx.select("id").distinct().count() == 5  # index grew append-only
+    # index grew append-only, in its two-table layout: compact (id, band)
+    # keys + the shingle sets joined only at verify time
+    bands = spark.read.parquet(str(tmp_path / "idx" / "bands"))
+    sets = spark.read.parquet(str(tmp_path / "idx" / "sets"))
+    assert bands.select("id").distinct().count() == 5
+    assert sets.count() == 5 and "shingles" in sets.columns
+    assert "shingles" not in bands.columns  # ids-only band join at scale
