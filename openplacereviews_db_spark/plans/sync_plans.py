@@ -386,6 +386,14 @@ def x22_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx_t, lk_t = f"oprbuck.osmid_index_{tag}", f"oprbuck.lookup_{tag}"
     if (not spark.catalog.tableExists(idx_t)
             or not spark.catalog.tableExists(lk_t)):
+        # the session catalog is in-memory: table FILES survive in /tmp
+        # across sessions but registrations don't — clear any stale
+        # location or saveAsTable dies with LOCATION_ALREADY_EXISTS
+        import shutil
+
+        for t in (idx_t, lk_t):
+            shutil.rmtree(os.path.join(loc, t.split(".", 1)[1]),
+                          ignore_errors=True)
         pl = P.synthetic_places(spark, sf_dir)
         index = (pl.select(F.explode("source.osm").alias("o"),
                            "tile_id", "suffix")
