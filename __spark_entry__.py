@@ -45,8 +45,9 @@ _DRIVER_PRIORITY = [
     "s2_diff_roundtrip",  # new this round (S2 diff parse + P9 scrub)
     "st_neardup_pairs",  # new this round (X19 stream, batch oracle)
     "x22_bucketed_lookup",  # new this round (bucketed co-located join)
+    "emb_semdedup",  # new this round (X28 SemDeDup composition)
     # unchanged rotation (green when last sampled)
-    "w2_event_deltas", "w3_percentiles", "o4_topk_per_group",
+    "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
     "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",
     "e2_config_delta", "g5_way_stats", "g4_simplify_ways",

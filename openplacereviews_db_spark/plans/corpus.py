@@ -500,6 +500,68 @@ ORACLES["dd_apply"] = f"""
 """
 
 
+def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (X28, Abbas et al. 2023): one row
+    per embedding with its semantic-duplicate group and the
+    keep-one-per-group decision — the embedding-space sibling of
+    ``dd_apply``.  Pairs come from the exact chunk-pair GEMM at
+    cosine ≥ 0.40, groups from the Hash-to-Min CC contraction, the
+    kept representative is the min id.  Eager by necessity (CC loop,
+    EAGER_BUILD_OK)."""
+    from ..operators.components import dedup_groups
+
+    embs = _embs(spark, sf_dir)
+    pairs = similarity.cosine_pairs_blocked(
+        embs, threshold=0.40,
+        n_hint=_parquet_num_rows(sf_dir, "embeddings"))
+    groups = dedup_groups(pairs)
+    base = embs.select(F.col("vec_id").alias("id"))
+    return (
+        base.join(groups, base["id"] == groups["node"], "left")
+        .select(
+            "id",
+            F.coalesce("canonical_id", F.col("id")).alias("canonical_id"),
+            F.coalesce("group_size", F.lit(1).cast("bigint"))
+            .alias("group_size"),
+            (F.coalesce("canonical_id", F.col("id")) == F.col("id"))
+            .alias("kept"),
+        )
+    )
+
+
+QUERIES["emb_semdedup"] = emb_semdedup
+
+
+ORACLES["emb_semdedup"] = f"""
+    WITH RECURSIVE pairs AS (
+        {ORACLES["emb_neardup_pairs"]}
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.a, w.reach FROM sym s JOIN walk w ON s.b = w.node
+    ),
+    comp AS (SELECT node, MIN(reach) AS canonical_id FROM walk
+             GROUP BY node),
+    groups AS (
+        SELECT node, canonical_id,
+               COUNT(*) OVER (PARTITION BY canonical_id) AS group_size
+        FROM comp),
+    base AS (SELECT vec_id AS id FROM embeddings)
+    SELECT b.id,
+           COALESCE(g.canonical_id, b.id) AS canonical_id,
+           CAST(COALESCE(g.group_size, 1) AS BIGINT) AS group_size,
+           (COALESCE(g.canonical_id, b.id) = b.id) AS kept
+    FROM base b LEFT JOIN groups g ON g.node = b.id
+"""
+
+
 def tx_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-proof train/val/test assignment (X27): every document in
     a near-duplicate GROUP (minhash-LSH pairs → connected components)

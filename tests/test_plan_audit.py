@@ -115,7 +115,7 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 #:   cheaper than lazy persist on first execution).
 EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk",
                   "curate_corpus", "s14_pack_ops", "tx_pack_sequences",
-                  "tx_group_split",   # CC contraction loop, like dd_apply
+                  "tx_group_split", "emb_semdedup",  # CC loops
                   "x22_bucketed_lookup"}  # write-once bucketed tables
 
 
@@ -154,6 +154,25 @@ def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
         f"computation jobs ran during plan construction — these "
         f"queries() builders are eager: {offenders}"
     )
+
+
+def test_minhash_single_shuffle_to_per_doc_state(spark, sf_dir):
+    """The documents → per-doc (signature + shingle set) stretch of the
+    minhash pipeline must be ONE shuffle: the shingle window hash-
+    partitions by id and the following groupBy rides that partitioning
+    exchange-free (the r5 restructure).  Guard: exactly one
+    ``Exchange hashpartitioning`` keyed on the single ``id`` column in
+    the whole dd_minhash_lsh plan — a second one means the distinct or
+    a re-shuffled aggregate crept back in."""
+    import re
+
+    df = entrymod.queries()["dd_minhash_lsh"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    id_exchanges = re.findall(
+        r"Exchange hashpartitioning\(id#\d+L?, \d+\)", plan)
+    assert len(id_exchanges) == 1, (
+        f"expected exactly 1 id-keyed exchange, found "
+        f"{len(id_exchanges)}: {id_exchanges}")
 
 
 @pytest.mark.parametrize("name,allowed", [
