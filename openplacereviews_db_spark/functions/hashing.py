@@ -7,9 +7,12 @@ arithmetic — no Python UDFs.
 
 - ``char_shingles``  — k-character shingles of normalized text
 - ``word_shingles``  — n-word shingles
-- ``minhash_sig``    — MinHash signature: per seed i, min over shingles of
-                        md5(i || shingle) (hex strings compare
-                        lexicographically = uniform 128-bit ints)
+- ``minhash_base`` / ``minhash_perm`` — the minhash family: ONE md5
+                        base hash per shingle fed through k universal-
+                        hash permutations (a_i·h+b_i mod 2^61−1) —
+                        integer arithmetic both engines compute
+                        bit-identically
+- ``minhash_sig``    — the array-HOF expression form of that family
 - ``lsh_bands``      — banding of the signature for LSH candidate buckets
 - ``simhash64``      — 64-bit SimHash over word tokens (bit-majority of
                         per-token md5 bits)

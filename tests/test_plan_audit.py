@@ -168,11 +168,13 @@ def test_minhash_single_shuffle_to_per_doc_state(spark, sf_dir):
 
     df = entrymod.queries()["dd_minhash_lsh"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    id_exchanges = re.findall(
-        r"Exchange hashpartitioning\(id#\d+L?, \d+\)", plan)
+    # the plan string repeats a cached subplan once per consumer, so
+    # count DISTINCT exchange nodes (the expr id identifies the node)
+    id_exchanges = set(re.findall(
+        r"Exchange hashpartitioning\(id#\d+L?, \d+\)", plan))
     assert len(id_exchanges) == 1, (
-        f"expected exactly 1 id-keyed exchange, found "
-        f"{len(id_exchanges)}: {id_exchanges}")
+        f"expected exactly 1 distinct id-keyed exchange, found "
+        f"{len(id_exchanges)}: {sorted(id_exchanges)}")
 
 
 @pytest.mark.parametrize("name,allowed", [
