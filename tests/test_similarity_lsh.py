@@ -168,3 +168,41 @@ def test_minhash_fast_hash_mode(spark, sf_dir):
     assert all(md5_pairs[k] == fast_pairs[k] for k in common)
     # banded recall holds for either family on this corpus
     assert len(fast_pairs) >= 0.8 * len(md5_pairs)
+
+
+def test_minhash_family_matches_python_reference(spark, duck):
+    """The one-md5-base + universal-hash-permutation family must compute
+    the SAME integers in Spark, DuckDB, and plain Python — the whole
+    minhash/band oracle parity rests on this arithmetic."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions import hashing as H
+
+    texts = ["the quick brown fox", "café déjà vu", "x", "",
+             "a b c d e f g", "1234567890"]
+
+    def py_base(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % H.MINHASH_M
+
+    def py_perm(i: int, b: int) -> int:
+        return (H.minhash_a(i) * b + H.minhash_b(i)) % H.MINHASH_P
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = df.select(
+        "s", H.minhash_base(F.col("s")).alias("b"),
+        *[H.minhash_perm(i, H.minhash_base(F.col("s"))).alias(f"h{i}")
+          for i in (0, 7, 15)]).collect()
+    for r in got:
+        b = py_base(r["s"])
+        assert r["b"] == b, r["s"]
+        for i in (0, 7, 15):
+            assert r[f"h{i}"] == py_perm(i, b), (r["s"], i)
+    # and DuckDB computes the identical integers from the same SQL text
+    for t in texts:
+        row = duck.execute(
+            f"SELECT {H.minhash_base_sql('?')} AS b, "
+            f"{H.minhash_perm_sql('7', H.minhash_base_sql('?'))} AS h7",
+            [t, t]).fetchone()
+        assert row[0] == py_base(t) and row[1] == py_perm(7, py_base(t)), t
