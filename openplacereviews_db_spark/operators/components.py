@@ -98,9 +98,13 @@ def connected_components(edges: DataFrame, src: str = "id_a",
     labels = None
     for _ in range(max_iter):
         star = _contract_star_edges(sym).localCheckpoint()
+        # m derives from the CHECKPOINTED star, so its lineage is one
+        # aggregate deep — no checkpoint of its own (saves one job per
+        # round; the viol action below and the final labels consumer
+        # each recompute the cheap agg over star's stored blocks)
         m = (star.groupBy("a")
              .agg(F.count_distinct("b").alias("nr"),
-                  F.min("b").alias("comp"))).localCheckpoint()
+                  F.min("b").alias("comp")))
         # converged ⇔ every node has ONE root and every root self-maps;
         # one scalar action (roots are nodes, so the self-lookup is an
         # equi-join of m with itself — nothing collected)
