@@ -324,14 +324,20 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
     feed.
 
     State is TWO append-only parquet tables under ``index_dir`` —
-    ``bands/`` (id, band) and ``sets/`` (id, shingles) — mirroring the
+    ``bands/`` (id, band) and ``sets/`` (id, sids) — mirroring the
     batch operator's lesson (operators/dedup.py): candidate lookup is an
     ids-ONLY band equi-join (never a corpus scan, and no shingle array
     ever replicates bands× through the band shuffle); only the bounded
     candidate pairs join the sets table for the exact-Jaccard verify.
-    Verified pairs append to ``pairs_dir``; the offset lives in the
-    checkpoint (same-epoch commit discipline as the changelog fold
-    above).
+    The sets table holds xxhash64 shingle IDS, not shingle strings —
+    the persistent index is ~8 bytes/shingle regardless of shingle
+    text length, and the verify intersects bigint arrays; Jaccard over
+    the ids equals Jaccard over the strings barring a 64-bit collision
+    (probability ~n²/2⁶⁵ — the same argument as
+    ``dedup.ngram_jaccard_pairs``), so the batch oracle still applies
+    value-for-value.  Verified pairs append to ``pairs_dir``; the
+    offset lives in the checkpoint (same-epoch commit discipline as the
+    changelog fold above).
     """
     import os
 
@@ -344,9 +350,9 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
 
     def verify(cand: DataFrame, sets: DataFrame) -> DataFrame:
         sa = sets.select(F.col("id").alias("id_a"),
-                         F.col("shingles").alias("sh_a"))
+                         F.col("sids").alias("sh_a"))
         sb = sets.select(F.col("id").alias("id_b"),
-                         F.col("shingles").alias("sh_b"))
+                         F.col("sids").alias("sh_b"))
         jac = F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
         return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("jaccard", jac)
@@ -362,20 +368,20 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
                    .groupBy("id").agg(
                        *[F.min(H.minhash_perm(i, F.col("_mhb")))
                          .alias(f"h{i}") for i in range(num_hashes)],
-                       F.collect_set("s").alias("shingles"),
+                       F.collect_set(F.xxhash64("s")).alias("sids"),
                    )).localCheckpoint()
         new_bands = per_doc.select(
             "id", F.explode(H.lsh_bands(
                 F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
                 bands, rows)).alias("band"))
-        new_sets = per_doc.select("id", "shingles")
+        new_sets = per_doc.select("id", "sids")
         try:
             old_bands = spark.read.parquet(bands_dir)
             old_sets = spark.read.parquet(sets_dir)
         except Exception:
             old_bands = spark.createDataFrame([], "id long, band string")
             old_sets = spark.createDataFrame(
-                [], "id long, shingles array<string>")
+                [], "id long, sids array<bigint>")
         a = new_bands.select(F.col("id").alias("id_a"), "band")
         # new-vs-corpus (any order) + new-vs-new (a < b, once per pair);
         # ids only — shingle sets join in at the verify, once per pair

@@ -175,9 +175,10 @@ def test_neardup_dedup_stream(spark, tmp_path):
     assert (3, 4) in pairs                          # in-batch
     assert not any(2 in p or 5 in p for p in pairs)
     # index grew append-only, in its two-table layout: compact (id, band)
-    # keys + the shingle sets joined only at verify time
+    # keys + hashed shingle-id sets joined only at verify time
     bands = spark.read.parquet(str(tmp_path / "idx" / "bands"))
     sets = spark.read.parquet(str(tmp_path / "idx" / "sets"))
     assert bands.select("id").distinct().count() == 5
-    assert sets.count() == 5 and "shingles" in sets.columns
-    assert "shingles" not in bands.columns  # ids-only band join at scale
+    assert sets.count() == 5 and "sids" in sets.columns
+    assert dict(sets.dtypes)["sids"] == "array<bigint>"  # 8 B/shingle index
+    assert "sids" not in bands.columns  # ids-only band join at scale
