@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from openplacereviews_db_spark.plans import (corpus, history, merge_plans,
                                              oplog, pipeline, places_reports,
                                              relational, relational2,
-                                             sync_plans)
+                                             sync_plans, temporal)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -46,6 +46,7 @@ _DRIVER_PRIORITY = [
     "st_neardup_pairs",  # new this round (X19 stream, batch oracle)
     "x22_bucketed_lookup",  # new this round (bucketed co-located join)
     "emb_semdedup",  # new this round (X28 SemDeDup composition)
+    "j11_asof_join", "j12_range_join",  # new this round (temporal joins)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
@@ -72,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(history.QUERIES)
     merged.update(sync_plans.QUERIES)
     merged.update(pipeline.QUERIES)
+    merged.update(temporal.QUERIES)
     out = {n: merged[n] for n in _DRIVER_PRIORITY if n in merged}
     out.update(merged)
     return out
@@ -88,4 +90,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(history.ORACLES)
     out.update(sync_plans.ORACLES)
     out.update(pipeline.ORACLES)
+    out.update(temporal.ORACLES)
     return out

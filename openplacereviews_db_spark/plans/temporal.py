@@ -1,0 +1,195 @@
+"""Temporal join operators Spark has no native form of: as-of join and
+range (interval) join, both expressed as shuffle-bounded compositions of
+built-in DataFrame ops (SURVEY.md §2.4 scale-path extensions).
+
+The reference's sync bots repeatedly need "state as of T" lookups
+(OsmSyncBot.java aligns sync timestamps; the history bot replays the
+changelog up to a block date) — the as-of join is that access pattern as
+a relational operator.  The range join is the windowed variant ("all
+events within the last N minutes of X"), the shape behind its
+proximity/recency checks.
+
+Scale notes (100 TB):
+
+- ``j11_asof_join`` is the union-and-window form: tag both streams,
+  union, ONE shuffle on the join key, and a running ``last(...,
+  ignorenulls)`` carries the most recent right-side row forward.  This
+  beats the naive range-join form (which explodes candidates) and the
+  per-key ``applyInPandas`` form (Python in the hot path); state per
+  task is O(1) per key, no row amplification at all.
+- ``j12_range_join`` buckets time into interval-width bins so the
+  inequality join becomes an equi-join on (key, bin) with a constant
+  2x probe-side amplification, then filters the exact range.  Catalyst
+  alone would pick a broadcast-nested-loop or a cartesian for the raw
+  inequality predicate — the bin key makes it a plain hash shuffle that
+  AQE can skew-split.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..sources.testdata import load_table
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "events", sf_dir)
+
+
+def _clicks_dedup(ev: DataFrame) -> DataFrame:
+    """One click row per (user_id, ts): ASOF picks *a* row at the
+    greatest ts <= t, which is ambiguous when two clicks share that ts —
+    both engines must pre-pick the same survivor (max event_id) or the
+    tie is a nondeterminism bug (CLAUDE.md rule)."""
+    return (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"),
+             F.max_by("value", "event_id").alias("click_value"))
+    )
+
+
+def j11_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For each ``error`` event, the same user's latest ``click`` at or
+    before it (as-of join, ``<=`` semantics), with the gap in
+    microseconds; errors with no prior click keep NULL columns.
+
+    Plan: union the tagged streams, window per user ordered by
+    (ts, src) — clicks sort before errors at equal ts, so a same-instant
+    click matches — and carry the click columns forward with
+    ``last(..., ignorenulls=True)``.  Single shuffle on user_id; the
+    window frame is rows-unbounded-preceding, which Spark evaluates in
+    one streaming pass per partition.  Timestamps are emitted as BIGINT
+    epoch micros (the repo window-oracle convention — naive vs TZ
+    timestamp classes hash-differently at the driver).
+    """
+    ev = _events(spark, sf_dir)
+    clicks = _clicks_dedup(ev).select(
+        "user_id", "ts", F.lit(0).alias("src"),
+        F.lit(None).cast("long").alias("event_id"),
+        "click_id", "click_value",
+        F.unix_micros("ts").alias("click_us"),
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", "ts", F.lit(1).alias("src"), "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(None).cast("long").alias("click_us"),
+    )
+    u = clicks.unionByName(errors)
+    w = (Window.partitionBy("user_id").orderBy("ts", "src")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "src", "event_id", "user_id",
+        F.unix_micros("ts").alias("err_us"),
+        F.last("click_id", ignorenulls=True).over(w).alias("m_click_id"),
+        F.last("click_value", ignorenulls=True).over(w).alias("m_click_value"),
+        F.last("click_us", ignorenulls=True).over(w).alias("m_click_us"),
+    )
+    return (
+        carried.where(F.col("src") == 1)
+        .select(
+            "event_id", "user_id", "err_us",
+            F.col("m_click_id").alias("click_id"),
+            F.col("m_click_value").alias("click_value"),
+            (F.col("err_us") - F.col("m_click_us")).alias("gap_us"),
+        )
+    )
+
+
+#: Interval width of the range join, in whole seconds / microseconds.
+_RANGE_S = 600
+_RANGE_US = _RANGE_S * 1_000_000
+
+
+def j12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per ``error`` event: how many of the same user's ``click`` events
+    fall in the preceding 10 minutes ``[ts - 600s, ts)``, and their
+    value sum (a range/interval join aggregated per probe row).
+
+    Plan: both sides get a 600-second time bin from integer epoch-micros
+    arithmetic; an interval of width W can only overlap bins b-1 and b,
+    so the probe side explodes exactly 2 bin keys and the join is a pure
+    equi-join on (user_id, bin) — a hash shuffle, never the
+    BroadcastNestedLoop Catalyst picks for a raw inequality.  The exact
+    range filter then prunes the candidates, and a final aggregation
+    restores one row per error (left semantics via join-back, so
+    zero-click errors keep n=0).
+    """
+    ev = _events(spark, sf_dir)
+    # `div` is 64-bit integer division — floor(x / W) would round-trip
+    # through a double and can misplace values at bin boundaries
+    bin_of = lambda c: F.expr(f"{c} div {_RANGE_US}")  # noqa: E731
+    clicks = (ev.where(F.col("event_type") == "click")
+              .select("user_id", F.unix_micros("ts").alias("c_us"), "value")
+              .withColumn("bin", bin_of("c_us")))
+    errors = (ev.where(F.col("event_type") == "error")
+              .select("event_id", "user_id",
+                      F.unix_micros("ts").alias("err_us")))
+    probes = errors.select(
+        "event_id", "user_id", "err_us",
+        F.explode(F.array(bin_of("err_us") - 1,
+                          bin_of("err_us"))).alias("bin"),
+    )
+    hits = (
+        probes.join(clicks, on=["user_id", "bin"])
+        .where((F.col("c_us") >= F.col("err_us") - _RANGE_US)
+               & (F.col("c_us") < F.col("err_us")))
+        .groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"),
+             F.round(F.sum("value"), 2).alias("sum_click"))
+    )
+    return (
+        errors.join(hits, on="event_id", how="left")
+        .select(
+            "event_id", "user_id", "err_us",
+            F.coalesce("n_clicks", F.lit(0).cast("long")).alias("n_clicks"),
+            F.coalesce("sum_click", F.lit(0.0)).alias("sum_click"),
+        )
+    )
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "j11_asof_join": j11_asof_join,
+    "j12_range_join": j12_range_join,
+}
+
+# DuckDB has a native ASOF JOIN — the oracle uses it directly, so the
+# union-and-window plan is checked against an independent implementation
+# of the operator, not a SQL transliteration of itself.
+ORACLES: dict[str, str] = {
+    "j11_asof_join": """
+        WITH clicks AS (
+            SELECT user_id, ts, MAX(event_id) AS click_id,
+                   arg_max(value, event_id) AS click_value
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id, ts
+        ), errors AS (
+            SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'error'
+        )
+        SELECT e.event_id, e.user_id,
+               epoch_us(e.ts) AS err_us,
+               c.click_id, c.click_value,
+               epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        FROM errors e ASOF LEFT JOIN clicks c
+          ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+    "j12_range_join": """
+        SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us,
+               COUNT(c.user_id) AS n_clicks,
+               round(COALESCE(SUM(c.value), 0), 2) AS sum_click
+        FROM events e
+        LEFT JOIN events c
+          ON c.event_type = 'click'
+         AND c.user_id = e.user_id
+         AND epoch_us(c.ts) >= epoch_us(e.ts) - 600000000
+         AND epoch_us(c.ts) < epoch_us(e.ts)
+        WHERE e.event_type = 'error'
+        GROUP BY e.event_id, e.user_id, epoch_us(e.ts)
+    """,
+}
