@@ -47,6 +47,7 @@ _DRIVER_PRIORITY = [
     "x22_bucketed_lookup",  # new this round (bucketed co-located join)
     "emb_semdedup",  # new this round (X28 SemDeDup composition)
     "j11_asof_join", "j12_range_join",  # new this round (temporal joins)
+    "dd_blocks",  # new this round (paragraph-level dedup)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

@@ -256,6 +256,67 @@ def minhash_band_keys(df: DataFrame, text_col: str = "text",
         "id", F.explode(H.lsh_bands(F.col("sig"), bands, rows)).alias("band"))
 
 
+def block_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", block_words: int = 8) -> DataFrame:
+    """Corpus-wide duplicate-BLOCK removal (paragraph-level exact dedup,
+    the train-set hygiene pass of "Deduplicating Training Data Makes
+    Language Models Better": repeated passages are removed everywhere
+    but their first occurrence, instead of dropping whole documents).
+
+    The corpus here is synthetic word soup with no paragraph breaks, so
+    "paragraph" is a fixed window of ``block_words`` consecutive
+    normalized words; with natural text the splitter would be
+    ``split(text, '\\n\\n')`` and everything downstream is unchanged.
+
+    Returns one row per input document: ``(id, n_blocks, n_kept,
+    text_kept)`` where ``text_kept`` is the document's surviving blocks
+    re-joined in order ('' when every block was a repeat).  First
+    occurrence is global and deterministic: ordered by (id, block
+    index).
+
+    Plan shape (three bounded shuffles, no row blow-up beyond the word
+    explode): words → per-(id, block) assembly groupBy → ONE window
+    partitioned by block text ranks occurrences → ONE per-id groupBy
+    computes totals, survivor count, and the ordered reassembly in the
+    same pass.  At 100 TB the block-text shuffle key is the only wide
+    exchange and it is maximally spread (every distinct block is its own
+    key); skewed boilerplate blocks are exactly the rows the operator
+    deletes, and AQE skew-split covers the read side.
+    """
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.filter(F.split(H.norm_text(F.col(text_col)), " "),
+                     lambda w: w != "")
+        ).alias("pos", "w"),
+    )
+    blocks = (
+        words.withColumn("b", F.expr(f"pos div {block_words}"))
+        .groupBy("id", "b")
+        .agg(F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda x: x["w"]), " ").alias("btxt"))
+    )
+    rn = F.row_number().over(Window.partitionBy("btxt").orderBy("id", "b"))
+    ranked = blocks.withColumn("rn", rn)
+    per_doc = ranked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(F.col("rn") == 1, F.struct("b", "btxt")))),
+                lambda x: x["btxt"]), " ").alias("text_kept"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(per_doc, on="id", how="left").select(
+        "id",
+        F.coalesce("n_blocks", F.lit(0).cast("bigint")).alias("n_blocks"),
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("text_kept", F.lit("")).alias("text_kept"),
+    )
+
+
 def simhash_table(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", bits: int = 64) -> DataFrame:
     """(id, simhash bigint) per document.

@@ -59,6 +59,14 @@ def dd_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=10)
 
 
+def dd_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level exact dedup: every repeated 8-word block keeps
+    only its first (id, position) occurrence corpus-wide and documents
+    are reassembled from their surviving blocks (operators/dedup.py
+    ``block_dedup`` — the passage-removal form of train-set dedup)."""
+    return dedup.block_dedup(_docs(spark, sf_dir), block_words=8)
+
+
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact n-gram Jaccard within (lang × MinHash-band) blocks.
 
@@ -159,6 +167,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash": dd_simhash,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
+    "dd_blocks": dd_blocks,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_label": ann_knn_label,
     "emb_neardup_pairs": emb_neardup_pairs,
@@ -257,6 +266,36 @@ ORACLES: dict[str, str] = {
                    AS hamming
         FROM blk a JOIN blk b ON a.blk = b.blk AND a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    """,
+    "dd_blocks": f"""
+        WITH base AS (
+            SELECT doc_id, {_WORDS} AS lw
+            FROM documents WHERE length(text) > 0
+        ), blocks AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS b,
+                   array_to_string(
+                       list_slice(lw, (i - 1) * 8 + 1, i * 8), ' ') AS btxt
+            FROM base,
+                 unnest(generate_series(
+                     1, CAST(ceil(len(lw) / 8.0) AS BIGINT))) AS t(i)
+        ), ranked AS (
+            SELECT doc_id, b, btxt,
+                   row_number() OVER (PARTITION BY btxt
+                                      ORDER BY doc_id, b) AS rn
+            FROM blocks
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_blocks,
+                   COUNT(CASE WHEN rn = 1 THEN 1 END) AS n_kept,
+                   string_agg(btxt, ' ' ORDER BY b)
+                       FILTER (WHERE rn = 1) AS text_kept
+            FROM ranked GROUP BY doc_id
+        )
+        SELECT d.doc_id AS id,
+               CAST(COALESCE(a.n_blocks, 0) AS BIGINT) AS n_blocks,
+               CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+               COALESCE(a.text_kept, '') AS text_kept
+        FROM documents d LEFT JOIN agg a USING (doc_id)
+        WHERE length(d.text) > 0
     """,
     "dd_ngram_jaccard": f"""
         WITH sh AS (

@@ -206,3 +206,29 @@ def test_minhash_family_matches_python_reference(spark, duck):
             f"{H.minhash_perm_sql('7', H.minhash_base_sql('?'))} AS h7",
             [t, t]).fetchone()
         assert row[0] == py_base(t) and row[1] == py_perm(7, py_base(t)), t
+
+
+def test_block_dedup_golden(spark):
+    """Pin block_dedup semantics: global first-occurrence keep ordered by
+    (id, block index), within-doc repeats removed, order-preserving
+    reassembly, empty result for an all-duplicate document."""
+    from openplacereviews_db_spark.operators.dedup import block_dedup
+    blk = "a b c d"                       # one 4-word block
+    docs = spark.createDataFrame(
+        [
+            (1, f"{blk} x y z w"),        # owns blocks [abcd, xyzw]
+            (2, f"{blk} q r s t"),        # abcd is a repeat of doc 1's
+            (3, f"{blk} {blk}"),          # both blocks repeats -> empty
+            (4, "q r s t u v"),           # 'q r s t' repeats doc 2's;
+                                          # trailing short block survives
+        ],
+        "doc_id long, text string")
+    out = {r["id"]: r for r in block_dedup(docs, block_words=4).collect()}
+    assert (out[1]["n_blocks"], out[1]["n_kept"]) == (2, 2)
+    assert out[1]["text_kept"] == "a b c d x y z w"
+    assert (out[2]["n_blocks"], out[2]["n_kept"]) == (2, 1)
+    assert out[2]["text_kept"] == "q r s t"
+    assert (out[3]["n_blocks"], out[3]["n_kept"]) == (2, 0)
+    assert out[3]["text_kept"] == ""
+    assert (out[4]["n_blocks"], out[4]["n_kept"]) == (2, 1)
+    assert out[4]["text_kept"] == "u v"
