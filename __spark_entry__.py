@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from openplacereviews_db_spark.plans import (corpus, history, merge_plans,
                                              oplog, pipeline, places_reports,
                                              relational, relational2,
-                                             sync_plans, temporal)
+                                             sketches, sync_plans, temporal)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -48,6 +48,7 @@ _DRIVER_PRIORITY = [
     "emb_semdedup",  # new this round (X28 SemDeDup composition)
     "j11_asof_join", "j12_range_join",  # new this round (temporal joins)
     "dd_blocks",  # new this round (paragraph-level dedup)
+    "sk_kmv_distinct", "sk_countmin",  # new this round (sketches)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(sync_plans.QUERIES)
     merged.update(pipeline.QUERIES)
     merged.update(temporal.QUERIES)
+    merged.update(sketches.QUERIES)
     out = {n: merged[n] for n in _DRIVER_PRIORITY if n in merged}
     out.update(merged)
     return out
@@ -92,4 +94,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(sync_plans.ORACLES)
     out.update(pipeline.ORACLES)
     out.update(temporal.ORACLES)
+    out.update(sketches.ORACLES)
     return out

@@ -1,0 +1,189 @@
+"""Deterministic streaming sketches: KMV distinct-count and Count-Min
+frequency estimation.
+
+Sketches are the 100 TB answer to "how many distinct / how often"
+questions where exact aggregation is a full shuffle of the key space:
+the sketch is a fixed-size aggregate that partial-aggregates map-side
+and merges associatively, so the wide exchange carries kilobytes per
+partition regardless of input size.  Spark ships HyperLogLog
+(``approx_count_distinct``) but its estimate is not reproducible
+outside the JVM; these two are built from md5 column arithmetic, so a
+SQL engine reproduces them bit-for-bit — the "novel sketch as a
+composition of built-in ops" pattern (SURVEY.md §2.4), and the same
+md5-family discipline as ``functions.hashing``.
+
+- ``kmv_distinct``: k-minimum-values [Bar-Yossef et al. 2002].  Hash
+  every distinct value to a uniform fraction in [0, 1); the k-th
+  smallest hash h_k estimates the distinct count as (k-1)/h_k.  Groups
+  with fewer than k distinct values are exact by construction (the
+  sketch IS the value set).
+- ``countmin_freq``: Count-Min [Cormode & Muthukrishnan 2005]: depth×
+  width counter grid, each key incrementing one counter per row via an
+  independent hash; the frequency estimate is the min over the key's
+  depth counters (always an overestimate).
+
+The 52-bit hash fraction uses the first 13 hex digits of md5 so the
+numerator is exact in a double on every engine (2^52 < 2^53).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+#: 2^52 — denominator of the md5-prefix hash fraction.
+HASH_DENOM = 4503599627370496
+
+
+def hash_frac(value: Column) -> Column:
+    """Uniform fraction in [0, 1) from the first 52 bits of md5(value) —
+    exact in a double, and byte-identical to the SQL mirror."""
+    return (F.conv(F.substring(F.md5(value.cast("string")), 1, 13), 16, 10)
+            .cast("bigint") / F.lit(HASH_DENOM))
+
+
+def hash_frac_sql(value: str) -> str:
+    """DuckDB mirror of :func:`hash_frac` (no BLOB→BIGINT cast there —
+    go through a '0x' hex literal)."""
+    return ("CAST(('0x' || substr(md5(CAST(" + value + " AS VARCHAR)), "
+            f"1, 13)) AS BIGINT) / {HASH_DENOM}.0")
+
+
+def kmv_distinct(df: DataFrame, group_col: str, value_col: str,
+                 k: int = 64) -> DataFrame:
+    """Per-group distinct-count estimate from the k minimum hash values,
+    next to the exact count for calibration: ``(grp, n_exact, n_est)``.
+
+    Plan: ONE distinct shuffle on (group, value) feeds both the exact
+    count and the sketch; the k smallest fractions per group come from a
+    rank window over the distinct values (at 100 TB the window input is
+    already distinct-reduced, and the per-group state Spark keeps is one
+    running rank — not a sort buffer of the whole group).  Ties are
+    impossible below 2^-52 collision odds, but the rank orders by
+    (frac, value) anyway — a tie must not pick a shuffle-dependent row.
+    """
+    grp = F.col(group_col)
+    distinct = (df.select(grp.alias("grp"),
+                          F.col(value_col).alias("v")).distinct()
+                .withColumn("frac", hash_frac(F.col("v"))))
+    rk = F.row_number().over(
+        Window.partitionBy("grp").orderBy("frac", "v"))
+    ranked = distinct.withColumn("rk", rk)
+    return (
+        ranked.groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_exact"),
+             F.max(F.when(F.col("rk") == k, F.col("frac"))).alias("_hk"))
+        .select(
+            "grp", "n_exact",
+            F.round(
+                F.when(F.col("_hk").isNull(),
+                       F.col("n_exact").cast("double"))
+                .otherwise(F.lit(k - 1) / F.col("_hk")), 4).alias("n_est"),
+        )
+    )
+
+
+def kmv_distinct_sql(table: str, group_col: str, value_col: str,
+                     k: int = 64) -> str:
+    """DuckDB oracle for :func:`kmv_distinct` — same ranks, same
+    arithmetic, same rounding."""
+    frac = hash_frac_sql("v")
+    return f"""
+        WITH distinct_vals AS (
+            SELECT DISTINCT {group_col} AS grp, {value_col} AS v
+            FROM {table}
+        ), ranked AS (
+            SELECT grp, v, {frac} AS frac,
+                   row_number() OVER (PARTITION BY grp
+                                      ORDER BY {frac}, v) AS rk
+            FROM distinct_vals
+        )
+        SELECT grp, COUNT(*) AS n_exact,
+               round(CASE WHEN MAX(CASE WHEN rk = {k} THEN frac END)
+                              IS NULL
+                          THEN CAST(COUNT(*) AS DOUBLE)
+                          ELSE {k - 1} / MAX(CASE WHEN rk = {k}
+                                             THEN frac END)
+                     END, 4) AS n_est
+        FROM ranked GROUP BY grp
+    """
+
+
+def _cm_col(key: Column, row: int, width: int) -> Column:
+    """Counter column of ``key`` in sketch row ``row`` — an independent
+    md5 hash per row via a seed prefix, reduced mod width."""
+    h = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(f"cm{row}|"), key.cast("string"))),
+        1, 13), 16, 10).cast("bigint"))
+    return F.pmod(h, F.lit(width))
+
+
+def _cm_col_sql(key: str, row: int, width: int) -> str:
+    return (f"CAST(('0x' || substr(md5('cm{row}|' || "
+            f"CAST({key} AS VARCHAR)), 1, 13)) AS BIGINT) % {width}")
+
+
+def countmin_freq(df: DataFrame, key_col: str, depth: int = 4,
+                  width: int = 128) -> DataFrame:
+    """Per-key frequency estimate from a depth×width Count-Min grid,
+    next to the exact count: ``(key, n_exact, n_est)`` with
+    ``n_est >= n_exact`` always.
+
+    Plan: the grid build explodes each input row into ``depth``
+    (row, col) increments and aggregates — a constant-factor
+    amplification into a bounded ``depth*width``-cell aggregate that
+    partial-aggregates map-side, so the shuffle moves at most
+    ``depth*width`` rows per partition no matter the input size.  The
+    probe side joins each distinct key's ``depth`` cells against the
+    grid (broadcast — the grid is fixed-size by construction) and takes
+    the min.
+    """
+    key = F.col(key_col)
+    cells = df.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _cm_col(key, j, width).alias("c"))
+            for j in range(depth)])).alias("rc"))
+    grid = (cells.groupBy(F.col("rc.j").alias("j"),
+                          F.col("rc.c").alias("c"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    probes = (df.groupBy(key.alias("key"))
+              .agg(F.count(F.lit(1)).alias("n_exact")))
+    probe_cells = probes.select(
+        "key", "n_exact",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _cm_col(F.col("key"), j, width).alias("c"))
+            for j in range(depth)])).alias("rc"),
+    ).select("key", "n_exact", F.col("rc.j").alias("j"),
+             F.col("rc.c").alias("c"))
+    return (
+        probe_cells.join(F.broadcast(grid), on=["j", "c"])
+        .groupBy("key", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+        .select("key", "n_exact", "n_est")
+    )
+
+
+def countmin_freq_sql(table: str, key_col: str, depth: int = 4,
+                      width: int = 128) -> str:
+    """DuckDB oracle for :func:`countmin_freq`."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_col_sql(key_col, j, width)} AS c "
+        f"FROM {table}" for j in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, n_exact, {j} AS j, {_cm_col_sql('key', j, width)} AS c"
+        f" FROM probes" for j in range(depth))
+    return f"""
+        WITH cells AS ({cell_rows}),
+        grid AS (
+            SELECT j, c, COUNT(*) AS cnt FROM cells GROUP BY j, c
+        ), probes AS (
+            SELECT {key_col} AS key, COUNT(*) AS n_exact
+            FROM {table} GROUP BY {key_col}
+        ), probe_cells AS ({probe_rows})
+        SELECT p.key, p.n_exact, MIN(g.cnt) AS n_est
+        FROM probe_cells p JOIN grid g USING (j, c)
+        GROUP BY p.key, p.n_exact
+    """

@@ -1,0 +1,42 @@
+"""Sketch queries: deterministic approximate aggregates with exact
+oracles (operators/sketches.py — KMV distinct count, Count-Min
+frequency).  Each query returns the sketch estimate NEXT TO the exact
+aggregate, so the driver hash pins both the sketch arithmetic and its
+calibration against ground truth."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import sketches
+from ..sources.testdata import load_table
+
+
+def sk_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct parts per lineitem return flag: KMV(k=64) estimate vs
+    exact.  One distinct shuffle feeds both."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return sketches.kmv_distinct(li, "l_returnflag", "l_partkey", k=64)
+
+
+def sk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event frequencies from a 4x128 Count-Min grid vs exact;
+    the grid is a fixed-size aggregate (512 cells) however large the
+    event stream grows."""
+    ev = load_table(spark, "events", sf_dir)
+    return sketches.countmin_freq(ev, "user_id", depth=4, width=128)
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "sk_kmv_distinct": sk_kmv_distinct,
+    "sk_countmin": sk_countmin,
+}
+
+ORACLES: dict[str, str] = {
+    "sk_kmv_distinct": sketches.kmv_distinct_sql(
+        "lineitem", "l_returnflag", "l_partkey", k=64),
+    "sk_countmin": sketches.countmin_freq_sql(
+        "events", "user_id", depth=4, width=128),
+}

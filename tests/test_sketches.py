@@ -1,0 +1,53 @@
+"""Sketch invariants beyond oracle parity: the estimates must actually
+estimate (error bounds), and Count-Min must never underestimate."""
+
+from __future__ import annotations
+
+from openplacereviews_db_spark.operators import sketches
+from openplacereviews_db_spark.sources.testdata import load_table
+
+
+def test_kmv_exact_below_k(spark):
+    """Groups with < k distinct values are exact by construction."""
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i) for i in range(50)],
+        "grp string, v long")
+    out = {r["grp"]: r for r in
+           sketches.kmv_distinct(df, "grp", "v", k=64).collect()}
+    assert out["a"]["n_exact"] == 7 and out["a"]["n_est"] == 7.0
+    assert out["b"]["n_exact"] == 50 and out["b"]["n_est"] == 50.0
+
+
+def test_kmv_estimate_error_bound(spark):
+    """KMV relative standard error is ~1/sqrt(k-2); at k=64 that is
+    ~12.7%, so 3 sigma = ~38%. Assert a loose 40% band on real data."""
+    li = load_table(spark, "lineitem", "/root/testdata/sf0.001")
+    for r in sketches.kmv_distinct(li, "l_returnflag", "l_partkey",
+                                   k=64).collect():
+        if r["n_exact"] >= 64:
+            rel = abs(r["n_est"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 0.40, (r["grp"], r["n_exact"], r["n_est"])
+
+
+def test_countmin_never_underestimates(spark):
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    rows = sketches.countmin_freq(ev, "user_id", depth=4, width=128).collect()
+    assert rows and all(r["n_est"] >= r["n_exact"] for r in rows)
+    # with 150 keys in 4x128 cells, collisions should be rare enough
+    # that most estimates are exact
+    exact = sum(1 for r in rows if r["n_est"] == r["n_exact"])
+    assert exact >= 0.5 * len(rows), (exact, len(rows))
+
+
+def test_countmin_grid_is_bounded(spark):
+    """The sketch build must aggregate to <= depth*width cells — the
+    whole point of the operator at scale."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    key = F.col("user_id")
+    cells = ev.select(F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"),
+                 sketches._cm_col(key, j, 128).alias("c"))
+        for j in range(4)])).alias("rc"))
+    grid = cells.groupBy("rc.j", "rc.c").count()
+    assert grid.count() <= 4 * 128
