@@ -153,9 +153,42 @@ def j12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def d5_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: hourly AND daily rollups of
+    the event stream in ONE pass via GROUPING SETS — the multi-resolution
+    materialization a time-series store maintains per hypertable,
+    computed without scanning the fact table once per grain.
+
+    Partial aggregation covers every grouping set map-side (same
+    property as rollup/cube in a8/a9), so the shuffle carries one
+    partial row per (set, bucket) per task.  Buckets are BIGINT epoch
+    seconds by the repo window-oracle convention; ``grouping()``
+    disambiguates the grain, never NULL-sentinel guessing.
+    """
+    ev = _events(spark, sf_dir)
+    base = ev.select(
+        (F.expr("unix_timestamp(ts) div 3600") * 3600).alias("hour_b"),
+        (F.expr("unix_timestamp(ts) div 86400") * 86400).alias("day_b"),
+        "value",
+    )
+    return (
+        base.groupingSets([["day_b"], ["hour_b"]], "day_b", "hour_b")
+        .agg(F.grouping("hour_b").alias("_g_hour"),
+             F.count(F.lit(1)).alias("n"),
+             F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.when(F.col("_g_hour") == 1, F.lit("day"))
+            .otherwise(F.lit("hour")).alias("grain"),
+            F.coalesce("hour_b", "day_b").alias("bucket"),
+            "n", "sum_value",
+        )
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_asof_join": j11_asof_join,
     "j12_range_join": j12_range_join,
+    "d5_multires_rollup": d5_multires_rollup,
 }
 
 # DuckDB has a native ASOF JOIN — the oracle uses it directly, so the
@@ -178,6 +211,23 @@ ORACLES: dict[str, str] = {
                epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
         FROM errors e ASOF LEFT JOIN clicks c
           ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+    "d5_multires_rollup": """
+        WITH base AS (
+            SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                       AS hour_b,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                       AS day_b,
+                   value
+            FROM events
+        )
+        SELECT CASE WHEN GROUPING(hour_b) = 1 THEN 'day'
+                    ELSE 'hour' END AS grain,
+               COALESCE(hour_b, day_b) AS bucket,
+               COUNT(*) AS n,
+               round(SUM(value), 2) AS sum_value
+        FROM base
+        GROUP BY GROUPING SETS ((day_b), (hour_b))
     """,
     "j12_range_join": """
         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us,
