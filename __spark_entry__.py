@@ -50,6 +50,7 @@ _DRIVER_PRIORITY = [
     "dd_blocks",  # new this round (paragraph-level dedup)
     "sk_kmv_distinct", "sk_countmin",  # new this round (sketches)
     "d5_multires_rollup",  # new this round (grouping-sets time rollup)
+    "sk_bottomk_quantiles", "tx_keyword_search",  # new this round
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

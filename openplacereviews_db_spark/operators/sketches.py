@@ -110,6 +110,62 @@ def kmv_distinct_sql(table: str, group_col: str, value_col: str,
     """
 
 
+def bottomk_quantile(df: DataFrame, group_col: str, key_col: str,
+                     value_col: str, k: int = 256,
+                     q: float = 0.5) -> DataFrame:
+    """Per-group quantile estimate from a deterministic fixed-SIZE
+    sample — the k rows whose key hashes smallest — next to the exact
+    quantile: ``(grp, p_exact, p_est)``.
+
+    The md5-bottom-k sample is the reproducible replacement for
+    ``TABLESAMPLE``/reservoirs at 100 TB: the same k rows come back on
+    every run and on every engine, the sample size is fixed per group
+    regardless of group skew (unlike the fixed-RATE
+    ``tx_stratified_sample``), and it's mergeable — the bottom-k of a
+    union is the bottom-k of the parts.  Quantile interpolation is the
+    exact ``percentile`` == ``quantile_cont`` parity w3 already pins.
+
+    Plan: one shuffle on the group key serves the rank window, the
+    sample aggregate, and the exact aggregate.
+    """
+    grp = F.col(group_col)
+    hashed = df.select(
+        grp.alias("grp"), F.col(key_col).alias("key"),
+        F.col(value_col).alias("val"),
+    ).withColumn("frac", hash_frac(F.col("key")))
+    rk = F.row_number().over(
+        Window.partitionBy("grp").orderBy("frac", "key"))
+    ranked = hashed.withColumn("rk", rk)
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.round(F.percentile("val", F.lit(q)), 4).alias("p_exact"),
+            F.round(F.percentile(F.when(F.col("rk") <= k, F.col("val")),
+                                 F.lit(q)), 4).alias("p_est"),
+        )
+    )
+
+
+def bottomk_quantile_sql(table: str, group_col: str, key_col: str,
+                         value_col: str, k: int = 256,
+                         q: float = 0.5) -> str:
+    """DuckDB oracle for :func:`bottomk_quantile`."""
+    frac = hash_frac_sql(key_col)
+    return f"""
+        WITH ranked AS (
+            SELECT {group_col} AS grp, {value_col} AS val,
+                   row_number() OVER (PARTITION BY {group_col}
+                                      ORDER BY {frac}, {key_col}) AS rk
+            FROM {table}
+        )
+        SELECT grp,
+               round(quantile_cont(val, {q}), 4) AS p_exact,
+               round(quantile_cont(CASE WHEN rk <= {k} THEN val END,
+                                   {q}), 4) AS p_est
+        FROM ranked GROUP BY grp
+    """
+
+
 def _cm_col(key: Column, row: int, width: int) -> Column:
     """Counter column of ``key`` in sketch row ``row`` — an independent
     md5 hash per row via a seed prefix, reduced mod width."""

@@ -15,6 +15,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..operators import dedup, similarity, textstats
 from ..sources.testdata import load_table
 
@@ -65,6 +66,34 @@ def dd_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     are reassembled from their surviving blocks (operators/dedup.py
     ``block_dedup`` — the passage-removal form of train-set dedup)."""
     return dedup.block_dedup(_docs(spark, sf_dir), block_words=8)
+
+
+#: Conjunctive keyword query for ``tx_keyword_search`` — all three words
+#: must appear in the document.
+_SEARCH_TERMS = ("spark", "merge", "window")
+
+
+def tx_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjunctive keyword search in the postings-intersection form:
+    explode distinct words, keep ONLY the query terms (so the shuffle
+    carries matching postings, not the corpus), then a count-matching
+    HAVING per document — the inverted-index scan shape, vs the
+    LIKE-scan that reads every byte of text at 100 TB.  The S9
+    containment scan generalized from osm-ids to text terms."""
+    docs = _docs(spark, sf_dir)
+    words = docs.select(
+        "doc_id", "lang", "n_chars",
+        F.explode(F.array_distinct(
+            F.filter(F.split(H.norm_text(F.col("text")), " "),
+                     lambda w: w != ""))).alias("w"),
+    )
+    hits = (
+        words.where(F.col("w").isin(*_SEARCH_TERMS))
+        .groupBy("doc_id", "lang", "n_chars")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .where(F.col("n_terms") == len(_SEARCH_TERMS))
+    )
+    return hits.select("doc_id", "lang", "n_chars")
 
 
 def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -168,6 +197,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_blocks": dd_blocks,
+    "tx_keyword_search": tx_keyword_search,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_label": ann_knn_label,
     "emb_neardup_pairs": emb_neardup_pairs,
@@ -266,6 +296,13 @@ ORACLES: dict[str, str] = {
                    AS hamming
         FROM blk a JOIN blk b ON a.blk = b.blk AND a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 10
+    """,
+    "tx_keyword_search": f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE length(text) > 0
+          AND list_has_all({_WORDS},
+                           ['spark', 'merge', 'window'])
     """,
     "dd_blocks": f"""
         WITH base AS (

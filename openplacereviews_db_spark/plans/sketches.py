@@ -29,9 +29,19 @@ def sk_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.countmin_freq(ev, "user_id", depth=4, width=128)
 
 
+def sk_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median account balance per market segment estimated from a
+    deterministic 256-row bottom-k hash sample, vs exact — fixed sample
+    size per group no matter how skewed the segment sizes get."""
+    c = load_table(spark, "customer", sf_dir)
+    return sketches.bottomk_quantile(
+        c, "c_mktsegment", "c_custkey", "c_acctbal", k=256, q=0.5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_countmin": sk_countmin,
+    "sk_bottomk_quantiles": sk_bottomk_quantiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -39,4 +49,7 @@ ORACLES: dict[str, str] = {
         "lineitem", "l_returnflag", "l_partkey", k=64),
     "sk_countmin": sketches.countmin_freq_sql(
         "events", "user_id", depth=4, width=128),
+    "sk_bottomk_quantiles": sketches.bottomk_quantile_sql(
+        "customer", "c_mktsegment", "c_custkey", "c_acctbal",
+        k=256, q=0.5),
 }

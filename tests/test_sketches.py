@@ -51,3 +51,14 @@ def test_countmin_grid_is_bounded(spark):
         for j in range(4)])).alias("rc"))
     grid = cells.groupBy("rc.j", "rc.c").count()
     assert grid.count() <= 4 * 128
+
+
+def test_bottomk_quantile_accuracy(spark):
+    """The 256-row hash sample's median must track the exact median —
+    loose 25% relative band (binomial quantile error at k=256 is ~6%
+    at 3 sigma; the band leaves room for small groups)."""
+    c = load_table(spark, "customer", "/root/testdata/sf0.001")
+    for r in sketches.bottomk_quantile(
+            c, "c_mktsegment", "c_custkey", "c_acctbal").collect():
+        denom = max(abs(r["p_exact"]), 1.0)
+        assert abs(r["p_est"] - r["p_exact"]) / denom < 0.25, dict(r.asDict())
