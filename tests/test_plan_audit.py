@@ -203,3 +203,46 @@ def test_documents_scan_column_pruning(name, allowed, spark, sf_dir):
         assert not extra, (
             f"{name}: documents scan reads pruned-out columns {extra}: "
             f"{ln.strip()[:160]}")
+
+
+def test_parquet_filter_pushdown_reaches_scan(spark, sf_dir):
+    """Predicate pushdown must reach the lineitem parquet scan for the
+    q6-style selective filter — at 100 TB, row-group statistics skip
+    most of the table only if the predicate is IN the scan node, not in
+    a Filter above it."""
+    df = entrymod.queries()["q6_revenue_delta"](spark, sf_dir)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in physical.splitlines()
+             if "FileScan" in ln and "lineitem" in ln]
+    assert scans, "no lineitem FileScan in q6 plan"
+    ln = scans[0]
+    assert "PushedFilters: [" in ln, ln[:300]
+    pushed = ln.split("PushedFilters: [", 1)[1]
+    # the three q6 predicates must all push (shipdate range, discount
+    # range, quantity bound) — plan toString may truncate the tail, so
+    # accept any of their column names as evidence per predicate family
+    for colname in ("l_shipdate", "l_discount", "l_quantity"):
+        assert colname in pushed or colname not in ln, (
+            f"{colname} filtered above the scan, not pushed: {ln[:300]}")
+    assert "GreaterThan" in pushed or "IsNotNull" in pushed, ln[:300]
+
+
+def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """A filter on the partition column of a hive-partitioned layout
+    must prune at planning time: the scan's PartitionFilters carry the
+    predicate and the file count drops to the selected partition — the
+    property README claims for tile-keyed geo scans."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "part_events")
+    spark.range(0, 1000).select(
+        (F.col("id") % 7).alias("day"),
+        F.col("id").alias("v")).write.partitionBy("day").parquet(src)
+    df = spark.read.parquet(src).where(F.col("day") == 3)
+    physical = df._jdf.queryExecution().executedPlan().toString()
+    scans = [ln for ln in physical.splitlines() if "FileScan" in ln]
+    assert scans and "PartitionFilters: [" in scans[0], scans
+    pf = scans[0].split("PartitionFilters: [", 1)[1]
+    assert "day" in pf, scans[0][:300]
+    # and the pruning is real: only 1 of 7 partitions' rows survive
+    assert df.count() == sum(1 for i in range(1000) if i % 7 == 3)
