@@ -142,6 +142,73 @@ def sample_frames(df: DataFrame, every_n: int = 5) -> DataFrame:
     )
 
 
+def resize_media(df: DataFrame, max_side: int = 32) -> DataFrame:
+    """Aspect-preserving downscale into a ``max_side`` box (never
+    upscales): (media_id, kind, decoded_w, decoded_h, out_w, out_h,
+    out_checksum).
+
+    Target dims are integer arithmetic on the decoded dims —
+    ``(side * max_side) div longest`` with a floor of 1 — so the
+    geometry is engine-reproducible.  The re-encode is the codec-shaped
+    step: with a real backend and a decodable image payload it is an
+    actual ``PIL.resize`` + re-encode; otherwise the output checksum is
+    the DETERMINISTIC FAKE ``sha256(payload || '|WxH')`` so the full
+    kernel stays value-checkable cross-engine.  Arrow-batched
+    ``mapInPandas``; payloads never leave the executor.
+    """
+    import pandas as pd
+
+    schema = ("media_id long, kind string, decoded_w int, decoded_h int, "
+              "out_w int, out_h int, out_checksum string")
+
+    def target(w: int, h: int) -> tuple[int, int]:
+        longest = max(w, h)
+        if longest <= max_side:
+            return w, h
+        return (max(1, (w * max_side) // longest),
+                max(1, (h * max_side) // longest))
+
+    def fake_encode(payload: bytes, w: int, h: int) -> str:
+        return hashlib.sha256(
+            (payload or b"") + f"|{w}x{h}".encode()).hexdigest()[:16]
+
+    def real_encode(payload: bytes, kind: str, w: int, h: int) -> str:
+        if DECODE_BACKEND == "pil" and kind == "image" and payload:
+            try:  # pragma: no cover - container has no real images
+                import io
+
+                import PIL.Image
+
+                with PIL.Image.open(io.BytesIO(payload)) as im:
+                    buf = io.BytesIO()
+                    im.resize((w, h)).save(buf, format="PNG")
+                    return hashlib.sha256(buf.getvalue()).hexdigest()[:16]
+            except Exception:
+                pass
+        return fake_encode(payload, w, h)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = []
+            for m, k, p in zip(pdf["media_id"], pdf["kind"],
+                               pdf["payload"]):
+                d = _decode(p, k)
+                w, h = target(d["decoded_w"], d["decoded_h"])
+                recs.append({
+                    "media_id": m, "kind": k,
+                    "decoded_w": d["decoded_w"],
+                    "decoded_h": d["decoded_h"],
+                    "out_w": w, "out_h": h,
+                    "out_checksum": real_encode(p, k, w, h),
+                })
+            yield pd.DataFrame(recs)[["media_id", "kind", "decoded_w",
+                                      "decoded_h", "out_w", "out_h",
+                                      "out_checksum"]]
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        kernel, schema=schema)
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate — must not read the payload column (the
     plan is checked for that in tests via the ReadSchema)."""

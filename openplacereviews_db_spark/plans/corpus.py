@@ -831,6 +831,57 @@ ORACLES["mm_sample_frames"] = f"""
 """
 
 
+def mm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize into a 32px box over the synthetic
+    media corpus: integer-exact target geometry + the deterministic
+    fake re-encode checksum, both rebuilt by the oracle from sha256
+    arithmetic — the full mapInPandas resize path is value-checked."""
+    from ..operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir)
+    kind = (F.when(F.col("doc_id") % 3 == 0, "image")
+            .when(F.col("doc_id") % 3 == 1, "audio").otherwise("video"))
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), kind.alias("kind"),
+        F.col("text").cast("binary").alias("payload"))
+    return MM.resize_media(media, max_side=32)
+
+
+QUERIES["mm_resize"] = mm_resize
+
+ORACLES["mm_resize"] = f"""
+    WITH m AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 3 = 0 THEN 'image'
+                    WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+               text, sha256(text) AS h
+        FROM documents WHERE length(text) > 0
+    ), dims AS (
+        SELECT media_id, kind, text,
+               CAST(16 + {_hx('h', 1)} % 64 AS INTEGER) AS decoded_w,
+               CAST(16 + {_hx('h', 3)} % 64 AS INTEGER) AS decoded_h
+        FROM m
+    ), tgt AS (
+        SELECT *,
+               CAST(CASE WHEN GREATEST(decoded_w, decoded_h) <= 32
+                         THEN decoded_w
+                         ELSE GREATEST(1, (decoded_w * 32)
+                              // GREATEST(decoded_w, decoded_h)) END
+                    AS INTEGER) AS out_w,
+               CAST(CASE WHEN GREATEST(decoded_w, decoded_h) <= 32
+                         THEN decoded_h
+                         ELSE GREATEST(1, (decoded_h * 32)
+                              // GREATEST(decoded_w, decoded_h)) END
+                    AS INTEGER) AS out_h
+        FROM dims
+    )
+    SELECT media_id, kind, decoded_w, decoded_h, out_w, out_h,
+           substr(sha256(text || '|' || CAST(out_w AS VARCHAR) || 'x'
+                         || CAST(out_h AS VARCHAR)), 1, 16) AS out_checksum
+    FROM tgt
+"""
+
+
 def mm_feature_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction pinned end to end: the stub extractor packs
     sha256 bytes as 16 little-endian uint16 codes scaled to [0,1]

@@ -75,3 +75,46 @@ def test_pil_backend_decodes_real_image_when_available(spark):
     import hashlib
     h = hashlib.sha256(b"not an image").digest()
     assert got[2]["decoded_w"] == 16 + h[0] % 64
+
+
+def test_resize_geometry_invariants(spark):
+    """Resize never upscales, always fits the box, and keeps aspect
+    ratio to within integer truncation."""
+    from openplacereviews_db_spark.operators import multimodal as MM
+
+    media = MM.synthetic_media(spark, n=48)
+    for r in MM.resize_media(media, max_side=32).collect():
+        w, h, ow, oh = (r["decoded_w"], r["decoded_h"],
+                        r["out_w"], r["out_h"])
+        assert ow <= w and oh <= h                      # never upscale
+        assert max(ow, oh) <= 32                        # fits the box
+        if max(w, h) > 32:
+            assert max(ow, oh) == 32                    # long side pinned
+            # aspect preserved up to integer floor
+            assert abs(ow * h - oh * w) <= max(w, h)
+        else:
+            assert (ow, oh) == (w, h)                   # small: untouched
+
+
+def test_resize_real_image_when_available(spark):
+    """With PIL present and a decodable payload the re-encode is a real
+    PIL resize (checksum differs from the deterministic fake)."""
+    import hashlib
+
+    import pytest
+
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    from openplacereviews_db_spark.operators import multimodal as MM
+
+    buf = io.BytesIO()
+    PIL.new("RGB", (100, 40)).save(buf, format="PNG")
+    png = buf.getvalue()
+    media = spark.createDataFrame(
+        [(1, "image", "image/png", 100, 40, None, bytearray(png))],
+        MM.MEDIA_DDL)
+    r = MM.resize_media(media, max_side=32).collect()[0]
+    assert (r["out_w"], r["out_h"]) == (32, 12)
+    fake = hashlib.sha256(png + b"|32x12").hexdigest()[:16]
+    assert r["out_checksum"] != fake  # the real codec ran
