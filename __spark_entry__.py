@@ -52,6 +52,7 @@ _DRIVER_PRIORITY = [
     "d5_multires_rollup",  # new this round (grouping-sets time rollup)
     "sk_bottomk_quantiles", "tx_keyword_search",  # new this round
     "mm_resize",  # new this round (aspect-preserving media resize)
+    "g7_zorder",  # new this round (Morton spatial layout key)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

@@ -57,6 +57,69 @@ def mercator_tile_y_sql(lat: str, zoom: int) -> str:
     return f"CAST(floor({n} * {1 << zoom}) AS BIGINT)"
 
 
+def zorder_quantize_lon(lon: Column, bits: int = 16) -> Column:
+    """Quantize longitude to the ``2^bits`` Z-order grid (clamped)."""
+    cells = 1 << bits
+    q = F.floor((lon + 180.0) * float(cells) / 360.0).cast("long")
+    return F.least(F.lit(cells - 1), F.greatest(F.lit(0), q))
+
+
+def zorder_quantize_lat(lat: Column, bits: int = 16) -> Column:
+    """Quantize latitude to the ``2^bits`` Z-order grid (clamped)."""
+    cells = 1 << bits
+    q = F.floor((lat + 90.0) * float(cells) / 180.0).cast("long")
+    return F.least(F.lit(cells - 1), F.greatest(F.lit(0), q))
+
+
+def zorder_interleave(qx: Column, qy: Column, bits: int = 16) -> Column:
+    """Morton (Z-order) value from pre-quantized cell coords: bit i of
+    qx lands at position 2i, bit i of qy at 2i+1 — a ``2*bits``-bit key
+    whose prefix ordering is a recursive spatial quadtree.
+
+    Sorting (or range-partitioning) a 100 TB corpus by this key
+    clusters spatial neighbors into the same files, so a bbox query
+    becomes a handful of Z-ranges and parquet min/max stats skip
+    everything else — the data-skipping layout trick behind
+    Delta/Iceberg OPTIMIZE ZORDER, here as a plain column expression.
+    Feed it quantized COLUMNS (not inlined expressions): the interleave
+    references its inputs ``2*bits`` times.
+    """
+    parts = []
+    for i in range(bits):
+        parts.append(F.shiftleft(
+            F.shiftright(qx, i).bitwiseAND(F.lit(1)), 2 * i))
+        parts.append(F.shiftleft(
+            F.shiftright(qy, i).bitwiseAND(F.lit(1)), 2 * i + 1))
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc + p  # bit positions are disjoint, + == |
+    return acc
+
+
+def zorder_quantize_lon_sql(lon: str, bits: int = 16) -> str:
+    cells = 1 << bits
+    return (f"least({cells - 1}, greatest(0, CAST(floor((({lon}) + "
+            f"CAST(180.0 AS DOUBLE)) * CAST({cells}.0 AS DOUBLE) / "
+            f"CAST(360.0 AS DOUBLE)) AS BIGINT)))")
+
+
+def zorder_quantize_lat_sql(lat: str, bits: int = 16) -> str:
+    cells = 1 << bits
+    return (f"least({cells - 1}, greatest(0, CAST(floor((({lat}) + "
+            f"CAST(90.0 AS DOUBLE)) * CAST({cells}.0 AS DOUBLE) / "
+            f"CAST(180.0 AS DOUBLE)) AS BIGINT)))")
+
+
+def zorder_interleave_sql(qx: str, qy: str, bits: int = 16) -> str:
+    """DuckDB mirror of :func:`zorder_interleave` — pass COLUMN NAMES
+    from a CTE, the inputs are referenced ``2*bits`` times."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({qx} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({qy} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
 def normalize_lon(lon: Column) -> Column:
     """Wrap into [-180, 180) (OsmMapUtils.checkLongitude analog)."""
     return ((lon + 180.0) % 360.0 + 360.0) % 360.0 - 180.0

@@ -296,8 +296,32 @@ def g3_tile_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def g7_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) spatial layout key over the live corpus: the
+    32-bit interleave of 16-bit-quantized (lon, lat), summarized per
+    4096-cell prefix (top 12 bits) with the min/max z per cell — the
+    min/max pair IS what parquet column stats would hold per file after
+    a ZORDER rewrite, i.e. the data-skipping index a bbox scan probes.
+    Quantized coords are projected to columns first; the interleave
+    references them 32 times (plan-size discipline)."""
+    from ..functions import geometry as GM
+
+    pl = P.synthetic_places(spark, sf_dir).where(F.col("deleted").isNull())
+    q = pl.select(
+        GM.zorder_quantize_lon(F.col("lon")).alias("qx"),
+        GM.zorder_quantize_lat(F.col("lat")).alias("qy"))
+    z = q.select(GM.zorder_interleave(F.col("qx"), F.col("qy")).alias("z"))
+    return (
+        z.groupBy(F.shiftright(F.col("z"), 20).alias("zcell"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.min("z").alias("min_z"),
+             F.max("z").alias("max_z"))
+    )
+
+
 QUERIES["p12_mercator_tiles"] = p12_mercator_tiles
 QUERIES["g3_tile_grid"] = g3_tile_grid
+QUERIES["g7_zorder"] = g7_zorder
 
 from ..functions import geometry as _GM  # noqa: E402
 
@@ -312,6 +336,19 @@ ORACLES["p12_mercator_tiles"] = f"""
            COUNT(*) AS cnt
     FROM customer WHERE c_custkey % 11 != 0
     GROUP BY 1, 2
+"""
+
+ORACLES["g7_zorder"] = f"""
+    WITH q AS (
+        SELECT {_GM.zorder_quantize_lon_sql(_MERC_LON)} AS qx,
+               {_GM.zorder_quantize_lat_sql(_MERC_LAT)} AS qy
+        FROM customer WHERE c_custkey % 11 != 0
+    ), z AS (
+        SELECT {_GM.zorder_interleave_sql('qx', 'qy')} AS z FROM q
+    )
+    SELECT (z >> 20) AS zcell, COUNT(*) AS n,
+           MIN(z) AS min_z, MAX(z) AS max_z
+    FROM z GROUP BY 1
 """
 
 ORACLES["g3_tile_grid"] = f"""

@@ -97,3 +97,40 @@ def test_mercator_matches_duckdb(spark, duck):
     assert got == [tuple(w) for w in want]
     # spot-check the Eiffel tower tile at z12 (public slippy-map value)
     assert got[0] == (2074, 1409)
+
+
+def test_zorder_interleave_bits(spark):
+    """Known interleaves: bit i of qx -> 2i, bit i of qy -> 2i+1."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions import geometry as GM
+
+    df = spark.createDataFrame(
+        [(0, 0), (3, 0), (0, 3), (3, 3), (65535, 65535)],
+        "qx long, qy long")
+    got = [r["z"] for r in df.select(
+        GM.zorder_interleave(F.col("qx"), F.col("qy")).alias("z"))
+        .collect()]
+    assert got == [0, 0b0101, 0b1010, 0b1111, (1 << 32) - 1]
+
+
+def test_zorder_prefix_is_spatial(spark):
+    """Nearby points share a long z prefix; antipodal ones do not —
+    the property that makes min/max file stats skip bbox scans."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions import geometry as GM
+
+    pts = spark.createDataFrame(
+        [("a1", 48.8566, 2.3522), ("a2", 48.8570, 2.3530),   # ~50 m apart
+         ("far", -33.8688, 151.2093)],                        # Sydney
+        "name string, lat double, lon double")
+    q = pts.select(
+        "name",
+        GM.zorder_quantize_lon(F.col("lon")).alias("qx"),
+        GM.zorder_quantize_lat(F.col("lat")).alias("qy"))
+    z = {r["name"]: r["z"] for r in q.select(
+        "name", GM.zorder_interleave(F.col("qx"), F.col("qy")).alias("z"))
+        .collect()}
+    assert z["a1"] >> 12 == z["a2"] >> 12      # 50 m: top 20 bits agree
+    assert z["a1"] >> 28 != z["far"] >> 28     # other hemisphere: differ
