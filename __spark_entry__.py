@@ -53,6 +53,7 @@ _DRIVER_PRIORITY = [
     "sk_bottomk_quantiles", "tx_keyword_search",  # new this round
     "mm_resize",  # new this round (aspect-preserving media resize)
     "g7_zorder",  # new this round (Morton spatial layout key)
+    "emb_scalar_quant",  # new this round (int8 embedding compression)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

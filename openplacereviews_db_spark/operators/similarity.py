@@ -552,3 +552,59 @@ def cosine_topk_ivf(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = F.row_number().over(
         Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id")))
     return scored.withColumn("rank", w).where(F.col("rank") <= k)
+
+
+def scalar_quantize(embs: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> DataFrame:
+    """int8-style scalar quantization of an embedding column:
+    ``(id, codes, mse)`` where codes are per-dimension
+    ``floor((x - mn_d) / (mx_d - mn_d) * 255 + 0.5)`` against GLOBAL
+    per-dimension min/max, and mse is the reconstruction error — the
+    4x memory compression an ANN serving tier applies before indexing
+    (the scalar little sibling of product quantization).
+
+    Scale shape: the per-dimension stats are a posexplode + (dim)
+    groupBy that reduces to ``dim`` rows, reassembled into two arrays
+    in a ONE-ROW frame and broadcast (bounded by construction — same
+    pattern as tx_tfidf's corpus-size broadcast); quantization itself
+    is a single ``transform`` over ``arrays_zip``, pure codegen, no
+    Python.  ``floor(t + 0.5)`` not ``round``: Spark rounds HALF_UP,
+    other engines HALF_EVEN — floor+0.5 is the same bits everywhere.
+    """
+    v = F.col(vec_col).cast("array<double>")
+    base = embs.select(F.col(id_col).alias("id"), v.alias("v"))
+    dims = base.select(F.posexplode("v").alias("i", "x"))
+    stats = dims.groupBy("i").agg(F.min("x").alias("mn"),
+                                  F.max("x").alias("mx"))
+    one = stats.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mn"))),
+                    lambda s: s["mn"]).alias("mns"),
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                    lambda s: s["mx"]).alias("mxs"),
+    )
+
+    def code_of(s):
+        rng = s["mxs"] - s["mns"]
+        t = (s["v"] - s["mns"]) / rng * 255.0 + 0.5
+        return (F.when(rng > 0, F.floor(t))
+                .otherwise(F.lit(0)).cast("bigint"))
+
+    def sqerr_of(s):
+        recon = s["mns"] + code_of(s) / 255.0 * (s["mxs"] - s["mns"])
+        d = s["v"] - recon
+        return d * d
+
+    zipped = F.arrays_zip(F.col("v"), F.col("mns"), F.col("mxs"))
+    return (
+        base.crossJoin(F.broadcast(one))
+        .select(
+            "id",
+            F.array_join(
+                F.transform(zipped, lambda s: code_of(s).cast("string")),
+                ",", null_replacement="null").alias("codes"),
+            F.round(
+                F.aggregate(F.transform(zipped, sqerr_of), F.lit(0.0),
+                            lambda acc, x: acc + x) / F.size("v"),
+                6).alias("mse"),
+        )
+    )

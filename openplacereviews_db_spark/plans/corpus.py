@@ -605,7 +605,46 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES["emb_semdedup"] = emb_semdedup
+def emb_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar quantization of the embedding table against global
+    per-dimension min/max, with reconstruction MSE — the compression
+    pass an ANN serving tier runs before indexing
+    (operators/similarity.py ``scalar_quantize``)."""
+    return similarity.scalar_quantize(_embs(spark, sf_dir))
+
+
+QUERIES["emb_scalar_quant"] = emb_scalar_quant
+
+_SQ_CODE = ("CASE WHEN mxs[i] - mns[i] > 0 THEN "
+            "floor((v[i] - mns[i]) / (mxs[i] - mns[i]) * 255.0 + 0.5) "
+            "ELSE 0 END")
+_SQ_RECON = f"(mns[i] + ({_SQ_CODE}) / 255.0 * (mxs[i] - mns[i]))"
+_SQ_ERR = f"(v[i] - {_SQ_RECON}) * (v[i] - {_SQ_RECON})"
+
+ORACLES["emb_scalar_quant"] = f"""
+    WITH e AS (
+        SELECT vec_id AS id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ), dims AS (
+        SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+        FROM e, unnest(generate_series(1, len(v))) AS t(i)
+        GROUP BY i
+    ), s AS (
+        SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+        FROM dims
+    ), q AS (SELECT id, v, mns, mxs FROM e CROSS JOIN s)
+    SELECT id,
+           array_to_string(list_transform(generate_series(1, len(v)),
+               i -> CAST(CAST({_SQ_CODE} AS BIGINT) AS VARCHAR)), ',')
+               AS codes,
+           round(list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                   list_transform(generate_series(1, len(v)),
+                                  i -> {_SQ_ERR})),
+               (a, b) -> a + b) / len(v), 6) AS mse
+    FROM q
+"""
 
 
 ORACLES["emb_semdedup"] = f"""

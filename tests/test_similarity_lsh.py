@@ -232,3 +232,29 @@ def test_block_dedup_golden(spark):
     assert out[3]["text_kept"] == ""
     assert (out[4]["n_blocks"], out[4]["n_kept"]) == (2, 1)
     assert out[4]["text_kept"] == "u v"
+
+
+def test_scalar_quantize_properties(spark, sf_dir):
+    """Codes stay in [0, 255]; reconstruction error is bounded by half
+    a quantization step per dimension (mse <= (step/2)^2 max over
+    dims); constant dimensions quantize to 0 without dividing by 0."""
+    from openplacereviews_db_spark.operators.similarity import \
+        scalar_quantize
+    from openplacereviews_db_spark.sources.testdata import load_table
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    import numpy as np
+    vals = np.array([r["embedding"] for r in
+                     embs.select("embedding").collect()], dtype=np.float64)
+    worst_step = float((vals.max(0) - vals.min(0)).max()) / 255.0
+    for r in scalar_quantize(embs).collect():
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert all(0 <= c <= 255 for c in codes)
+        assert r["mse"] <= (worst_step / 2) ** 2 + 1e-9, r["mse"]
+
+    cst = spark.createDataFrame([(1, [1.0, 5.0]), (2, [1.0, 7.0])],
+                                "vec_id long, embedding array<float>")
+    out = {r["id"]: r for r in scalar_quantize(cst).collect()}
+    assert out[1]["codes"].split(",")[0] == "0"   # constant dim -> 0
+    assert out[1]["codes"].split(",")[1] == "0"   # min of dim 2
+    assert out[2]["codes"].split(",")[1] == "255"  # max of dim 2
