@@ -27,14 +27,15 @@ def entry(spark: SparkSession) -> DataFrame:
 #: insertion order decides which queries get driver-grade correctness
 #: evidence.  Round 5 front-loads (a) the two r4 driver-red queries, now
 #: repaired (id_bytes_roundtrip hex wire form, d3_aligned_windows epoch
-#: buckets), (b) the one never-sampled query (tx_pack_sequences), and
-#: (c) every query whose plan or oracle changed this round: the minhash
-#: restructure family (dd_minhash_lsh/dd_ngram_jaccard/dd_dup_groups/
-#: dd_apply), the COALESCE'd token oracles (tx_token_counts), the
-#: generic subtitle mirror (geo_tile_report), the O2 label_rank pin
-#: (a4_place_types), the n_hint guard (emb_neardup_pairs), and
-#: j2_proximity_pairs (cell fix landed after its last r3 sample).
-#: r4-green unchanged queries yield their slots.
+#: buckets), (b) the one never-sampled query (tx_pack_sequences),
+#: (c) every query whose plan or oracle changed this round (the minhash
+#: restructure family, token-oracle COALESCE, subtitle mirror, O2 pin,
+#: n_hint guard, j2 cell fix), and (d) the ELEVEN round-5 additions
+#: (temporal joins + rollup, sketches, block dedup, keyword search,
+#: media resize, z-order, scalar quantization) — each needs a first
+#: driver-grade row.  r4-green unchanged queries past position 50
+#: (s5/m8/s1/tx_* curation/st_* streaming trio) yield their slots; all
+#: have green driver rows from r3/r4 samples.
 _DRIVER_PRIORITY = [
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",

@@ -605,6 +605,9 @@ def emb_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+QUERIES["emb_semdedup"] = emb_semdedup
+
+
 def emb_scalar_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
     """int8 scalar quantization of the embedding table against global
     per-dimension min/max, with reconstruction MSE — the compression

@@ -246,3 +246,15 @@ def test_partition_pruning_on_partitioned_layout(spark, tmp_path):
     assert "day" in pf, scans[0][:300]
     # and the pruning is real: only 1 of 7 partitions' rows survive
     assert df.count() == sum(1 for i in range(1000) if i % 7 == 3)
+
+
+def test_driver_priority_names_resolve():
+    """Every _DRIVER_PRIORITY name must exist in queries() — a stale
+    name silently shrinks the driver's 50-query sample (an accidental
+    deregistration dropped emb_semdedup in r5, caught by hand)."""
+    q = entrymod.queries()
+    missing = [n for n in entrymod._DRIVER_PRIORITY if n not in q]
+    assert not missing, missing
+    # and every oracle key refers to a registered query
+    stale = [n for n in entrymod.oracle_sql() if n not in q]
+    assert not stale, stale
