@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "mm_resize",  # new this round (aspect-preserving media resize)
     "g7_zorder",  # new this round (Morton spatial layout key)
     "emb_scalar_quant",  # new this round (int8 embedding compression)
+    "tx_chunk_windows",  # new this round (RAG sliding-window chunking)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

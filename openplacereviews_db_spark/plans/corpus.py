@@ -1144,6 +1144,71 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tx_pack_sequences"] = tx_pack_sequences
 
+#: chunk window / stride (words) for ``tx_chunk_windows`` — 8-word
+#: overlap between consecutive chunks.
+_CHUNK_N, _CHUNK_S = 32, 24
+
+
+def chunk_windows(docs: DataFrame, n: int = _CHUNK_N,
+                  stride: int = _CHUNK_S) -> DataFrame:
+    """Sliding-window document chunking with overlap — the RAG /
+    context-window preparation pass: each document becomes
+    ceil-strided ``n``-word chunks at ``stride`` (``n - stride`` words
+    shared between neighbors, so no retrieval boundary splits a span).
+
+    Scale shape: zero shuffles.  The word array is a per-row
+    projection, the chunk count is integer arithmetic, and
+    explode(sequence) + slice stays in whole-stage codegen — the
+    chunk explosion is the same ~len/stride amplification as
+    tokenization and runs scan-parallel at any corpus size.
+    """
+    words = F.filter(F.split(H.norm_text(F.col("text")), " "),
+                     lambda w: w != "")
+    base = (docs.select("doc_id", words.alias("lw"))
+            .withColumn("n", F.size("lw")).where(F.col("n") > 0))
+    n_chunks = F.expr(
+        f"case when n <= {n} then 1 "
+        f"else 1 + (n - {n} + {stride - 1}) div {stride} end")
+    chunks = base.select(
+        "doc_id", "lw",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"))
+    sl = F.slice(F.col("lw"), F.col("chunk_id") * stride + 1, n)
+    return chunks.select(
+        "doc_id", F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(sl).cast("int").alias("n_words"),
+        F.array_join(sl, " ").alias("chunk_text"),
+    )
+
+
+def tx_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-word chunks at stride 24 over the corpus (see
+    :func:`chunk_windows`)."""
+    return chunk_windows(_docs(spark, sf_dir))
+
+
+QUERIES["tx_chunk_windows"] = tx_chunk_windows
+
+ORACLES["tx_chunk_windows"] = f"""
+    WITH base AS (
+        SELECT doc_id, {{words}} AS lw
+        FROM documents WHERE length(text) > 0
+    ), sized AS (
+        SELECT doc_id, lw, len(lw) AS n,
+               CASE WHEN len(lw) <= {_CHUNK_N} THEN 1
+                    ELSE 1 + (len(lw) - {_CHUNK_N} + {_CHUNK_S - 1})
+                         // {_CHUNK_S} END AS nk
+        FROM base WHERE len(lw) > 0
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(lw, i * {_CHUNK_S} + 1,
+                               i * {_CHUNK_S} + {_CHUNK_N}))
+                AS INTEGER) AS n_words,
+           array_to_string(list_slice(lw, i * {_CHUNK_S} + 1,
+                                      i * {_CHUNK_S} + {_CHUNK_N}), ' ')
+               AS chunk_text
+    FROM sized, unnest(generate_series(0, nk - 1)) AS t(i)
+""".replace("{words}", _WORDS)
+
 # COALESCE: DuckDB list_sum over an empty list is NULL while the Spark
 # aggregate's zero-seed returns 0 — a zero-alnum document must agree
 _SUBWORD_SQL = """CAST(COALESCE(list_sum(list_transform(

@@ -183,3 +183,31 @@ def test_group_split_never_straddles(spark, sf_dir):
     for r in rows:
         sizes[r["canonical_id"]] = sizes.get(r["canonical_id"], 0) + 1
     assert max(sizes.values()) >= 2
+
+
+def test_chunk_windows_overlap_and_coverage(spark):
+    """Consecutive chunks overlap by exactly N-S words; every word
+    appears in at least one chunk; short docs yield one whole chunk."""
+    from openplacereviews_db_spark.plans.corpus import (_CHUNK_N, _CHUNK_S,
+                                                        chunk_windows)
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(80))),   # 80 words -> 3 chunks
+         (2, "short doc only"),                        # 3 words -> 1 chunk
+         (3, "")],                                     # empty -> no rows
+        "doc_id long, text string")
+    out = chunk_windows(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 3 not in by_doc                       # empty doc: no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["chunk_text"] == "short doc only"
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_id"])
+    assert len(c1) == 3
+    w0 = c1[0]["chunk_text"].split()
+    w1 = c1[1]["chunk_text"].split()
+    w2 = c1[2]["chunk_text"].split()
+    assert w0[-(_CHUNK_N - _CHUNK_S):] == w1[:_CHUNK_N - _CHUNK_S]  # overlap 8
+    assert len(w2) == 80 - 2 * _CHUNK_S                             # tail chunk
+    covered = set(w0) | set(w1) | set(w2)
+    assert covered == {f"w{i}" for i in range(80)}                  # coverage
