@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from openplacereviews_db_spark.plans import (corpus, history, merge_plans,
                                              oplog, pipeline, places_reports,
-                                             relational, relational2,
+                                             relational, relational2, scoring,
                                              sketches, sync_plans, temporal)
 
 
@@ -57,6 +57,8 @@ _DRIVER_PRIORITY = [
     "emb_scalar_quant",  # new this round (int8 embedding compression)
     "tx_chunk_windows",  # new this round (RAG sliding-window chunking)
     "g8_zcell_scan",  # new this round (z-cell-pruned bbox scan)
+    "tx_bigram_lm", "tx_bm25",  # new this round (X36/X37 LM + BM25)
+    "tx_classifier", "tx_weighted_sample",  # new this round (X38/X39)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
@@ -85,6 +87,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(pipeline.QUERIES)
     merged.update(temporal.QUERIES)
     merged.update(sketches.QUERIES)
+    merged.update(scoring.QUERIES)
     out = {n: merged[n] for n in _DRIVER_PRIORITY if n in merged}
     out.update(merged)
     return out
@@ -103,4 +106,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(pipeline.ORACLES)
     out.update(temporal.ORACLES)
     out.update(sketches.ORACLES)
+    out.update(scoring.ORACLES)
     return out

@@ -1,0 +1,389 @@
+"""Model-based corpus scoring plans: bigram-LM perplexity filtering,
+BM25 ranked retrieval, hashed-feature linear-classifier inference, and
+weighted reservoir sampling (SURVEY.md §2.13 X36–X39).
+
+These are the "learned-model shaped" stages of a training-data pipeline
+— quality scoring with a corpus-trained n-gram LM (the CCNet/KenLM
+filter), ranked search over the corpus, fasttext-style classifier
+inference, and priority sampling by document weight — each re-expressed
+as pure DataFrame algebra with a DuckDB oracle.
+
+Cross-engine float discipline (the repo-wide rule, see plans/corpus.py):
+every transcendental (ln) is rounded before it feeds a sum or a rank,
+per-document sums of float terms go through DECIMAL so partition order
+can never change a value hash, and classifier margins are accumulated as
+INTEGERS with a single final division.  DuckDB float literals are
+written in e-notation (``0.5e0``) because a bare ``0.5`` is DECIMAL
+there and would switch the whole expression to decimal arithmetic.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..sources.testdata import load_table
+
+# DuckDB mirrors of H.norm_text + whitespace split (see plans/corpus.py)
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_WORDS = f"list_filter(string_split({_NORM}, ' '), w -> w <> '')"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, "documents", sf_dir).where(F.length("text") > 0)
+
+
+def _words_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ws: array<string>) — the shared tokenization."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.filter(F.split(H.norm_text(F.col("text")), " "),
+                 lambda w: w != "").alias("ws"))
+
+
+# ---------------------------------------------------------------------------
+# X36 — bigram language-model perplexity filter
+# ---------------------------------------------------------------------------
+
+#: add-k smoothing constant of the bigram model
+_LM_ALPHA = 0.5
+#: documents at or above this average log-probability survive the filter
+_LM_KEEP = -7.0
+
+
+def tx_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram-LM quality scoring (X36) — the KenLM/CCNet
+    perplexity filter re-expressed as DataFrame algebra: train add-k
+    smoothed bigram counts on the corpus itself, then score every
+    document by its average bigram log-probability and flag the keep
+    set.
+
+    Scale shape: ONE explode to (doc, prev, cur) bigram occurrences
+    feeds the per-document tf (partial-agg before its shuffle); the
+    global bigram and context counts are re-aggregations OF tf (never a
+    second pass over text); model lookup is two equi-joins on the
+    aggregated count relations (AQE broadcasts them when the vocabulary
+    is small, and their key distribution is the aggregated one — a
+    window over raw occurrences would put every "of the" in one task);
+    the vocabulary size is a 1-row broadcast.  Per-document summation is
+    DECIMAL over ln() rounded to 9 digits, so neither partition order
+    nor a last-ulp libm divergence can flip the value hash.
+    """
+    ws = _words_df(spark, sf_dir)
+    bigrams = (
+        ws.where(F.size("ws") >= 2)
+        .select("doc_id", F.explode(F.expr(
+            "transform(sequence(0, size(ws) - 2),"
+            " i -> struct(ws[i] AS prev, ws[i + 1] AS cur))")).alias("bg"))
+        .select("doc_id", "bg.prev", "bg.cur"))
+    tf = (bigrams.groupBy("doc_id", "prev", "cur")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    c2 = tf.groupBy("prev", "cur").agg(F.sum("tf").alias("c2"))
+    c1 = tf.groupBy("prev").agg(F.sum("tf").alias("c1"))
+    vocab = (ws.select(F.explode("ws").alias("w"))
+             .agg(F.countDistinct("w").alias("v")))
+    lp = (
+        tf.join(c2, ["prev", "cur"]).join(c1, ["prev"])
+        .crossJoin(F.broadcast(vocab))
+        .withColumn("lp", F.round(F.log(
+            (F.col("c2").cast("double") + _LM_ALPHA)
+            / (F.col("c1").cast("double")
+               + _LM_ALPHA * F.col("v").cast("double"))), 9)
+            .cast("decimal(20,9)")))
+    # tf must be DECIMAL(10,0), not bigint: a bigint coerces to
+    # DECIMAL(20,0) and the product blows past precision 38, where Spark
+    # (allowPrecisionLoss) silently DROPS the scale to 6 — truncating
+    # every product where DuckDB keeps all 9 digits
+    agg = (lp.groupBy("doc_id")
+           .agg(F.sum("tf").alias("n_bigrams"),
+                F.sum(F.col("tf").cast("decimal(10,0)") * F.col("lp"))
+                .alias("slp")))
+    # round(slp / n, 6) computed in INTEGER arithmetic: Spark's round()
+    # on a double rounds its SHORTEST decimal repr (BigDecimal.valueOf)
+    # while DuckDB rounds the binary value, and a decimal-sum / int
+    # quotient lands exactly on …5 boundaries often enough to flip the
+    # 6th digit between engines.  q = (2|p| + q') div 2q' is half-away
+    # rounding with no floats at all.
+    slp_int = (F.col("slp").cast("decimal(24,9)")
+               * F.lit(1000000000).cast("decimal(10,0)")).cast("long")
+    den = F.col("n_bigrams") * F.lit(1000)
+    num = F.abs(slp_int) * 2 + den
+    scaled = agg.select(
+        "doc_id", "n_bigrams", F.signum(slp_int).cast("long").alias("sgn"),
+        num.alias("num2"), (den * 2).alias("den2"))
+    avg = (F.col("sgn") * F.expr("num2 div den2")).cast("double") / 1.0e6
+    return scaled.select(
+        "doc_id", "n_bigrams", avg.alias("avg_logprob"),
+        (avg >= _LM_KEEP).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# X37 — BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+#: disjunctive query of the BM25 demo (same terms as tx_keyword_search)
+_BM25_TERMS = ("spark", "merge", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPK = 20
+
+
+def tx_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (X37): Okapi BM25 with the Lucene
+    ``ln(1 + (N - df + .5)/(df + .5))`` idf, scoring the disjunctive
+    3-term query and returning the global top-20.
+
+    Scale shape: the postings explode is filtered to the query terms
+    BEFORE its shuffle (the inverted-index scan of tx_keyword_search),
+    so the exchange carries matching postings only; df is an aggregate
+    of that filtered relation (3 rows → broadcast); N and avgdl are a
+    1-row broadcast computed without any explode (``size(ws)`` per row);
+    per-document term-score summation is DECIMAL over rounded terms;
+    the final top-20 is orderBy+limit — Spark's TakeOrderedAndProject,
+    a per-partition heap + driver merge, never a global sort.
+    """
+    ws = _words_df(spark, sf_dir).withColumn("dl", F.size("ws"))
+    stats = ws.agg(F.sum("dl").alias("sum_dl"),
+                   F.count(F.lit(1)).alias("n_docs"))
+    postings = (
+        ws.select("doc_id", "dl", F.explode("ws").alias("term"))
+        .where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = postings.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("dfreq"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs").cast("double") - F.col("dfreq") + 0.5)
+        / (F.col("dfreq").cast("double") + 0.5) + 1.0)
+    tfn = (F.col("tf") * (_BM25_K1 + 1.0)
+           / (F.col("tf") + _BM25_K1
+              * (1.0 - _BM25_B + _BM25_B * F.col("dl") / avgdl)))
+    scored = (
+        postings.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("s", F.round(idf * tfn, 9).cast("decimal(18,9)")))
+    per_doc = (scored.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_terms"),
+                    F.sum("s").alias("raw")))
+    # round the DECIMAL sum (exact HALF_UP on both engines — see the
+    # integer-rounding note in tx_bigram_lm) before casting to double
+    return (per_doc
+            .select("doc_id", "n_terms",
+                    F.round(F.col("raw"), 6).cast("double").alias("score"))
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(_BM25_TOPK))
+
+
+# ---------------------------------------------------------------------------
+# X38 — hashed-feature linear classifier inference
+# ---------------------------------------------------------------------------
+
+#: feature-hashing bucket count (collisions intended — that's the trick)
+_CLF_BUCKETS = 4096
+#: weight quantization: bucket weight is an integer in [-1000, 1000] /1000
+
+def _bucket_weight(word: F.Column) -> F.Column:
+    """Integer weight of a word's hashed feature bucket: md5 → bucket in
+    [0, 4096) → md5 again → weight integer in [-1000, 1000].  Stands in
+    for a trained weight vector; deterministic and engine-independent."""
+    bucket = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("f:"), word)), 1, 8), 16, 10)
+        .cast("bigint") % _CLF_BUCKETS)
+    return (F.conv(F.substring(
+        F.md5(F.concat(F.lit("w:"), bucket.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 2001 - 1000)
+
+
+def tx_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fasttext-style linear classifier inference (X38): hash each token
+    into 4096 feature buckets, sum the bucket weights, sigmoid the mean
+    margin — the quality/toxicity-classifier stage of a data pipeline.
+
+    Scale shape: ZERO shuffles — the whole margin is an ``aggregate``
+    over the token array inside whole-stage codegen (no explode, no
+    groupBy; classifier inference is a map).  The accumulator is an
+    INTEGER sum of quantized weights with one final division, so the
+    result is bit-identical on any engine and any partitioning.
+    """
+    ws = _words_df(spark, sf_dir).where(F.size("ws") >= 1)
+    sum_w = F.aggregate(
+        F.col("ws"), F.lit(0).cast("long"),
+        lambda acc, w: acc + _bucket_weight(w))
+    base = ws.select(
+        "doc_id", F.size("ws").alias("n_tokens"), sum_w.alias("sum_w"))
+    den = F.col("n_tokens").cast("long") * F.lit(1000)
+    margin_raw = F.col("sum_w").cast("double") / den.cast("double")
+    # round(sum / 1000n, 9) in integer arithmetic — same cross-engine
+    # round() trap as tx_bigram_lm (sum/1000n terminates on the 10-digit
+    # grid whenever n is a power of 2 or 5)
+    scaled = base.select(
+        "doc_id", "n_tokens", F.signum("sum_w").cast("long").alias("sgn"),
+        (F.abs(F.col("sum_w")) * 2 * F.lit(1000000000) + den).alias("num2"),
+        (den * 2).alias("den2"), margin_raw.alias("margin_raw"))
+    margin = (F.col("sgn") * F.expr("num2 div den2")).cast("double") / 1.0e9
+    prob = 1.0 / (1.0 + F.exp(-F.col("margin_raw")))
+    return scaled.select(
+        "doc_id", "n_tokens", margin.alias("margin"),
+        F.round(prob, 6).alias("prob"),
+        (F.col("margin_raw") > 0.0).alias("label"))
+
+
+# ---------------------------------------------------------------------------
+# X39 — weighted sampling without replacement (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+_WS_SAMPLE_K = 200
+
+
+def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (X39), Efraimidis–Spirakis
+    A-Res: each document draws a deterministic uniform u from md5 and
+    gets priority key ``ln(u) / weight`` (monotone in ``u^(1/w)``); the
+    k largest keys are the sample — inclusion probability proportional
+    to weight (here ``n_chars``), reproducible on any engine.
+
+    Scale shape: the key is pure column arithmetic; the top-k is
+    orderBy+limit (TakeOrderedAndProject — per-partition heaps, no
+    global sort).  ``ln`` is rounded to 9 digits BEFORE the division so
+    a last-ulp libm divergence can't reorder the boundary; ties break on
+    doc_id.
+    """
+    docs = _docs(spark, sf_dir)
+    m = (F.conv(F.substring(
+        F.md5(F.concat(F.lit("ws:"), F.col("doc_id").cast("string"))),
+        1, 8), 16, 10).cast("bigint"))
+    # (m + 1) / (2^32 + 1) lies in (0, 1] — ln() is always finite
+    u = (m + 1) / F.lit(4294967297.0)
+    lnu = F.round(F.log(u), 9)
+    skey = lnu / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    # no outer round: both engines divide the same rounded ln by the same
+    # integer, so the skey doubles are bit-identical as-is (a final
+    # round() would REINTRODUCE the cross-engine shortest-repr trap)
+    return (docs
+            .select("doc_id", "n_chars", skey.alias("skey"))
+            .orderBy(F.desc("skey"), F.asc("doc_id"))
+            .limit(_WS_SAMPLE_K))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tx_bigram_lm": tx_bigram_lm,
+    "tx_bm25": tx_bm25,
+    "tx_classifier": tx_classifier,
+    "tx_weighted_sample": tx_weighted_sample,
+}
+
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["tx_bigram_lm"] = f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws
+               FROM documents WHERE length(text) > 0),
+    bg AS (SELECT doc_id,
+                  unnest(ws[1:len(ws) - 1]) AS prev,
+                  unnest(ws[2:len(ws)]) AS cur
+           FROM d WHERE len(ws) >= 2),
+    tf AS (SELECT doc_id, prev, cur, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+    c2 AS (SELECT prev, cur, CAST(SUM(tf) AS BIGINT) AS c2
+           FROM tf GROUP BY 1, 2),
+    c1 AS (SELECT prev, CAST(SUM(tf) AS BIGINT) AS c1 FROM tf GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT w) AS v
+          FROM (SELECT unnest(ws) AS w FROM d)),
+    lp AS (SELECT tf.doc_id, tf.tf,
+                  CAST(round(ln((CAST(c2.c2 AS DOUBLE) + 0.5e0)
+                                / (CAST(c1.c1 AS DOUBLE)
+                                   + 0.5e0 * CAST(v.v AS DOUBLE))), 9)
+                       AS DECIMAL(20,9)) AS lp
+           FROM tf JOIN c2 USING (prev, cur) JOIN c1 USING (prev)
+           CROSS JOIN v),
+    agg AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+                   SUM(tf * lp) AS slp
+            FROM lp GROUP BY 1),
+    sc AS (SELECT doc_id, n_bigrams,
+                  CAST(sign(slp) AS BIGINT) AS sgn,
+                  CAST(CAST(abs(slp) AS DECIMAL(24,9))
+                       * 1000000000 AS BIGINT) * 2
+                      + n_bigrams * 1000 AS num2,
+                  n_bigrams * 2000 AS den2
+           FROM agg)
+    SELECT doc_id, n_bigrams,
+           CAST(sgn * (num2 // den2) AS DOUBLE) / 1.0e6 AS avg_logprob,
+           CAST(sgn * (num2 // den2) AS DOUBLE) / 1.0e6 >= {_LM_KEEP}e0 AS keep
+    FROM sc
+"""
+
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+ORACLES["tx_bm25"] = f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws
+               FROM documents WHERE length(text) > 0),
+    dd AS (SELECT doc_id, len(ws) AS dl, ws FROM d),
+    stats AS (SELECT CAST(SUM(dl) AS BIGINT) AS sum_dl,
+                     COUNT(*) AS n_docs FROM dd),
+    p AS (SELECT doc_id, dl, term, COUNT(*) AS tf
+          FROM (SELECT doc_id, dl, unnest(ws) AS term FROM dd)
+          WHERE term IN ({_BM25_IN})
+          GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS dfreq FROM p GROUP BY 1),
+    s AS (SELECT p.doc_id,
+                 CAST(round(
+                     ln((CAST(n_docs AS DOUBLE) - dfreq + 0.5e0)
+                        / (CAST(dfreq AS DOUBLE) + 0.5e0) + 1.0e0)
+                     * (p.tf * ({_BM25_K1}e0 + 1.0e0)
+                        / (p.tf + {_BM25_K1}e0
+                           * (1.0e0 - {_BM25_B}e0 + {_BM25_B}e0 * p.dl
+                              / (CAST(sum_dl AS DOUBLE) / n_docs)))), 9)
+                      AS DECIMAL(18,9)) AS s
+          FROM p JOIN dfreq USING (term) CROSS JOIN stats),
+    agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   SUM(s) AS raw FROM s GROUP BY 1)
+    SELECT doc_id, n_terms, round(CAST(raw AS DOUBLE), 6) AS score
+    FROM agg
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {_BM25_TOPK}
+"""
+
+_CLF_W_SQL = (
+    "(CAST('0x' || substr(md5('w:' || CAST("
+    "CAST('0x' || substr(md5('f:' || w), 1, 8) AS BIGINT) % "
+    f"{_CLF_BUCKETS}"
+    " AS VARCHAR)), 1, 8) AS BIGINT) % 2001 - 1000)")
+
+ORACLES["tx_classifier"] = f"""
+    WITH d AS (SELECT doc_id, {_WORDS} AS ws
+               FROM documents WHERE length(text) > 0),
+    f AS (SELECT doc_id, len(ws) AS n_tokens,
+                 CAST(COALESCE(list_sum(list_transform(
+                     ws, w -> {_CLF_W_SQL})), 0) AS BIGINT) AS sum_w
+          FROM d WHERE len(ws) >= 1),
+    sc AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+                  CAST(sign(sum_w) AS BIGINT) AS sgn,
+                  abs(sum_w) * 2 * 1000000000 + n_tokens * 1000 AS num2,
+                  n_tokens * 2000 AS den2,
+                  CAST(sum_w AS DOUBLE)
+                      / (1000.0e0 * CAST(n_tokens AS DOUBLE)) AS margin_raw
+           FROM f)
+    SELECT doc_id, n_tokens,
+           CAST(sgn * (num2 // den2) AS DOUBLE) / 1.0e9 AS margin,
+           round(1.0e0 / (1.0e0 + exp(-margin_raw)), 6) AS prob,
+           margin_raw > 0.0e0 AS label
+    FROM sc
+"""
+
+ORACLES["tx_weighted_sample"] = f"""
+    WITH d AS (SELECT doc_id, n_chars,
+                      CAST('0x' || substr(md5('ws:'
+                          || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS m
+               FROM documents WHERE length(text) > 0),
+    k AS (SELECT doc_id, n_chars,
+                 round(ln((m + 1) / 4294967297.0e0), 9)
+                     / CAST(greatest(n_chars, 1) AS DOUBLE) AS skey
+          FROM d)
+    SELECT doc_id, n_chars, skey
+    FROM k
+    ORDER BY skey DESC, doc_id ASC
+    LIMIT {_WS_SAMPLE_K}
+"""

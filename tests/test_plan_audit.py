@@ -30,6 +30,8 @@ BOUNDED_JOIN_OK = {
     "a5_merge_counters",    # 1-row global counters joined to 1-row total
     "tx_mix_weights",       # 1-row normalizing total (documented)
     "tx_tfidf_topk",        # 1-row corpus-size aggregate (documented)
+    "tx_bigram_lm",         # 1-row vocabulary-size aggregate (documented)
+    "tx_bm25",              # 1-row (sum_dl, n_docs) aggregate (documented)
     "emb_scalar_quant",     # 1-row per-dim min/max arrays (documented)
     "s4_adaptive_split",    # constant split-schedule frame (36×18 → 4×4 → 2×2)
 }
