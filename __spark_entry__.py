@@ -12,10 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from openplacereviews_db_spark.plans import (corpus, history, merge_plans,
-                                             oplog, pipeline, places_reports,
-                                             relational, relational2, scoring,
-                                             sketches, sync_plans, temporal)
+from openplacereviews_db_spark.plans import (corpus, graph, history,
+                                             merge_plans, oplog, pipeline,
+                                             places_reports, relational,
+                                             relational2, scoring, sketches,
+                                             sync_plans, temporal)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -59,6 +60,8 @@ _DRIVER_PRIORITY = [
     "g8_zcell_scan",  # new this round (z-cell-pruned bbox scan)
     "tx_bigram_lm", "tx_bm25",  # new this round (X36/X37 LM + BM25)
     "tx_classifier", "tx_weighted_sample",  # new this round (X38/X39)
+    "g9_pagerank",  # new this round (X40 iterative graph centrality)
+    "tx_drift_report",  # new this round (X41 dataset-shift monitor)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
@@ -88,6 +91,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(temporal.QUERIES)
     merged.update(sketches.QUERIES)
     merged.update(scoring.QUERIES)
+    merged.update(graph.QUERIES)
     out = {n: merged[n] for n in _DRIVER_PRIORITY if n in merged}
     out.update(merged)
     return out
@@ -107,4 +111,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(temporal.ORACLES)
     out.update(sketches.ORACLES)
     out.update(scoring.ORACLES)
+    out.update(graph.ORACLES)
     return out

@@ -1,0 +1,116 @@
+"""Graph-centrality plan: fixed-iteration PageRank over the
+customer↔supplier interaction graph (SURVEY.md §2.13 X40).
+
+PageRank is the canonical "iterative algorithm on Spark" shape — the
+kind of link-quality signal a crawl-curation pipeline computes over a
+page graph.  Three damped iterations as a STATIC lazy plan (no
+convergence probe, so no driver action and no lineage growth — the
+checkpoint-per-round rule applies only to unbounded loops), with an
+unrolled-CTE DuckDB oracle.
+
+Cross-engine float discipline: per-target contribution sums go through
+DECIMAL(20,12) of a rounded quotient (partition order can't change the
+hash), and the damping update stays in plain IEEE arithmetic on
+bit-identical inputs — no output rounding needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+_DAMP = 0.85
+_ITERS = 3
+
+
+def g9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the bipartite customer↔supplier graph
+    (distinct (o_custkey, l_suppkey) pairs, both directions, so every
+    node has out-degree ≥ 1 and there are no dangling nodes).
+
+    Scale shape: the edge build is one equi-join + distinct; each
+    iteration is [edges ⋈ ranks on src] (AQE broadcasts the rank side —
+    |V| rows — under the fact-side edge table) → groupBy(dst) partial
+    sum → join back to the degree table.  Three iterations = a bounded
+    static plan; the node count is a 1-row broadcast (audit-whitelisted).
+    """
+    li = load_table(spark, "lineitem", sf_dir).select("l_orderkey",
+                                                      "l_suppkey")
+    orders = load_table(spark, "orders", sf_dir).select("o_orderkey",
+                                                        "o_custkey")
+    pairs = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+             .select(F.concat(F.lit("c:"),
+                              F.col("o_custkey").cast("string")).alias("c"),
+                     F.concat(F.lit("s:"),
+                              F.col("l_suppkey").cast("string")).alias("s"))
+             .distinct())
+    edges = (pairs.select(F.col("c").alias("src"), F.col("s").alias("dst"))
+             .union(pairs.select(F.col("s").alias("src"),
+                                 F.col("c").alias("dst"))))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    ranks = (deg.crossJoin(F.broadcast(n))
+             .select(F.col("src").alias("node"), "deg", "n",
+                     (F.lit(1.0) / F.col("n")).alias("pr")))
+    for _ in range(_ITERS):
+        contrib = (
+            edges.join(ranks.select(F.col("node").alias("src"),
+                                    F.round(F.col("pr") / F.col("deg"), 12)
+                                    .cast("decimal(20,12)").alias("c")),
+                       "src")
+            .groupBy("dst").agg(F.sum("c").alias("s")))
+        ranks = (
+            deg.crossJoin(F.broadcast(n))
+            .join(contrib, deg.src == contrib.dst, "left")
+            .select(F.col("src").alias("node"), "deg", "n",
+                    (F.lit(1.0 - _DAMP) / F.col("n")
+                     + F.lit(_DAMP)
+                     * F.coalesce(F.col("s"),
+                                  F.lit(0).cast("decimal(20,12)"))
+                     .cast("double")).alias("pr")))
+    return ranks.select("node", "deg", "pr")
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled 3-iteration CTE mirror of :func:`g9_pagerank`."""
+    sql = """
+    WITH pairs AS (
+        SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS c,
+                        's:' || CAST(l_suppkey AS VARCHAR) AS s
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+    edges AS (SELECT c AS src, s AS dst FROM pairs
+              UNION ALL SELECT s, c FROM pairs),
+    deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    nn AS (SELECT COUNT(*) AS n FROM deg),
+    pr0 AS (SELECT src AS node, deg, 1.0e0 / n AS pr
+            FROM deg CROSS JOIN nn)"""
+    prev = "pr0"
+    for i in range(1, _ITERS + 1):
+        sql += f""",
+    it{i} AS (SELECT e.dst AS node,
+                     SUM(CAST(round(p.pr / p.deg, 12)
+                              AS DECIMAL(20,12))) AS s
+              FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY 1),
+    pr{i} AS (SELECT d.src AS node, d.deg,
+                     {1.0 - _DAMP}e0 / n + {_DAMP}e0
+                         * CAST(COALESCE(it{i}.s,
+                                CAST(0 AS DECIMAL(20,12))) AS DOUBLE) AS pr
+              FROM deg d CROSS JOIN nn LEFT JOIN it{i} ON it{i}.node = d.src)"""
+        prev = f"pr{i}"
+    sql += f"""
+    SELECT node, deg, pr FROM {prev}
+    """
+    return sql
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "g9_pagerank": g9_pagerank,
+}
+
+ORACLES: dict[str, str] = {
+    "g9_pagerank": _pagerank_oracle(),
+}

@@ -269,11 +269,58 @@ def tx_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(_WS_SAMPLE_K))
 
 
+# ---------------------------------------------------------------------------
+# X41 — per-source dataset drift report
+# ---------------------------------------------------------------------------
+
+_DRIFT_BINS = 10
+
+
+def tx_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-shift monitor (X41): per-source L1 distance between the
+    source's document-length histogram and the whole-corpus histogram —
+    the drift check a continuously-fed training pipeline runs before
+    admitting a new crawl batch into the mix.
+
+    Scale shape: global (min, max, total) is a 1-row broadcast; the bin
+    id is INTEGER arithmetic (``(x-min)*10 div (max-min+1)`` — no float
+    binning, so the histogram is engine- and partition-exact); per-bin
+    counts are two partial aggregates; the (source × 10-bin) grid is a
+    bounded 10-row broadcast join.  The 10-term L1 sum goes through
+    DECIMAL so summation order can't move the hash.
+    """
+    docs = _docs(spark, sf_dir)
+    stats = docs.agg(F.min("n_chars").alias("mn"),
+                     F.max("n_chars").alias("mx"),
+                     F.count(F.lit(1)).alias("total"))
+    binned = (docs.crossJoin(F.broadcast(stats))
+              .select("source", "total",
+                      ((F.col("n_chars") - F.col("mn")) * _DRIFT_BINS)
+                      .alias("a"),
+                      (F.col("mx") - F.col("mn") + 1).alias("b"))
+              .withColumn("bin", F.expr("a div b")))
+    gbins = binned.groupBy("bin", "total").agg(
+        F.count(F.lit(1)).alias("q_cnt"))
+    p_cnt = binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("p_cnt"))
+    src = binned.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    grid = (src.crossJoin(F.broadcast(gbins))
+            .join(p_cnt, ["source", "bin"], "left")
+            .withColumn("term", F.round(F.abs(
+                F.coalesce(F.col("p_cnt"), F.lit(0)).cast("double")
+                / F.col("n_docs")
+                - F.col("q_cnt").cast("double") / F.col("total")), 12)
+                .cast("decimal(16,12)")))
+    return (grid.groupBy("source", "n_docs")
+            .agg(F.sum("term").cast("double").alias("l1_drift")))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_bigram_lm": tx_bigram_lm,
     "tx_bm25": tx_bm25,
     "tx_classifier": tx_classifier,
     "tx_weighted_sample": tx_weighted_sample,
+    "tx_drift_report": tx_drift_report,
 }
 
 
@@ -386,4 +433,31 @@ ORACLES["tx_weighted_sample"] = f"""
     FROM k
     ORDER BY skey DESC, doc_id ASC
     LIMIT {_WS_SAMPLE_K}
+"""
+
+ORACLES["tx_drift_report"] = f"""
+    WITH d AS (SELECT source, n_chars
+               FROM documents WHERE length(text) > 0),
+    stats AS (SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx,
+                     COUNT(*) AS total FROM d),
+    binned AS (SELECT source, total,
+                      ((n_chars - mn) * {_DRIFT_BINS}) // (mx - mn + 1)
+                          AS bin
+               FROM d CROSS JOIN stats),
+    gbins AS (SELECT bin, total, COUNT(*) AS q_cnt
+              FROM binned GROUP BY 1, 2),
+    p_cnt AS (SELECT source, bin, COUNT(*) AS p_cnt
+              FROM binned GROUP BY 1, 2),
+    src AS (SELECT source, COUNT(*) AS n_docs FROM binned GROUP BY 1),
+    grid AS (SELECT src.source, src.n_docs,
+                    CAST(round(abs(
+                        CAST(COALESCE(p_cnt.p_cnt, 0) AS DOUBLE)
+                            / src.n_docs
+                        - CAST(gbins.q_cnt AS DOUBLE) / gbins.total),
+                        12) AS DECIMAL(16,12)) AS term
+             FROM src CROSS JOIN gbins
+             LEFT JOIN p_cnt ON p_cnt.source = src.source
+                            AND p_cnt.bin = gbins.bin)
+    SELECT source, n_docs, CAST(SUM(term) AS DOUBLE) AS l1_drift
+    FROM grid GROUP BY 1, 2
 """

@@ -32,6 +32,8 @@ BOUNDED_JOIN_OK = {
     "tx_tfidf_topk",        # 1-row corpus-size aggregate (documented)
     "tx_bigram_lm",         # 1-row vocabulary-size aggregate (documented)
     "tx_bm25",              # 1-row (sum_dl, n_docs) aggregate (documented)
+    "g9_pagerank",          # 1-row node-count aggregate (documented)
+    "tx_drift_report",      # 1-row (min,max,total) + 10-row bin histogram
     "emb_scalar_quant",     # 1-row per-dim min/max arrays (documented)
     "s4_adaptive_split",    # constant split-schedule frame (36×18 → 4×4 → 2×2)
 }
