@@ -62,6 +62,7 @@ _DRIVER_PRIORITY = [
     "tx_classifier", "tx_weighted_sample",  # new this round (X38/X39)
     "g9_pagerank",  # new this round (X40 iterative graph centrality)
     "tx_drift_report",  # new this round (X41 dataset-shift monitor)
+    "tx_shard_manifest",  # new this round (X42 training-shard manifest)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

@@ -1144,6 +1144,54 @@ def tx_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["tx_pack_sequences"] = tx_pack_sequences
 
+#: sequences per training shard — production shards hold thousands of
+#: sequences; 2 is sized so the synthetic corpus (~40k tokens at
+#: sf0.01) still produces a multi-shard manifest the driver can
+#: discriminate
+_SEQS_PER_SHARD = 2
+
+
+def tx_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard manifest (X42): group packed sequences into
+    fixed-size shards and emit the per-shard manifest a dataloader
+    checks before consuming a shard file — document count, token count,
+    and an order-independent content checksum.
+
+    Semantics: a document belongs to the shard containing its FIRST
+    token (whole-document token counts — the manifest is about what the
+    writer consumed, boundary-straddling is the reader's concern).  The
+    checksum is a SUM of 48-bit md5 prefixes of the member doc_ids —
+    commutative, overflow-free, and bit-identical in any engine, so two
+    independently-produced shard sets can be compared manifest-to-
+    manifest without ordering either.
+
+    Scale shape: same two-phase global cumsum as ``tx_pack_sequences``
+    (no single-task window), then ONE partial-aggregating shuffle on
+    shard_id; the checksum/count/token-sum all map-side combine.
+    """
+    from ..operators.ordered import global_cumsum
+
+    toks = textstats.token_counts(_docs(spark, sf_dir)).select(
+        "id", "subword_tokens",
+        F.md5(F.col("id").cast("string")).alias("shuf"))
+    cum = global_cumsum(toks, "subword_tokens", ["shuf", "id"],
+                        "cum_tokens")
+    start = (F.col("cum_tokens") - F.col("subword_tokens")).cast("long")
+    member = cum.select("id", "subword_tokens", start.alias("start_tok"))
+    shard = F.expr(f"start_tok div {_PACK_SEQ_LEN * _SEQS_PER_SHARD}")
+    ck = (F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 12),
+                 16, 10).cast("long"))
+    return (member
+            .select(shard.alias("shard_id"), "subword_tokens",
+                    ck.alias("ck"))
+            .groupBy("shard_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("subword_tokens").alias("n_tokens"),
+                 F.sum("ck").alias("checksum")))
+
+
+QUERIES["tx_shard_manifest"] = tx_shard_manifest
+
 #: chunk window / stride (words) for ``tx_chunk_windows`` — 8-word
 #: overlap between consecutive chunks.
 _CHUNK_N, _CHUNK_S = 32, 24
@@ -1234,3 +1282,29 @@ ORACLES["tx_pack_sequences"] = f"""
                AS seq_off
     FROM c
 """
+
+ORACLES["tx_shard_manifest"] = f"""
+    WITH t AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS shuf,
+               {_SUBWORD_SQL} AS subword_tokens
+        FROM documents WHERE length(text) > 0),
+    c AS (
+        SELECT doc_id, subword_tokens,
+               CAST(SUM(subword_tokens) OVER (
+                    ORDER BY shuf, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        FROM t),
+    m AS (
+        SELECT (cum - subword_tokens)
+                   // {_PACK_SEQ_LEN * _SEQS_PER_SHARD} AS shard_id,
+               subword_tokens,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                    AS BIGINT) AS ck
+        FROM c)
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(subword_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(ck) AS BIGINT) AS checksum
+    FROM m GROUP BY 1
+"""
+

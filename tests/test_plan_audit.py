@@ -121,7 +121,8 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk",
                   "curate_corpus", "s14_pack_ops", "tx_pack_sequences",
                   "tx_group_split", "emb_semdedup",  # CC loops
-                  "x22_bucketed_lookup"}  # write-once bucketed tables
+                  "x22_bucketed_lookup",  # write-once bucketed tables
+                  "g9_pagerank"}  # edges/deg checkpointed once, reused 4x/iter
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
@@ -263,3 +264,28 @@ def test_driver_priority_names_resolve():
     # and every oracle key refers to a registered query
     stale = [n for n in entrymod.oracle_sql() if n not in q]
     assert not stale, stale
+
+
+#: documented plan-shape claims for the scoring operators: the physical
+#: plan must actually carry the property the docstring advertises
+def test_classifier_is_zero_shuffle(spark, sf_dir):
+    """tx_classifier claims classifier inference is a MAP: the margin is
+    an array aggregate inside codegen, so the physical plan must contain
+    no Exchange at all (a shuffle here would mean an accidental explode
+    or groupBy crept in)."""
+    df = entrymod.queries()["tx_classifier"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan[:600]
+
+
+@pytest.mark.parametrize("name", ["tx_bm25", "tx_weighted_sample"])
+def test_topk_uses_partial_heaps_not_global_sort(name, spark, sf_dir):
+    """orderBy+limit queries must compile to TakeOrderedAndProject
+    (per-partition heaps merged on the driver), never a global Sort —
+    the difference between O(k) driver state and a full shuffle of the
+    corpus at 100 TB."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:600]
+    assert "Sort [" not in plan.replace("TakeOrderedAndProject", ""), (
+        f"{name}: a global Sort survived next to the top-k")
