@@ -670,3 +670,51 @@ ORACLES: dict[str, str] = {
         FROM part
     """,
 }
+
+
+# --------------------------------------------------------------------------
+# SQL surface: the SAME ANSI SQL text planned by Catalyst (spark.sql over
+# registered temp views) and by DuckDB as its own oracle — the
+# "query-generator emits SQL, engine plans it" path (reference: opendb's
+# generated OBJECTS queries), proving the engine's SQL front door, not
+# just the DataFrame DSL.  Dialect-portable subset: ANSI joins, year(),
+# round(), window RANK.  Revenue sums are rounded at 2 like
+# q1_pricing_summary so cross-engine summation order can't move the hash.
+# --------------------------------------------------------------------------
+
+_SQL_SURFACE = """
+    SELECT n_name, yr, revenue, rk FROM (
+        SELECT n_name, yr, revenue,
+               CAST(RANK() OVER (PARTITION BY yr
+                                 ORDER BY revenue DESC, n_name)
+                    AS INTEGER) AS rk
+        FROM (
+            SELECT n.n_name AS n_name,
+                   CAST(year(o.o_orderdate) AS INTEGER) AS yr,
+                   round(SUM(l.l_extendedprice * (1 - l.l_discount)), 2)
+                       AS revenue
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name, year(o.o_orderdate)
+        ) rev
+    ) ranked WHERE rk <= 5
+"""
+
+
+def sql_surface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nations by revenue per order-year, expressed as ONE shared
+    SQL string: Spark runs it through ``spark.sql`` over the registered
+    views, DuckDB runs the identical text as the oracle.  Catalyst gets
+    the same declarative plan a query generator would emit — join
+    reordering, partial aggregation, and the rank window all come from
+    the optimizer, none hand-scheduled."""
+    from ..sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_SURFACE)
+
+
+QUERIES["sql_surface_report"] = sql_surface_report
+ORACLES["sql_surface_report"] = _SQL_SURFACE
