@@ -461,3 +461,17 @@ ORACLES["tx_drift_report"] = f"""
     SELECT source, n_docs, CAST(SUM(term) AS DOUBLE) AS l1_drift
     FROM grid GROUP BY 1, 2
 """
+
+
+def tx_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocabulary induction (X43): learn the corpus' first five
+    byte-pair merges — tokenizer training as a distributed pipeline
+    stage.  Genuinely iterative (greedy argmax per round), so
+    rows-only at the driver; semantics pinned by the pure-Python golden
+    in tests/test_bpe.py."""
+    from ..operators.bpe import bpe_merges
+
+    return bpe_merges(_docs(spark, sf_dir), n_merges=5)
+
+
+QUERIES["tx_bpe_vocab"] = tx_bpe_vocab

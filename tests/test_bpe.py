@@ -1,0 +1,57 @@
+"""Golden test for BPE vocabulary induction (X43): the Spark operator
+must reproduce a pure-Python reference implementation exactly — pair
+counting includes overlapping adjacent occurrences, merging is
+left-to-right greedy non-overlapping, argmax ties break on
+(count DESC, left ASC, right ASC)."""
+
+from __future__ import annotations
+
+import re
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+from openplacereviews_db_spark.operators.bpe import bpe_merges, merge_word
+
+
+def _reference_merges(sf_dir: str, n_merges: int):
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    words = Counter()
+    for text in t["text"].to_pylist():
+        if not text:
+            continue
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        for w in norm.split(" "):
+            if w:
+                words[w] += 1
+    state = {w: list(w) for w in words}
+    out = []
+    for rank in range(1, n_merges + 1):
+        pairs = Counter()
+        for w, syms in state.items():
+            f = words[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += f
+        if not pairs:
+            break
+        (a, b), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        ab = a + b
+        out.append((rank, a, b, ab, cnt))
+        state = {w: merge_word(s, a, b, ab) for w, s in state.items()}
+    return out
+
+
+def test_bpe_matches_python_reference(spark, sf_dir):
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .where("length(text) > 0"))
+    got = [tuple(r) for r in bpe_merges(docs, n_merges=5).collect()]
+    want = _reference_merges(sf_dir, 5)
+    assert got == want
+
+
+def test_merge_word_overlap_semantics():
+    # 'aaa' merging (a,a) is left-to-right non-overlapping: [aa, a]
+    assert merge_word(list("aaa"), "a", "a", "aa") == ["aa", "a"]
+    assert merge_word(list("aaaa"), "a", "a", "aa") == ["aa", "aa"]
+    assert merge_word(list("xy"), "a", "b", "ab") == ["x", "y"]

@@ -120,9 +120,11 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 #:   cheaper than lazy persist on first execution).
 EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk",
                   "curate_corpus", "s14_pack_ops", "tx_pack_sequences",
+                  "tx_shard_manifest",  # same two-phase cumsum as packing
                   "tx_group_split", "emb_semdedup",  # CC loops
                   "x22_bucketed_lookup",  # write-once bucketed tables
-                  "g9_pagerank"}  # edges/deg checkpointed once, reused 4x/iter
+                  "g9_pagerank",  # edges/deg checkpointed once, reused 4x/iter
+                  "tx_bpe_vocab"}  # greedy argmax per merge round (1-row)
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
