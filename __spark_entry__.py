@@ -65,6 +65,7 @@ _DRIVER_PRIORITY = [
     "tx_shard_manifest",  # new this round (X42 training-shard manifest)
     "sql_surface_report",  # new this round (shared-SQL-text surface)
     "tx_bpe_vocab",  # new this round (X43 BPE vocab induction, rows-only)
+    "s17_schema_evolution",  # new this round (mergeSchema evolving reader)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

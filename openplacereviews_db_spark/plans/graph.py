@@ -55,10 +55,10 @@ def g9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
              .union(pairs.select(F.col("s").alias("src"),
                                  F.col("c").alias("dst"))))
     # The edge and degree relations are referenced ~4x each across the
-    # three iterations; without materialization Spark re-executes the
-    # orders⋈lineitem distinct for every reference (measured 13.9 s →
-    # ~3 s at sf0.1).  Run-once queries use eager localCheckpoint per
-    # the repo rule (audit-whitelisted in EAGER_BUILD_OK).
+    # three iterations; materialize them once (plus the per-iteration
+    # rank checkpoints below, together 13.9 → ~6 s steady-state at
+    # sf0.1).  Run-once queries use eager localCheckpoint per the repo
+    # rule (audit-whitelisted in EAGER_BUILD_OK).
     edges = edges.localCheckpoint(eager=True)
     deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
            .localCheckpoint(eager=True))

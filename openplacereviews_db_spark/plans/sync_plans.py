@@ -461,3 +461,55 @@ ORACLES["s1_osm_xml_roundtrip"] = """
            CAST(1 + c_custkey % 5 AS INT) AS version
     FROM customer WHERE c_custkey % 2 = 0
 """
+
+
+def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-on-read evolution (S17*): two staged raw batches with
+    DIFFERENT schemas — an early crawl batch without ``event_type`` and
+    a later batch with it — read as one relation via Spark's
+    ``mergeSchema``, the missing column NULL-filled.  The lakehouse
+    answer to the reference's evolving JSON objects: old files never
+    rewrite, the reader reconciles.
+
+    Staging is write-once via PYARROW (driver-side file IO, no Spark
+    job, so plan construction stays lazy); the oracle reproduces the
+    batch split from the original events table with an explicit NULL
+    projection, so it never depends on the staged files."""
+    import os
+    import tempfile
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"schema_evo_{tag}")
+    if not (os.path.isfile(os.path.join(root, "batch_a.parquet"))
+            and os.path.isfile(os.path.join(root, "batch_b.parquet"))):
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                          columns=["event_id", "user_id", "event_type"])
+        os.makedirs(root, exist_ok=True)
+        even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        pq.write_table(t.filter(even).select(["event_id", "user_id"]),
+                       os.path.join(root, "batch_a.parquet"))
+        pq.write_table(t.filter(pc.invert(even)),
+                       os.path.join(root, "batch_b.parquet"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (merged.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("user_id").alias("n_users")))
+
+
+QUERIES["s17_schema_evolution"] = s17_schema_evolution
+
+ORACLES["s17_schema_evolution"] = """
+    WITH u AS (
+        SELECT event_id, user_id, CAST(NULL AS VARCHAR) AS event_type
+        FROM events WHERE event_id % 2 = 0
+        UNION ALL
+        SELECT event_id, user_id, event_type
+        FROM events WHERE event_id % 2 = 1)
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM u GROUP BY 1
+"""
