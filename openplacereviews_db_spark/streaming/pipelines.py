@@ -393,9 +393,14 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
         cand = (vs_old.unionByName(vs_new)
                 .select("id_a", "id_b").dropDuplicates())
         pairs = verify(cand, old_sets.unionByName(new_sets))
-        pairs.write.mode("append").parquet(pairs_dir)
-        new_bands.write.mode("append").parquet(bands_dir)
-        new_sets.write.mode("append").parquet(sets_dir)
+        # bound the index's file growth: un-coalesced 32-task writes
+        # spray 32 files per table per batch, and a long-running stream
+        # re-opens every one of them at each index join (wall-clock
+        # neutral in the 2-batch A/B at sf0.1; size by target file
+        # bytes, not task count, at production batch sizes)
+        pairs.coalesce(4).write.mode("append").parquet(pairs_dir)
+        new_bands.coalesce(4).write.mode("append").parquet(bands_dir)
+        new_sets.coalesce(4).write.mode("append").parquet(sets_dir)
 
     return (docs_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint_dir)
