@@ -1,6 +1,7 @@
 """Model-based corpus scoring plans: bigram-LM perplexity filtering,
-BM25 ranked retrieval, hashed-feature linear-classifier inference, and
-weighted reservoir sampling (SURVEY.md §2.13 X36–X39).
+BM25 ranked retrieval, hashed-feature linear-classifier inference,
+weighted reservoir sampling, per-source drift reporting, and BPE vocab
+induction (SURVEY.md §2.13 X36–X39, X41, X43).
 
 These are the "learned-model shaped" stages of a training-data pipeline
 — quality scoring with a corpus-trained n-gram LM (the CCNet/KenLM
