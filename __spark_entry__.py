@@ -12,11 +12,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from openplacereviews_db_spark.plans import (corpus, graph, history,
-                                             merge_plans, oplog, pipeline,
-                                             places_reports, relational,
-                                             relational2, scoring, sketches,
-                                             sync_plans, temporal)
+from openplacereviews_db_spark.plans import (corpus, events_analytics,
+                                             graph, history, merge_plans,
+                                             oplog, pipeline, places_reports,
+                                             relational, relational2, scoring,
+                                             sketches, sync_plans, temporal)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "sql_surface_report",  # new this round (shared-SQL-text surface)
     "tx_bpe_vocab",  # new this round (X43 BPE vocab induction, rows-only)
     "s17_schema_evolution",  # new this round (mergeSchema evolving reader)
+    "ev_funnel", "ev_retention",  # new this round (X44/X45 event analytics)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
@@ -96,6 +97,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     merged.update(sketches.QUERIES)
     merged.update(scoring.QUERIES)
     merged.update(graph.QUERIES)
+    merged.update(events_analytics.QUERIES)
     out = {n: merged[n] for n in _DRIVER_PRIORITY if n in merged}
     out.update(merged)
     return out
@@ -116,4 +118,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(sketches.ORACLES)
     out.update(scoring.ORACLES)
     out.update(graph.ORACLES)
+    out.update(events_analytics.ORACLES)
     return out

@@ -1,0 +1,126 @@
+"""Event-funnel and retention-cohort analytics over the events stream
+(SURVEY.md §2.13 X44/X45) — the product-analytics queries an events
+store serves next to its sync/report workload.
+
+Timestamps never cross the driver boundary as timestamps: every time
+value is projected to BIGINT epoch microseconds / integer week indexes
+on BOTH engines (the r4 d3_aligned_windows lesson — DuckDB
+TIMESTAMPTZ vs Spark naive is a driver schema FAIL).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.testdata import load_table
+
+#: ordered funnel stages
+_FUNNEL = ("view", "click", "purchase")
+#: seconds per retention week
+_WEEK = 604800
+
+
+def ev_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (X44): per user, the first ``view``,
+    the first ``click`` strictly after it, and the first ``purchase``
+    strictly after that — the classic sessionless funnel, plus the
+    reached-stage count.
+
+    Scale shape: each stage is a (user)-keyed partial aggregate joined
+    to the previous stage's per-user row — three bounded shuffles on
+    user_id, no collect_list of a hot user's whole history (a per-user
+    array fold would OOM on power users at 100 TB), no window over raw
+    events.
+    """
+    ev = (load_table(spark, "events", sf_dir)
+          .where(F.col("event_type").isin(*_FUNNEL))
+          .select("user_id", "event_type",
+                  F.unix_micros("ts").alias("tus")))
+    t1 = (ev.where(F.col("event_type") == _FUNNEL[0])
+          .groupBy("user_id").agg(F.min("tus").alias("t1")))
+    t2 = (ev.where(F.col("event_type") == _FUNNEL[1])
+          .join(t1, "user_id").where(F.col("tus") > F.col("t1"))
+          .groupBy("user_id", "t1").agg(F.min("tus").alias("t2")))
+    t3 = (ev.where(F.col("event_type") == _FUNNEL[2])
+          .join(t2.select("user_id", "t2"), "user_id")
+          .where(F.col("tus") > F.col("t2"))
+          .groupBy("user_id", "t2").agg(F.min("tus").alias("t3")))
+    return (t1.join(t2, ["user_id", "t1"], "left")
+            .join(t3, ["user_id", "t2"], "left")
+            .select("user_id", "t1", "t2", "t3",
+                    (F.lit(1)
+                     + F.col("t2").isNotNull().cast("int")
+                     + F.col("t3").isNotNull().cast("int"))
+                    .alias("reached")))
+
+
+def ev_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention cohorts (X45): users grouped by their signup
+    week; for each (cohort week, week offset ≥ 0), the count of
+    cohort members active that week.  Week indexes are pure integer
+    arithmetic on epoch seconds — no calendar/timezone functions, so
+    both engines bucket identically.
+
+    Scale shape: one distinct on (user, week) — the activity matrix is
+    users×weeks, far smaller than events — joined to the per-user
+    cohort aggregate, then one rollup shuffle."""
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type",
+        F.expr(f"(unix_micros(ts) div 1000000) div {_WEEK}").alias("wk"))
+    cohort = (ev.where(F.col("event_type") == "signup")
+              .groupBy("user_id").agg(F.min("wk").alias("cw")))
+    active = ev.select("user_id", "wk").distinct()
+    return (active.join(cohort, "user_id")
+            .where(F.col("wk") >= F.col("cw"))
+            .groupBy(F.col("cw").alias("cohort_week"),
+                     (F.col("wk") - F.col("cw")).alias("offset"))
+            .agg(F.countDistinct("user_id").alias("n_users")))
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "ev_funnel": ev_funnel,
+    "ev_retention": ev_retention,
+}
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["ev_funnel"] = f"""
+    WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS tus
+                FROM events
+                WHERE event_type IN ('{_FUNNEL[0]}', '{_FUNNEL[1]}',
+                                     '{_FUNNEL[2]}')),
+    t1 AS (SELECT user_id, MIN(tus) AS t1 FROM ev
+           WHERE event_type = '{_FUNNEL[0]}' GROUP BY 1),
+    t2 AS (SELECT ev.user_id, t1.t1, MIN(tus) AS t2
+           FROM ev JOIN t1 USING (user_id)
+           WHERE event_type = '{_FUNNEL[1]}' AND tus > t1.t1
+           GROUP BY 1, 2),
+    t3 AS (SELECT ev.user_id, t2.t2, MIN(tus) AS t3
+           FROM ev JOIN t2 USING (user_id)
+           WHERE event_type = '{_FUNNEL[2]}' AND tus > t2.t2
+           GROUP BY 1, 2)
+    SELECT t1.user_id, t1.t1, t2.t2, t3.t3,
+           CAST(1 + CAST(t2.t2 IS NOT NULL AS INTEGER)
+                  + CAST(t3.t3 IS NOT NULL AS INTEGER) AS INTEGER)
+               AS reached
+    FROM t1
+    LEFT JOIN t2 ON t2.user_id = t1.user_id AND t2.t1 = t1.t1
+    LEFT JOIN t3 ON t3.user_id = t1.user_id AND t3.t2 = t2.t2
+"""
+
+ORACLES["ev_retention"] = f"""
+    WITH ev AS (SELECT user_id, event_type,
+                       (epoch_us(ts) // 1000000) // {_WEEK} AS wk
+                FROM events),
+    cohort AS (SELECT user_id, MIN(wk) AS cw FROM ev
+               WHERE event_type = 'signup' GROUP BY 1),
+    active AS (SELECT DISTINCT user_id, wk FROM ev)
+    SELECT cw AS cohort_week, wk - cw AS "offset",
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM active JOIN cohort USING (user_id)
+    WHERE wk >= cw
+    GROUP BY 1, 2
+"""
