@@ -31,12 +31,14 @@ def entry(spark: SparkSession) -> DataFrame:
 #: buckets), (b) the one never-sampled query (tx_pack_sequences),
 #: (c) every query whose plan or oracle changed this round (the minhash
 #: restructure family, token-oracle COALESCE, subtitle mirror, O2 pin,
-#: n_hint guard, j2 cell fix), and (d) the ELEVEN round-5 additions
-#: (temporal joins + rollup, sketches, block dedup, keyword search,
-#: media resize, z-order, scalar quantization) — each needs a first
-#: driver-grade row.  r4-green unchanged queries past position 50
-#: (s5/m8/s1/tx_* curation/st_* streaming trio) yield their slots; all
-#: have green driver rows from r3/r4 samples.
+#: n_hint guard, j2 cell fix), and (d) all TWENTY-FIVE round-5
+#: additions (temporal joins + rollup, sketches, block dedup, keyword
+#: search, media resize, z-order, scalar quantization, the X36-X45
+#: scoring/graph/analytics set, the shared-SQL surface, and the
+#: mergeSchema reader) — each needs a first driver-grade row.  r4-green
+#: unchanged queries past position 50 (s5/m8/s1/tx_* curation/st_*
+#: streaming trio) yield their slots; all have green driver rows from
+#: r3/r4 samples.
 _DRIVER_PRIORITY = [
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",
@@ -67,6 +69,7 @@ _DRIVER_PRIORITY = [
     "tx_bpe_vocab",  # new this round (X43 BPE vocab induction, rows-only)
     "s17_schema_evolution",  # new this round (mergeSchema evolving reader)
     "ev_funnel", "ev_retention",  # new this round (X44/X45 event analytics)
+    "ev_anomaly",  # new this round (X46 hourly rate anomaly monitor)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

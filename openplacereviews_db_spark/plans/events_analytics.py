@@ -124,3 +124,78 @@ ORACLES["ev_retention"] = f"""
     WHERE wk >= cw
     GROUP BY 1, 2
 """
+
+
+def ev_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event-rate anomaly detection (X46): per event type, each
+    hour's count is z-scored against the trailing 24 hourly counts —
+    the operational monitor an ingest pipeline runs on its own feed.
+
+    Cross-engine variance without stddev_samp: Spark (Welford) and
+    DuckDB disagree in the last ulp, so the window carries INTEGER
+    sums (Σx, Σx², n — exact at any scale) and the variance is one
+    deterministic double expression.  The window input is hourly
+    aggregates — bounded rows per type, so the per-type partition can
+    never hold more than hours-of-history rows no matter the corpus
+    size.
+    """
+    from pyspark.sql.window import Window
+
+    hb = F.expr("(unix_micros(ts) div 1000000) div 3600")
+    hourly = (load_table(spark, "events", sf_dir)
+              .groupBy("event_type", hb.alias("hb"))
+              .agg(F.count(F.lit(1)).alias("cnt")))
+    w = (Window.partitionBy("event_type").orderBy("hb")
+         .rowsBetween(-24, -1))
+    stats = hourly.select(
+        "event_type", "hb", "cnt",
+        F.sum("cnt").over(w).alias("s1"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = ((F.col("s2").cast("double")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n"))
+           / (F.col("n") - 1))
+    z = (F.col("cnt") - mean) / F.sqrt(var)
+    good = (F.col("n") >= 12) & (var > 0.0)
+    return stats.select(
+        "event_type", "hb", "cnt",
+        F.when(good, F.round(z, 4)).alias("z"),
+        F.when(good, z > 3.0).otherwise(F.lit(False)).alias("is_anomaly"))
+
+
+QUERIES["ev_anomaly"] = ev_anomaly
+
+ORACLES["ev_anomaly"] = """
+    WITH hourly AS (
+        SELECT event_type, (epoch_us(ts) // 1000000) // 3600 AS hb,
+               COUNT(*) AS cnt
+        FROM events GROUP BY 1, 2),
+    stats AS (
+        SELECT event_type, hb, cnt,
+               SUM(cnt) OVER w AS s1,
+               SUM(cnt * cnt) OVER w AS s2,
+               COUNT(*) OVER w AS n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY hb
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT event_type, hb, CAST(cnt AS BIGINT) AS cnt,
+           CASE WHEN n >= 12 AND
+                     (CAST(s2 AS DOUBLE)
+                      - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1) > 0.0e0
+                THEN round((cnt - CAST(s1 AS DOUBLE) / n)
+                           / sqrt((CAST(s2 AS DOUBLE)
+                                   - CAST(s1 AS DOUBLE) * s1 / n)
+                                  / (n - 1)), 4)
+           END AS z,
+           COALESCE(CASE WHEN n >= 12 AND
+                              (CAST(s2 AS DOUBLE)
+                               - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)
+                              > 0.0e0
+                         THEN (cnt - CAST(s1 AS DOUBLE) / n)
+                              / sqrt((CAST(s2 AS DOUBLE)
+                                      - CAST(s1 AS DOUBLE) * s1 / n)
+                                     / (n - 1)) > 3.0e0
+                    END, FALSE) AS is_anomaly
+    FROM stats
+"""
