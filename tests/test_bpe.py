@@ -55,3 +55,32 @@ def test_merge_word_overlap_semantics():
     assert merge_word(list("aaa"), "a", "a", "aa") == ["aa", "a"]
     assert merge_word(list("aaaa"), "a", "a", "aa") == ["aa", "aa"]
     assert merge_word(list("xy"), "a", "b", "ab") == ["x", "y"]
+
+
+# property tests: merge_word must preserve content and never leave an
+# adjacent (a, b) pair unmerged
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _sym = st.text(alphabet="ab", min_size=1, max_size=2)
+
+    @given(st.lists(_sym, max_size=12), _sym, _sym)
+    @settings(max_examples=200, deadline=None)
+    def test_merge_word_properties(syms, a, b):
+        ab = a + b
+        out = merge_word(list(syms), a, b, ab)
+        # concatenated content is unchanged
+        assert "".join(out) == "".join(syms)
+        # no adjacent (a, b) pair survives UNLESS it was produced by the
+        # merge itself (ab == a, e.g. merging ('a','') is excluded by
+        # construction: symbols are non-empty)
+        for i in range(len(out) - 1):
+            if out[i] == a and out[i + 1] == b:
+                # only legal if the merge re-creates the pair, i.e. the
+                # merged token equals a and the next token b arose from
+                # an earlier merge — impossible when ab differs from
+                # both halves
+                assert ab == a or ab == b
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
