@@ -608,3 +608,64 @@ def scalar_quantize(embs: DataFrame, vec_col: str = "embedding",
                 6).alias("mse"),
         )
     )
+
+
+def quant_rerank_topk(embs: DataFrame, probe_max_id: int = 10,
+                      coarse_k: int = 50, k: int = 5,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Two-stage quantized retrieval (X47): the ANN *serving* pattern —
+    a cheap int8 coarse scan picks ``coarse_k`` candidates per query,
+    then only those are re-ranked with exact float cosine.
+
+    Why this is the 100 TB shape: the coarse pass streams the corpus
+    once computing |Q| INTEGER dot products per row over 4x-compressed
+    codes (the memory-bandwidth win quantization exists for), and the
+    expensive float math touches coarse_k·|Q| rows instead of N·|Q|.
+    The integer scores are bit-identical on any engine (exact
+    arithmetic), so unlike float-score ANN the candidate CUT is
+    deterministic — no boundary ties to a rounding digit.  The probe
+    side is bounded by construction (same contract as ``cosine_topk``);
+    the rank windows partition on the bounded query id.
+    """
+    base = embs.select(F.col(id_col).alias("id"),
+                       as_double(F.col(vec_col)).alias("v"))
+    dims = base.select(F.posexplode("v").alias("i", "x"))
+    stats = dims.groupBy("i").agg(F.min("x").alias("mn"),
+                                  F.max("x").alias("mx"))
+    one = stats.groupBy().agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mn"))),
+                    lambda s: s["mn"]).alias("mns"),
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "mx"))),
+                    lambda s: s["mx"]).alias("mxs"))
+
+    def code_of(s):
+        rng = s["mxs"] - s["mns"]
+        t = (s["v"] - s["mns"]) / rng * 255.0 + 0.5
+        return (F.when(rng > 0, F.floor(t))
+                .otherwise(F.lit(0)).cast("bigint"))
+
+    zipped = F.arrays_zip(F.col("v"), F.col("mns"), F.col("mxs"))
+    coded = (base.crossJoin(F.broadcast(one))
+             .select("id", "v",
+                     F.transform(zipped, code_of).alias("qc")))
+    probes = (coded.where(F.col("id") < probe_max_id)
+              .select(F.col("id").alias("q_id"), F.col("v").alias("pv"),
+                      F.col("qc").alias("pc")))
+    iscore = F.aggregate(
+        F.zip_with(F.col("qc"), F.col("pc"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    coarse = (coded.join(F.broadcast(probes),
+                         F.col("q_id") != F.col("id"))
+              .select("q_id", F.col("id").alias("c_id"), "v", "pv",
+                      iscore.alias("iscore")))
+    wc = Window.partitionBy("q_id").orderBy(F.desc("iscore"),
+                                            F.asc("c_id"))
+    cand = (coarse.withColumn("crank", F.row_number().over(wc))
+            .where(F.col("crank") <= coarse_k))
+    rr = cand.select(
+        "q_id", "c_id", "iscore",
+        F.round(cosine(F.col("pv"), F.col("v")), 4).alias("sim"))
+    wf = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
+    return (rr.withColumn("rank", F.row_number().over(wf))
+            .where(F.col("rank") <= k))

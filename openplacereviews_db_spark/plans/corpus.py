@@ -1308,3 +1308,47 @@ ORACLES["tx_shard_manifest"] = f"""
     FROM m GROUP BY 1
 """
 
+
+
+def ann_quant_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47 two-stage retrieval: int8 coarse scan (integer dot products,
+    engine-exact candidate cut) -> exact cosine rerank of the top-50
+    per query -> top-5."""
+    return similarity.quant_rerank_topk(_embs(spark, sf_dir))
+
+
+QUERIES["ann_quant_rerank"] = ann_quant_rerank
+
+ORACLES["ann_quant_rerank"] = f"""
+    WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    dims AS (SELECT i, MIN(v[i]) AS mn, MAX(v[i]) AS mx
+             FROM e, unnest(generate_series(1, len(v))) AS t(i)
+             GROUP BY i),
+    s AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+          FROM dims),
+    coded AS (SELECT id, v,
+                     list_transform(generate_series(1, len(v)),
+                         i -> CAST({_SQ_CODE} AS BIGINT)) AS qc
+              FROM e CROSS JOIN s),
+    coarse AS (
+        SELECT p.id AS q_id, c.id AS c_id, c.v AS cv, p.v AS pv,
+               CAST(list_sum(list_transform(
+                   generate_series(1, len(c.qc)),
+                   i -> c.qc[i] * p.qc[i])) AS BIGINT) AS iscore
+        FROM coded c JOIN coded p ON p.id < 10 AND p.id <> c.id),
+    r50 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+                ORDER BY iscore DESC, c_id ASC) AS crank
+            FROM coarse),
+    rr AS (SELECT q_id, c_id, iscore,
+                  round(list_dot_product(pv, cv)
+                        / (sqrt(list_dot_product(pv, pv))
+                           * sqrt(list_dot_product(cv, cv))), 4) AS sim
+           FROM r50 WHERE crank <= 50),
+    ranked AS (SELECT q_id, c_id, iscore, sim,
+                      row_number() OVER (PARTITION BY q_id
+                          ORDER BY sim DESC, c_id ASC) AS rank
+               FROM rr)
+    SELECT q_id, c_id, iscore, sim, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 5
+"""

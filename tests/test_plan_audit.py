@@ -25,6 +25,7 @@ import __spark_entry__ as entrymod
 #: side is bounded by construction (a scalar or a constant-size frame)
 BOUNDED_JOIN_OK = {
     "ann_cosine_topk",      # query side is a fixed k-row probe set
+    "ann_quant_rerank",     # bounded probe set + 1-row dim-stats bcast
     "ann_knn_label",        # probe side constant (≤50 ids by filter)
     "g3_tile_grid",         # constant 36×18 grid × constant split table
     "a5_merge_counters",    # 1-row global counters joined to 1-row total
