@@ -1352,3 +1352,58 @@ ORACLES["ann_quant_rerank"] = f"""
     SELECT q_id, c_id, iscore, sim, CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= 5
 """
+
+
+def dd_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (X48): like ``dd_apply``
+    but instead of keep-first, each duplicate group keeps its
+    HIGHEST-quality member (ties on the smaller id) — the curation
+    policy that keeps the cleanest copy of a near-dup cluster rather
+    than an arbitrary one.
+
+    Scale shape: groups come from the same banded LSH + connected
+    components; the survivor pick is a rank window partitioned on the
+    canonical id — bounded by near-dup cluster size, never corpus-wide.
+    """
+    from pyspark.sql.window import Window
+
+    from ..operators.components import dedup_groups
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.minhash_lsh_pairs(
+        docs, shingle_words=2, num_hashes=16, bands=8, min_jaccard=0.1)
+    groups = dedup_groups(pairs)
+    quality = textstats.quality_score(docs).select(
+        "id", F.col("quality_score").alias("score"))
+    base = docs.select(F.col("doc_id").alias("id"))
+    merged = (
+        base.join(groups, base["id"] == groups["node"], "left")
+        .select(base["id"],
+                F.coalesce("canonical_id", base["id"]).alias("canonical_id"),
+                F.coalesce("group_size", F.lit(1)).alias("group_size"))
+        .join(quality, "id"))
+    w = Window.partitionBy("canonical_id").orderBy(F.desc("score"),
+                                                  F.asc("id"))
+    return (merged.withColumn("rk", F.row_number().over(w))
+            .select("id", "canonical_id", "group_size", "score",
+                    (F.col("rk") == 1).alias("kept")))
+
+
+QUERIES["dd_apply_best"] = dd_apply_best
+
+ORACLES["dd_apply_best"] = f"""
+    WITH groups AS ({ORACLES["dd_dup_groups"]}),
+    q AS ({ORACLES["tx_quality_score"]}),
+    base AS (SELECT doc_id AS id FROM documents WHERE length(text) > 0),
+    m AS (SELECT b.id,
+                 COALESCE(g.canonical_id, b.id) AS canonical_id,
+                 CAST(COALESCE(g.group_size, 1) AS BIGINT) AS group_size,
+                 q.quality_score AS score
+          FROM base b
+          LEFT JOIN groups g ON g.node = b.id
+          JOIN q ON q.id = b.id),
+    r AS (SELECT *, row_number() OVER (PARTITION BY canonical_id
+              ORDER BY score DESC, id ASC) AS rk
+          FROM m)
+    SELECT id, canonical_id, group_size, score, rk = 1 AS kept FROM r
+"""

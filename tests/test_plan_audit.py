@@ -119,7 +119,8 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 #:   localCheckpoints its input so range-sampling + exchange compute
 #:   the upstream pipeline once (operators/ordered.py — measured 2-4x
 #:   cheaper than lazy persist on first execution).
-EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "ann_ivf_topk",
+EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
+                  "ann_ivf_topk",
                   "curate_corpus", "s14_pack_ops", "tx_pack_sequences",
                   "tx_shard_manifest",  # same two-phase cumsum as packing
                   "tx_group_split", "emb_semdedup",  # CC loops
