@@ -72,6 +72,7 @@ _DRIVER_PRIORITY = [
     "ev_anomaly",  # new this round (X46 hourly rate anomaly monitor)
     "ann_quant_rerank",  # new this round (X47 two-stage quantized ANN)
     "dd_apply_best",  # new this round (X48 quality-aware survivors)
+    "d6_incremental_rollup",  # new this round (X49 delta-merge rollup)
     # unchanged rotation (green when last sampled)
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",

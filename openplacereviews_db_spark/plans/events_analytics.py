@@ -199,3 +199,66 @@ ORACLES["ev_anomaly"] = """
                     END, FALSE) AS is_anomaly
     FROM stats
 """
+
+
+#: first day index that belongs to the incremental delta (the base
+#: rollup covers days strictly before this)
+_ROLLUP_SPLIT_DAY = 19750
+
+
+def d6_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-rollup maintenance (X49): the daily
+    (event_type, day) aggregate is maintained as BASE ⊕ DELTA — the
+    base rollup (days before the split) is merged with the delta batch's
+    partial aggregate by a full-outer coalescing join, never
+    recomputing base facts.  The ORACLE is the single-pass full
+    recompute, so the driver hash proves the incremental maintenance
+    identity ``rollup(base ∪ delta) = merge(rollup(base),
+    rollup(delta))`` value-for-value.
+
+    Float discipline: per-event values are rounded to 6 digits and
+    summed as DECIMAL(18,6), so partial-aggregate merge order can never
+    diverge from the one-pass sum.  Scale shape: both partials are
+    map-side combining groupBys; the merge joins two already-aggregated
+    (type × day) frames — the whole point is the base facts are never
+    rescanned.
+    """
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type",
+        F.expr("(unix_micros(ts) div 1000000) div 86400").alias("day"),
+        F.round(F.col("value"), 6).cast("decimal(18,6)").alias("v"))
+
+    def rollup(df):
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("sum_v"))
+
+    base = rollup(ev.where(F.col("day") < _ROLLUP_SPLIT_DAY))
+    delta = rollup(ev.where(F.col("day") >= _ROLLUP_SPLIT_DAY))
+    b = base.select("event_type", "day",
+                    F.col("n_events").alias("bn"), F.col("sum_v").alias("bs"))
+    d = delta.select("event_type", "day",
+                     F.col("n_events").alias("dn"), F.col("sum_v").alias("ds"))
+    merged = b.join(d, ["event_type", "day"], "full_outer")
+    zero = F.lit(0).cast("decimal(18,6)")
+    return merged.select(
+        "event_type", "day",
+        (F.coalesce("bn", F.lit(0)) + F.coalesce("dn", F.lit(0)))
+        .alias("n_events"),
+        (F.coalesce("bs", zero) + F.coalesce("ds", zero))
+        .cast("double").alias("sum_value"))
+
+
+QUERIES["d6_incremental_rollup"] = d6_incremental_rollup
+
+# the full single-pass recompute — equality with the incremental merge
+# above IS the maintenance-identity proof
+ORACLES["d6_incremental_rollup"] = """
+    SELECT event_type,
+           (epoch_us(ts) // 1000000) // 86400 AS day,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
