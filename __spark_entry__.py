@@ -26,54 +26,50 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
-#: evidence.  Round 5 front-loads (a) the two r4 driver-red queries, now
-#: repaired (id_bytes_roundtrip hex wire form, d3_aligned_windows epoch
-#: buckets), (b) the one never-sampled query (tx_pack_sequences),
-#: (c) every query whose plan or oracle changed this round (the minhash
-#: restructure family, token-oracle COALESCE, subtitle mirror, O2 pin,
-#: n_hint guard, j2 cell fix), and (d) all TWENTY-FIVE round-5
-#: additions (temporal joins + rollup, sketches, block dedup, keyword
-#: search, media resize, z-order, scalar quantization, the X36-X45
-#: scoring/graph/analytics set, the shared-SQL surface, and the
-#: mergeSchema reader) — each needs a first driver-grade row.  r4-green
-#: unchanged queries past position 50 (s5/m8/s1/tx_* curation/st_*
-#: streaming trio) yield their slots; all have green driver rows from
-#: r3/r4 samples.
+#: evidence.  Round 6 is the staleness rotation the r5 verdict asked
+#: for: (a) queries whose plan or oracle changed THIS round (tx_bm25
+#: decimal-round oracle, g9_pagerank fixed-point ranks, s17 staging
+#: fingerprint), (b) round-6 additions, then (c) all 44 queries whose
+#: latest driver row predates r4 — the five r1-era rows first
+#: (g2/j4/j5/m6/p10), then the r3 cohort.  Every query past position 50
+#: has a green r4/r5 driver row and local parity coverage.
 _DRIVER_PRIORITY = [
+    # changed this round — need fresh driver evidence after the edits
+    "tx_bm25", "g9_pagerank", "s17_schema_evolution",
+    # new this round
+    "m10_tripadvisor_ops",  # X/M10 TripAdvisor enrichment emission
+    "g2_proximity_groups",  # upgraded rows-only -> invariant oracle
+    # stale since r1
+    "j4_match_cascade", "j5_pick_merges", "m6_close_report",
+    "p10_name_tags",
+    # stale since r3
+    "a1_area_summary", "a2_images_size", "ann_cosine_topk",
+    "ann_ivf_topk", "ann_knn_label", "curate_corpus", "d1_date_kit",
+    "dd_exact", "dd_simhash", "dd_simhash_pairs", "e1_snapshot_diff",
+    "e3_intersect_keys", "e9_extract_diff", "emb_neardup_lsh",
+    "g1_sessionize", "g3_tile_grid", "geoall_area_summary",
+    "j10_latest_event", "j1_argmax_join", "j4_fuzzy_name_join",
+    "j6_anti_join", "j7_semi_join", "m1m4_sync_ops", "mm_decode_stats",
+    "mm_feature_codes", "mm_sample_frames", "o1_distance_topk",
+    "p12_mercator_tiles", "p2_main_element", "p2_main_osm_element",
+    "q3_segment_topk", "q5_region_revenue", "s7_keys_scan",
+    "s9_inverse_index_lookup", "t1_text_kit", "tx_fingerprints",
+    "tx_language_id", "tx_quality_score", "w1_running_total",
+    # r4/r5-green rotation (yield their slots; sampled when room allows)
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",
     "dd_dup_groups", "dd_apply", "a4_place_types", "tx_token_counts",
     "geo_tile_report", "emb_neardup_pairs", "j2_proximity_pairs",
-    "d4_lenient_timestamps",  # new this round (lenient tombstone parse)
-    "tx_domain_cap", "tx_group_split",  # new this round (X26/X27)
-    "s2_diff_roundtrip",  # new this round (S2 diff parse + P9 scrub)
-    "st_neardup_pairs",  # new this round (X19 stream, batch oracle)
-    "x22_bucketed_lookup",  # new this round (bucketed co-located join)
-    "emb_semdedup",  # new this round (X28 SemDeDup composition)
-    "j11_asof_join", "j12_range_join",  # new this round (temporal joins)
-    "dd_blocks",  # new this round (paragraph-level dedup)
-    "sk_kmv_distinct", "sk_countmin",  # new this round (sketches)
-    "d5_multires_rollup",  # new this round (grouping-sets time rollup)
-    "sk_bottomk_quantiles", "tx_keyword_search",  # new this round
-    "mm_resize",  # new this round (aspect-preserving media resize)
-    "g7_zorder",  # new this round (Morton spatial layout key)
-    "emb_scalar_quant",  # new this round (int8 embedding compression)
-    "tx_chunk_windows",  # new this round (RAG sliding-window chunking)
-    "g8_zcell_scan",  # new this round (z-cell-pruned bbox scan)
-    "tx_bigram_lm", "tx_bm25",  # new this round (X36/X37 LM + BM25)
-    "tx_classifier", "tx_weighted_sample",  # new this round (X38/X39)
-    "g9_pagerank",  # new this round (X40 iterative graph centrality)
-    "tx_drift_report",  # new this round (X41 dataset-shift monitor)
-    "tx_shard_manifest",  # new this round (X42 training-shard manifest)
-    "sql_surface_report",  # new this round (shared-SQL-text surface)
-    "tx_bpe_vocab",  # new this round (X43 BPE vocab induction, rows-only)
-    "s17_schema_evolution",  # new this round (mergeSchema evolving reader)
-    "ev_funnel", "ev_retention",  # new this round (X44/X45 event analytics)
-    "ev_anomaly",  # new this round (X46 hourly rate anomaly monitor)
-    "ann_quant_rerank",  # new this round (X47 two-stage quantized ANN)
-    "dd_apply_best",  # new this round (X48 quality-aware survivors)
-    "d6_incremental_rollup",  # new this round (X49 delta-merge rollup)
-    # unchanged rotation (green when last sampled)
+    "d4_lenient_timestamps", "tx_domain_cap", "tx_group_split",
+    "s2_diff_roundtrip", "st_neardup_pairs", "x22_bucketed_lookup",
+    "emb_semdedup", "j11_asof_join", "j12_range_join", "dd_blocks",
+    "sk_kmv_distinct", "sk_countmin", "d5_multires_rollup",
+    "sk_bottomk_quantiles", "tx_keyword_search", "mm_resize",
+    "g7_zorder", "emb_scalar_quant", "tx_chunk_windows", "g8_zcell_scan",
+    "tx_bigram_lm", "tx_classifier", "tx_weighted_sample",
+    "tx_drift_report", "tx_shard_manifest", "sql_surface_report",
+    "tx_bpe_vocab", "ev_funnel", "ev_retention", "ev_anomaly",
+    "ann_quant_rerank", "dd_apply_best", "d6_incremental_rollup",
     "w2_event_deltas", "o4_topk_per_group",
     "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
     "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",

@@ -8,10 +8,12 @@ convergence probe, so no driver action and no lineage growth — the
 checkpoint-per-round rule applies only to unbounded loops), with an
 unrolled-CTE DuckDB oracle.
 
-Cross-engine float discipline: per-target contribution sums go through
-DECIMAL(20,12) of a rounded quotient (partition order can't change the
-hash), and the damping update stays in plain IEEE arithmetic on
-bit-identical inputs — no output rounding needed.
+Cross-engine float discipline: ranks are carried as BIGINT pico-ranks
+(fixed-point, scale 1e12) and every rounded division uses the exact
+HALF_UP integer scheme ``(2p + q) div (2q)`` — never ``round(double)``,
+whose Spark shortest-repr vs DuckDB binary-value semantics split on the
+.5 grid (see CLAUDE.md).  The only float op is the final
+``CAST(pr_fp AS DOUBLE) / 1e12``, bit-identical on identical integers.
 """
 
 from __future__ import annotations
@@ -25,6 +27,10 @@ from ..sources.testdata import load_table
 
 _DAMP = 0.85
 _ITERS = 3
+#: fixed-point scale for integer-carried ranks (pico-ranks)
+_SCALE = 10 ** 12
+#: (1 - _DAMP) * _SCALE, exact in integers
+_BASE_NUM = 150_000_000_000
 
 
 def g9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -63,35 +69,40 @@ def g9_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
            .localCheckpoint(eager=True))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
+    # pr_fp = HALF_UP(SCALE / n) via the (2p + q) div (2q) integer scheme
     ranks = (deg.crossJoin(F.broadcast(n))
              .select(F.col("src").alias("node"), "deg", "n",
-                     (F.lit(1.0) / F.col("n")).alias("pr")))
+                     F.expr(f"(2 * CAST({_SCALE} AS BIGINT) + n)"
+                            " div (2 * n)").alias("pr_fp")))
     for _ in range(_ITERS):
+        # per-edge contribution HALF_UP(pr_fp / deg), still integer
         contrib = (
             edges.join(ranks.select(F.col("node").alias("src"),
-                                    F.round(F.col("pr") / F.col("deg"), 12)
-                                    .cast("decimal(20,12)").alias("c")),
+                                    F.expr("(2 * pr_fp + deg) div (2 * deg)")
+                                    .alias("c")),
                        "src")
             .groupBy("dst").agg(F.sum("c").alias("s")))
+        # pr' = HALF_UP((1-d)*SCALE / n) + HALF_UP(d * s)  with d = 85/100
         ranks = (
             deg.crossJoin(F.broadcast(n))
             .join(contrib, deg.src == contrib.dst, "left")
             .select(F.col("src").alias("node"), "deg", "n",
-                    (F.lit(1.0 - _DAMP) / F.col("n")
-                     + F.lit(_DAMP)
-                     * F.coalesce(F.col("s"),
-                                  F.lit(0).cast("decimal(20,12)"))
-                     .cast("double")).alias("pr"))
+                    (F.expr(f"(2 * CAST({_BASE_NUM} AS BIGINT) + n)"
+                            " div (2 * n)")
+                     + F.expr("(2 * 85 * coalesce(s, CAST(0 AS BIGINT))"
+                              " + 100) div 200")).alias("pr_fp"))
             # checkpoint the tiny |V|-row rank frame each round — the
             # fully-lazy 3-iteration chain re-plans a 30-node DAG under
             # AQE and measured 2.4x slower than stepwise materialization
             .localCheckpoint(eager=True))
-    return ranks.select("node", "deg", "pr")
+    return ranks.select(
+        "node", "deg",
+        (F.col("pr_fp").cast("double") / F.lit(float(_SCALE))).alias("pr"))
 
 
 def _pagerank_oracle() -> str:
     """Unrolled 3-iteration CTE mirror of :func:`g9_pagerank`."""
-    sql = """
+    sql = f"""
     WITH ip AS (
         SELECT DISTINCT o_custkey, l_suppkey
         FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -103,23 +114,23 @@ def _pagerank_oracle() -> str:
               UNION ALL SELECT s, c FROM pairs),
     deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
     nn AS (SELECT COUNT(*) AS n FROM deg),
-    pr0 AS (SELECT src AS node, deg, 1.0e0 / n AS pr
+    pr0 AS (SELECT src AS node, deg,
+                   (2 * {_SCALE} + n) // (2 * n) AS pr_fp
             FROM deg CROSS JOIN nn)"""
     prev = "pr0"
     for i in range(1, _ITERS + 1):
         sql += f""",
     it{i} AS (SELECT e.dst AS node,
-                     SUM(CAST(round(p.pr / p.deg, 12)
-                              AS DECIMAL(20,12))) AS s
+                     SUM((2 * p.pr_fp + p.deg) // (2 * p.deg)) AS s
               FROM edges e JOIN {prev} p ON e.src = p.node GROUP BY 1),
     pr{i} AS (SELECT d.src AS node, d.deg,
-                     {1.0 - _DAMP}e0 / n + {_DAMP}e0
-                         * CAST(COALESCE(it{i}.s,
-                                CAST(0 AS DECIMAL(20,12))) AS DOUBLE) AS pr
+                     (2 * {_BASE_NUM} + n) // (2 * n)
+                         + (2 * 85 * COALESCE(it{i}.s, 0) + 100) // 200
+                         AS pr_fp
               FROM deg d CROSS JOIN nn LEFT JOIN it{i} ON it{i}.node = d.src)"""
         prev = f"pr{i}"
     sql += f"""
-    SELECT node, deg, pr FROM {prev}
+    SELECT node, deg, CAST(pr_fp AS DOUBLE) / 1.0e12 AS pr FROM {prev}
     """
     return sql
 

@@ -388,7 +388,7 @@ ORACLES["tx_bm25"] = f"""
           FROM p JOIN dfreq USING (term) CROSS JOIN stats),
     agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
                    SUM(s) AS raw FROM s GROUP BY 1)
-    SELECT doc_id, n_terms, round(CAST(raw AS DOUBLE), 6) AS score
+    SELECT doc_id, n_terms, CAST(round(raw, 6) AS DOUBLE) AS score
     FROM agg
     ORDER BY score DESC, doc_id ASC
     LIMIT {_BM25_TOPK}

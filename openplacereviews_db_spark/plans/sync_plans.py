@@ -478,7 +478,14 @@ def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # Cache key includes the source parquet's mtime+size: driver
+    # testdata drifts between rounds (events.ts NANOS->MICROS in r3),
+    # and an existence-only check would silently serve stale staged
+    # rows while the oracle reads the fresh events table.
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{int(st.st_mtime)}_{st.st_size}")
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"schema_evo_{tag}")
     if not (os.path.isfile(os.path.join(root, "batch_a.parquet"))
@@ -486,7 +493,7 @@ def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+        t = pq.read_table(src,
                           columns=["event_id", "user_id", "event_type"])
         os.makedirs(root, exist_ok=True)
         even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
