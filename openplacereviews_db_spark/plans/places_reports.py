@@ -87,9 +87,9 @@ def geo_tile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     - place_deleted / place_deleted_osm flags (:222-224, :239-243 —
       NULL for every row this filtered endpoint emits, via the same
       expressions the unfiltered corpus would use);
-    - has_tripadvisor (:258-260) — constant false: nothing populates
-      tripadvisor sources (TripAdvisorBot's emission is dead code in
-      the reference too);
+    - has_tripadvisor (:258-260) — true when the place carries
+      ``source.tripAdvisor`` entries (populated for the k%9 slice of
+      the synthetic corpus; enrichment ops in m10_tripadvisor_ops);
     - sources: one serialized row per source ref (:254-296), and the
       aggregated main-tags map (:261-285), both as deterministic JSON
       strings (scalar columns — the driver canonicalizer requirement).
@@ -130,7 +130,8 @@ def geo_tile_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("deleted").alias("place_deleted"),
             F.when(F.col("main.deleted").isNotNull(), F.lit("deleted"))
             .alias("place_deleted_osm"),
-            F.lit(False).alias("has_tripadvisor"),
+            F.coalesce(F.size("source.tripAdvisor") > 0, F.lit(False))
+            .alias("has_tripadvisor"),
             F.concat(F.lit("["),
                      F.array_join(F.transform(F.col("source.osm"),
                                               _source_el_json), ","),
@@ -224,7 +225,7 @@ ORACLES: dict[str, str] = {
                    AS img_review_size,
                deleted AS place_deleted,
                CAST(NULL AS VARCHAR) AS place_deleted_osm,
-               FALSE AS has_tripadvisor,
+               (key % 9 = 0) AS has_tripadvisor,
                CASE WHEN key % 13 = 0
                     THEN '[' || {_src_el_sql("key", 0, True)} || ',' ||
                          {_src_el_sql("key + 5000000", 1, False)} || ']'

@@ -230,6 +230,71 @@ def _m8_oracle() -> str:
 ORACLES["m8_placetype_ops"] = _m8_oracle()
 
 
+def m10_tripadvisor_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10 TripAdvisor enrichment (TripAdvisorBot.java:46-116): one
+    edit op per place with ``source.tripAdvisor`` sources, setting
+    ``source.tripAdvisor[i].stars/reviews`` through the dotted-path
+    grammar, previous values recorded in the current map.  The dead
+    HTTP fetch (:70) is replaced by a deterministic rating function of
+    the tripadvisor id (see ``operators/tripadvisor.py``)."""
+    from ..operators.tripadvisor import tripadvisor_enrich_ops
+    from ..sources import places as P
+
+    return tripadvisor_enrich_ops(P.synthetic_places(spark, sf_dir))
+
+
+QUERIES["m10_tripadvisor_ops"] = m10_tripadvisor_ops
+
+
+def _m10_oracle() -> str:
+    from ..sources import places as P
+
+    def chg(i: int) -> str:
+        d = f"(key * 10 + {i})"
+        # 2.0e0: double literal — a bare 2.0 is DECIMAL in DuckDB and
+        # decimal division would serialize as '2.500000'
+        stars = f"CAST(CAST({d} % 9 + 1 AS DOUBLE) / 2.0e0 AS VARCHAR)"
+        reviews = f"CAST({d} % 500 + 1 AS VARCHAR)"
+        return (f"'\"source.tripAdvisor[{i}].reviews\":{{\"set\":' || "
+                f"{reviews} || '}},\"source.tripAdvisor[{i}].stars\":"
+                f"{{\"set\":' || {stars} || '}}'")
+
+    def cur(i: int) -> str:
+        m = f"(key + {2 * i})"
+        stars = (f"CAST(CAST({m} % 5 AS DOUBLE) / 2.0e0 + 0.5e0"
+                 " AS VARCHAR)")
+        reviews = f"CAST({m} % 200 + 1 AS VARCHAR)"
+        return (f"'\"source.tripAdvisor[{i}].reviews\":' || {reviews} || "
+                f"',\"source.tripAdvisor[{i}].stars\":' || {stars}")
+
+    def url(i: int) -> str:
+        return (f"'https://www.tripadvisor.com/g' || "
+                f"CAST((key + {i}) % 997 AS VARCHAR) || '-d' || "
+                f"CAST(key * 10 + {i} AS VARCHAR)")
+
+    return f"""
+    WITH {P.places_sql_cte()}
+    SELECT tile_id || ',' || suffix AS opr_id,
+           CAST(CASE WHEN key % 2 = 0 THEN 2 ELSE 1 END AS INTEGER)
+               AS n_trip,
+           {url(0)} || CASE WHEN key % 2 = 0
+                            THEN ',' || {url(1)} ELSE '' END AS fetch_urls,
+           '{{' || {chg(0)} || CASE WHEN key % 2 = 0
+                                    THEN ',' || {chg(1)} ELSE '' END
+               || '}}' AS change_json,
+           '{{' || COALESCE(array_to_string(list_filter([
+               CASE WHEN key % 4 = 0 THEN {cur(0)} END,
+               CASE WHEN key % 2 = 0 AND (key + 2) % 4 = 0
+                    THEN {cur(1)} END], x -> x IS NOT NULL), ','), '')
+               || '}}' AS current_json
+    FROM places
+    WHERE key % 9 = 0
+"""
+
+
+ORACLES["m10_tripadvisor_ops"] = _m10_oracle()
+
+
 def _xml_escape(s: str) -> str:
     from xml.sax.saxutils import escape
 

@@ -53,6 +53,15 @@ def _memo_plan(fn):
     wrapper.__doc__ = fn.__doc__
     return wrapper
 
+#: one source.tripAdvisor element (TripAdvisorBot.java:58-65: a 2-part
+#: id list [geo-code, detail-code] forming the fetch URL, plus optional
+#: previously-fetched stars/reviews — "oldValue.size() > 1")
+TRIP_REF_SCHEMA = T.StructType([
+    T.StructField("id", T.ArrayType(T.StringType())),
+    T.StructField("stars", T.DoubleType()),
+    T.StructField("reviews", T.IntegerType()),
+])
+
 #: one source.osm element (SURVEY.md §1.1)
 OSM_REF_SCHEMA = T.StructType([
     T.StructField("id", T.LongType()),
@@ -77,6 +86,7 @@ PLACE_SCHEMA = T.StructType([
     T.StructField("deleted", T.StringType()),
     T.StructField("source", T.StructType([
         T.StructField("osm", T.ArrayType(OSM_REF_SCHEMA)),
+        T.StructField("tripAdvisor", T.ArrayType(TRIP_REF_SCHEMA)),
     ])),
     T.StructField("images", T.MapType(
         T.StringType(), T.ArrayType(T.MapType(T.StringType(), T.StringType())))),
@@ -117,7 +127,11 @@ def synthetic_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     - k % 13 == 0  → source.osm = [deleted ref(k), live ref(k + 5e6)]
       (main-element selection must skip the dead first element — P2);
     - k % 7 == 0 (and not %13) → [live ref(k), deleted ref(k + 5e6)];
-    - otherwise one live ref(k).
+    - otherwise one live ref(k);
+    - k % 9 == 0 → source.tripAdvisor = 1 entry (odd k) or 2 (even k);
+      entry i has id ["g(k+i)%997", "d(k*10+i)"] and, when
+      (k+2i) % 4 == 0, previously-fetched stars/reviews (the
+      "oldValue.size() > 1" branch of TripAdvisorBot.java:107-110).
     """
     c = load_table(spark, "customer", sf_dir)
     k = F.col("c_custkey")
@@ -165,6 +179,25 @@ def synthetic_places(spark: SparkSession, sf_dir: str) -> DataFrame:
     images = F.map_filter(
         F.create_map(F.lit("main"), img, F.lit("review"), review),
         lambda _k, v: F.size(v) > 0)
+
+    def trip_ref(i: int) -> Column:
+        # k + 2*i keeps the "has previous rating" slice reachable on
+        # BOTH indices (entry 1 exists only for even k, so a k+i grid
+        # would never fire there)
+        m = k + 2 * i
+        has_old = m % 4 == 0
+        return F.struct(
+            F.array(F.concat(F.lit("g"), ((k + i) % 997).cast("string")),
+                    F.concat(F.lit("d"), (k * 10 + i).cast("string")))
+            .alias("id"),
+            F.when(has_old, (m % 5).cast("double") / 2.0 + 0.5)
+            .alias("stars"),
+            F.when(has_old, (m % 200 + 1).cast("int")).alias("reviews"),
+        )
+
+    trip = F.when(k % 9 == 0,
+                  F.when(k % 2 == 0, F.array(trip_ref(0), trip_ref(1)))
+                  .otherwise(F.array(trip_ref(0))))
     return c.select(
         geo.olc_encode(lat, lon, 6).alias("tile_id"),
         F.substring(F.md5(k.cast("string")), 1, 6).alias("suffix"),
@@ -172,7 +205,7 @@ def synthetic_places(spark: SparkSession, sf_dir: str) -> DataFrame:
         ptype.alias("placetype"),
         F.when(k % 11 == 0, F.lit(DELETED_PLACE_TS))
         .cast("string").alias("deleted"),
-        F.struct(osm.alias("osm")).alias("source"),
+        F.struct(osm.alias("osm"), trip.alias("tripAdvisor")).alias("source"),
         images.alias("images"),
     )
 
