@@ -94,6 +94,35 @@ def test_greedy_groups_spark(spark):
     assert got[("u", 21)] is None
 
 
+def test_g2_invariants(spark, sf_dir):
+    """Per-feature invariants of the full greedy result at sf0.001 —
+    the property-level counterpart of the g2_proximity_groups
+    invariant oracle (which only sees per-tile counters)."""
+    from openplacereviews_db_spark.plans.merge_plans import _g2_features
+
+    feats = _g2_features(spark, sf_dir)
+    out = cluster.greedy_proximity_groups(feats, dist_m=150.0).collect()
+    n_in = feats.count()
+    assert len(out) == n_in and len({(r["tile"], r["id"])
+                                     for r in out}) == n_in
+    groups: dict = {}
+    for r in out:
+        assert not (r["status"] == "deleted" and r["group_id"] is None)
+        if r["group_id"] is not None:
+            groups.setdefault((r["tile"], r["group_id"]), []).append(r)
+    for (tile, gid), members in groups.items():
+        members.sort(key=lambda r: r["seq"])
+        assert [r["seq"] for r in members] == list(range(len(members)))
+        seed = members[0]
+        assert seed["id"] == gid and seed["status"] == "deleted"
+        statuses = [r["status"] for r in members]
+        # all 'deleted' precede all 'created' (reverse of lexicographic)
+        assert statuses == sorted(statuses, reverse=True)
+        for r in members:
+            assert cluster._haversine_py(seed["lat"], seed["lon"],
+                                         r["lat"], r["lon"]) < 150.0
+
+
 def test_segment_groups(spark):
     df = spark.createDataFrame(
         [(1, False), (2, True), (3, True), (4, False), (5, True)],
