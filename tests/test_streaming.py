@@ -134,6 +134,66 @@ def test_stateful_user_totals(spark, tmp_path):
     assert second[1] == (3, 6.0)
 
 
+def test_neardup_stream_four_batches(spark, sf_dir, tmp_path):
+    """Steady-state profile of the near-dup stream (r5 verdict task 3):
+    FOUR micro-batches over the real documents corpus.  Asserts (a) the
+    accumulated pair set equals the batch LSH oracle — the cross-batch
+    index-join path is exercised three times, against an index that
+    grows each batch — (b) the per-batch index file growth is bounded
+    by the coalesce(4) cap, i.e. the file count is linear in batches
+    with a constant per-batch increment, never task-count-shaped, and
+    (c) per-batch wall time does not blow up as the index grows (a
+    generous 8x ratio gate — co-tenant noise swings single timings 2-3x,
+    so this only catches superlinear behavior, not regressions)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.operators.dedup import minhash_lsh_pairs
+
+    src = tmp_path / "docs4"
+    src.mkdir()
+    t = pq.read_table(f"{sf_dir}/documents.parquet")
+    for i in range(4):
+        part = t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 3), i))
+        pq.write_table(part, src / f"batch_{i}.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+    docs = (spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(str(src))
+            .where(F.length("text") > 0))
+    q = SP.neardup_dedup_stream(
+        docs, index_dir=str(tmp_path / "idx4"),
+        checkpoint_dir=str(tmp_path / "ck4"),
+        pairs_dir=str(tmp_path / "pairs4"),
+        shingle_words=2, num_hashes=16, bands=8, min_jaccard=0.1).start()
+    q.awaitTermination(600)
+    progress = [p for p in (json.loads(j.json) for j in q.recentProgress)
+                if p.get("numInputRows", 0) > 0]
+    assert len(progress) == 4, "expected one micro-batch per file"
+    durs = [p["durationMs"]["triggerExecution"] / 1000.0 for p in progress]
+
+    got = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+           for r in spark.read.parquet(str(tmp_path / "pairs4")).collect()}
+    batch_docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+                  .where(F.length("text") > 0))
+    want = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+            for r in minhash_lsh_pairs(
+                batch_docs, shingle_words=2, num_hashes=16, bands=8,
+                min_jaccard=0.1).collect()}
+    assert got == want
+
+    import glob
+    for table in ("bands", "sets"):
+        n_files = len(glob.glob(str(tmp_path / "idx4" / table /
+                                    "*.parquet")))
+        assert n_files <= 4 * 4, (table, n_files)
+    # superlinear-blowup gate only (see docstring); print for the record
+    print("neardup 4-batch durations (s):",
+          [round(d, 2) for d in durs])
+    assert max(durs[1:]) <= 8 * max(durs[0], 0.5)
+
+
 def test_neardup_dedup_stream(spark, tmp_path):
     """Two micro-batches; the batch-2 near-copy of a batch-1 doc must be
     caught against the persistent index, and the in-batch pair too."""
