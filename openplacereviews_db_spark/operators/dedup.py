@@ -173,7 +173,8 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                attr_col: str | None = None,
                                shingle_words: int = 3,
                                num_hashes: int = 16, bands: int = 4,
-                               min_jaccard: float = 0.2) -> DataFrame:
+                               min_jaccard: float = 0.2,
+                               materialize: str = "persist") -> DataFrame:
     """Exact n-gram Jaccard within (attr × MinHash-band) blocks, with
     ONE shingle pass.
 
@@ -204,7 +205,12 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                *[F.min(H.minhash_perm(i, F.col("_mhb"))).alias(f"h{i}")
                  for i in range(num_hashes)],
                F.collect_set(F.xxhash64("s")).alias("sids"),
-           ).persist())
+           ))
+    # run-once callers pay persist()'s InMemoryRelation columnar build
+    # on their only pass (the 2-4x first-build trap, CLAUDE.md);
+    # 'checkpoint' trades that for an eager materialization
+    sig = (sig.localCheckpoint(eager=True) if materialize == "checkpoint"
+           else sig.persist())
     banded = sig.select(
         "id", "_attr",
         F.explode(H.lsh_bands(
