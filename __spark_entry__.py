@@ -39,6 +39,7 @@ _DRIVER_PRIORITY = [
     # new this round
     "m10_tripadvisor_ops",  # X/M10 TripAdvisor enrichment emission
     "g2_proximity_groups",  # upgraded rows-only -> invariant oracle
+    "dd_containment",  # X50 prefix-filter containment join
     # stale since r1
     "j4_match_cascade", "j5_pick_merges", "m6_close_report",
     "p10_name_tags",

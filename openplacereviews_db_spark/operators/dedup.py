@@ -237,6 +237,68 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     return verified
 
 
+def containment_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", shingle_words: int = 3,
+                      tau_num: int = 4, tau_den: int = 5) -> DataFrame:
+    """EXACT one-sided containment join: every ordered pair (a, b) with
+    ``|S(a) ∩ S(b)| / |S(a)| >= tau_num/tau_den`` over distinct word
+    shingles — the "document a is mostly inside document b" dedup that
+    symmetric Jaccard misses when sizes are skewed (quote pages, page
+    fragments, boilerplate-wrapped copies).
+
+    Candidates via PREFIX FILTERING (the AllPairs/PPJoin family of
+    set-similarity joins): order each document's shingles by ascending
+    global document frequency (ties on the shingle hash), and index only
+    its first ``p = n - ceil(tau*n) + 1`` shingles.  Completeness: if
+    containment(a, b) >= tau then ``|S(a) ∩ S(b)| >= ceil(tau*n_a)``, so
+    b misses at most ``n_a - ceil(tau*n_a) = p - 1`` of a's shingles —
+    by pigeonhole at least ONE of a's p prefix shingles is in S(b), and
+    the (prefix(a) ⋈ shingles(b)) equi-join finds the pair.  No recall
+    loss, proven by the brute-force oracle of ``dd_containment`` (the
+    same lossless-blocking proof pattern as j3_border_correct).
+
+    Scale shape: global shingle frequencies are one partial-agg shuffle;
+    per-doc ranking is a window on the id partition; the candidate join
+    probes an inverted index that holds only PREFIX shingles — the
+    rarest ~(1-tau) fraction of each doc — so probe amplification is
+    bounded by the document frequency of rare shingles, not by corpus
+    size; the threshold test runs in INTEGER arithmetic
+    (``tau_den * |∩| >= tau_num * n_a``), engine-exact.  ``ceil`` is
+    integer too: ``(tau_num*n + tau_den - 1) div tau_den``.  Shingle
+    sets are xxhash64 ids (8 B/shingle; counts equal string counts
+    barring a ~n²/2⁶⁵ collision, the ngram_jaccard argument).
+    """
+    sh = (exploded_shingles(df, text_col, id_col, shingle_words)
+          .select("id", F.xxhash64("s").alias("sid"))
+          .persist())
+    freq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy("df", "sid")
+    ranked = (sh.join(freq, "sid")
+              .withColumn("rk", F.row_number().over(w)))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    prefix = (ranked.join(sizes, "id")
+              .where(F.col("rk") <= F.col("n")
+                     - F.expr(f"({tau_num} * n + {tau_den} - 1)"
+                              f" div {tau_den}") + 1))
+    cand = (prefix.select(F.col("id").alias("id_a"), "sid")
+            .join(sh.select(F.col("id").alias("id_b"), "sid"), "sid")
+            .where(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").dropDuplicates())
+    sets = sh.groupBy("id").agg(F.collect_set("sid").alias("sids"))
+    return (cand
+            .join(sets.select(F.col("id").alias("id_a"),
+                              F.col("sids").alias("s_a")), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"),
+                              F.col("sids").alias("s_b")), "id_b")
+            .withColumn("n_int", F.size(F.array_intersect("s_a", "s_b")))
+            .withColumn("n_a", F.size("s_a").cast("long"))
+            .where(F.lit(tau_den) * F.col("n_int")
+                   >= F.lit(tau_num) * F.col("n_a"))
+            .select("id_a", "id_b", "n_a",
+                    (F.col("n_int").cast("double") / F.col("n_a"))
+                    .alias("containment")))
+
+
 def minhash_band_keys(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_words: int = 3,
                       num_hashes: int = 16, bands: int = 4) -> DataFrame:

@@ -48,6 +48,16 @@ def dd_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50 exact containment join (prefix filtering): ordered pairs
+    where ≥80% of a's distinct 3-word shingles appear in b.  The ORACLE
+    is the brute-force all-pairs containment join — hash equality
+    proves the prefix filter is lossless (j3_border_correct pattern).
+    """
+    return dedup.containment_pairs(_docs(spark, sf_dir), shingle_words=3,
+                                   tau_num=4, tau_den=5)
+
+
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_table(_docs(spark, sf_dir))
 
@@ -193,6 +203,7 @@ def tx_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_exact": dd_exact,
     "dd_minhash_lsh": dd_minhash_lsh,
+    "dd_containment": dd_containment,
     "dd_simhash": dd_simhash,
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
@@ -208,6 +219,17 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 # --- shared SQL fragments ---------------------------------------------------
+
+# 3-word shingles of the normalized text (mirrors exploded_shingles n=3)
+_SHINGLES3 = f"""
+    CASE WHEN len({_WORDS}) = 0 THEN []::VARCHAR[]
+         WHEN len({_WORDS}) < 3 THEN [{_NORM}]
+         ELSE list_distinct(list_transform(
+              generate_series(1, len({_WORDS}) - 2),
+              i -> {_WORDS}[i] || ' ' || {_WORDS}[i + 1]
+                   || ' ' || {_WORDS}[i + 2]))
+    END
+"""
 
 # 2-word shingles of the normalized text (mirrors hashing.word_shingles n=2)
 _SHINGLES2 = f"""
@@ -333,6 +355,20 @@ ORACLES: dict[str, str] = {
                COALESCE(a.text_kept, '') AS text_kept
         FROM documents d LEFT JOIN agg a USING (doc_id)
         WHERE length(d.text) > 0
+    """,
+    # brute-force all-pairs containment — hash equality with the Spark
+    # side proves the prefix-filter blocking loses no pair
+    "dd_containment": f"""
+        WITH sh AS (
+            SELECT doc_id, {_SHINGLES3} AS shingles
+            FROM documents WHERE length(text) > 0)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(a.shingles) AS BIGINT) AS n_a,
+               CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+                   / len(a.shingles) AS containment
+        FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+        WHERE 5 * len(list_intersect(a.shingles, b.shingles))
+              >= 4 * len(a.shingles)
     """,
     "dd_ngram_jaccard": f"""
         WITH sh AS (
