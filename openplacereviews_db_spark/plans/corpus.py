@@ -513,28 +513,113 @@ ORACLES: dict[str, str] = {
 
 
 def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scale-path embedding near-dup: OR-banded hyperplane LSH + per-
-    bucket GEMM — no driver-side collect, one shuffle on (band, bucket).
-    Approximate by design (rows-only check; recall floor pinned by
-    tests/test_similarity_lsh.py against the exact kernel)."""
-    return similarity.cosine_pairs_lsh(_embs(spark, sf_dir), threshold=0.40)
+    """Scale-path embedding near-dup (OR-banded hyperplane LSH +
+    per-bucket GEMM), reported as an INVARIANT check (the g2 pattern:
+    the approximate assignment is not SQL-expressible, its invariants
+    are).  The query runs the real LSH kernel AND the exact
+    chunk-pair-GEMM kernel, full-outer-joins the pair sets, and emits
+    one row: n_exact (the oracle recomputes it brute-force),
+    n_false_pos = 0 (every LSH pair is verified with the exact cosine,
+    so a non-true pair is a kernel bug), sim_mismatches = 0 (the
+    verified similarity must equal the exact kernel's value
+    bit-for-bit), and recall_ok pinned at the ≥50% floor the corpus
+    sustains (the fine-grained recall curve stays in
+    tests/test_similarity_lsh.py).  Production uses the pair stream
+    directly; this contract query is the harness form."""
+    embs = _embs(spark, sf_dir)
+    lsh = similarity.cosine_pairs_lsh(embs, threshold=0.40)
+    exact = similarity.cosine_pairs_blocked(
+        embs, threshold=0.40,
+        n_hint=_parquet_num_rows(sf_dir, "embeddings"))
+    ex = exact.select("id_a", "id_b", F.col("sim").alias("esim"))
+    ls = lsh.select("id_a", "id_b", F.col("sim").alias("lsim"))
+    j = ex.join(ls, ["id_a", "id_b"], "full_outer")
+    zero = F.lit(0).cast("long")
+    return j.agg(
+        F.count("esim").alias("n_exact"),
+        F.coalesce(F.sum(F.when(F.col("esim").isNull(), 1)), zero)
+        .cast("long").alias("n_false_pos"),
+        F.coalesce(F.sum(F.when(F.col("lsim").isNotNull()
+                                & F.col("esim").isNotNull()
+                                & (F.col("lsim") != F.col("esim")), 1)),
+                   zero).cast("long").alias("sim_mismatches"),
+        (F.count("lsim") * 2 >= F.count("esim")).alias("recall_ok"),
+    )
 
 
 QUERIES["emb_neardup_lsh"] = emb_neardup_lsh
 
+ORACLES["emb_neardup_lsh"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    exact AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM e a, e b
+        WHERE a.vec_id < b.vec_id
+          AND round(list_dot_product(a.v, b.v)
+                    / (sqrt(list_dot_product(a.v, a.v))
+                       * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.40)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(0 AS BIGINT) AS n_false_pos,
+           CAST(0 AS BIGINT) AS sim_mismatches,
+           TRUE AS recall_ok
+    FROM exact
+"""
+
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (scale path beside the exact
-    brute force): deterministic sample centroids, n_probe nearest cells
-    per query.  Rows-only check; recall floor pinned in
-    tests/test_similarity_lsh.py against the exact ranking."""
+    """IVF-bucketed approximate top-k as an INVARIANT check (same
+    pattern as emb_neardup_lsh): runs the real IVF kernel and the exact
+    brute-force ranking over the vec_id<50 query set, joins on
+    (q_id, c_id), and emits one row — n_queries and n_exact_rows (the
+    oracle recomputes both), sim_mismatches = 0 (any candidate IVF
+    returns carries the exact rounded cosine), recall_ok pinned at the
+    ≥60% aggregate floor (5·hits ≥ 3·exact_rows, integer arithmetic).
+    IVF rows outside the exact top-k are legal (a probed 6th-best),
+    only hit-set size and value equality are invariant."""
     embs = _embs(spark, sf_dir)
-    queries = embs.limit(50)
-    return similarity.cosine_topk_ivf(embs, queries, k=5,
-                                      n_cells=16, n_probe=6)
+    queries = embs.where(F.col("vec_id") < 50)
+    ivf = similarity.cosine_topk_ivf(embs, queries, k=5,
+                                     n_cells=16, n_probe=6)
+    exact = similarity.cosine_topk(embs, queries, k=5)
+    ex = exact.select("q_id", "c_id", F.col("sim").alias("esim"))
+    iv = ivf.select("q_id", "c_id", F.col("sim").alias("isim"))
+    j = ex.join(iv, ["q_id", "c_id"], "full_outer")
+    zero = F.lit(0).cast("long")
+    hits = F.count(F.when(F.col("esim").isNotNull()
+                          & F.col("isim").isNotNull(), 1))
+    return j.agg(
+        F.countDistinct("q_id").alias("n_queries"),
+        F.count("esim").alias("n_exact_rows"),
+        F.coalesce(F.sum(F.when(F.col("esim").isNotNull()
+                                & F.col("isim").isNotNull()
+                                & (F.col("esim") != F.col("isim")), 1)),
+                   zero).cast("long").alias("sim_mismatches"),
+        (hits * 5 >= F.count("esim") * 3).alias("recall_ok"),
+    )
 
 
 QUERIES["ann_ivf_topk"] = ann_ivf_topk
+
+ORACLES["ann_ivf_topk"] = """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+               round(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+        FROM e q, e c
+        WHERE q.vec_id < 50 AND q.vec_id <> c.vec_id),
+    ranked AS (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY sim DESC, c_id ASC) AS rank
+        FROM scored)
+    SELECT CAST(COUNT(DISTINCT q_id) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) AS BIGINT) AS n_exact_rows,
+           CAST(0 AS BIGINT) AS sim_mismatches,
+           TRUE AS recall_ok
+    FROM ranked WHERE rank <= 5
+"""
 
 
 def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -27,6 +27,9 @@ BOUNDED_JOIN_OK = {
     "ann_cosine_topk",      # query side is a fixed k-row probe set
     "ann_quant_rerank",     # bounded probe set + 1-row dim-stats bcast
     "ann_knn_label",        # probe side constant (≤50 ids by filter)
+    "ann_ivf_topk",         # invariant query runs the exact kernel too:
+                            # its nested loop broadcasts the ≤50-row
+                            # vec_id<50 probe set (same as ann_cosine_topk)
     "g3_tile_grid",         # constant 36×18 grid × constant split table
     "a5_merge_counters",    # 1-row global counters joined to 1-row total
     "tx_mix_weights",       # 1-row normalizing total (documented)
