@@ -56,6 +56,11 @@ _DRIVER_PRIORITY = [
     "q3_segment_topk", "q5_region_revenue", "s7_keys_scan",
     "s9_inverse_index_lookup", "t1_text_kit", "tx_fingerprints",
     "tx_language_id", "tx_quality_score", "w1_running_total",
+    # new late in round 6 — first in line for the r7 sample (positions
+    # 51+; the 44-stale rotation above must complete first per the r5
+    # verdict, and the 50-slot budget is exactly spent)
+    "dd_dup_spans",  # X51 duplicate-span (substring-level) dedup
+    "emb_kmeans",  # X52 integer-exact k-means over embeddings
     # r4/r5-green rotation (yield their slots; sampled when room allows)
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",

@@ -545,3 +545,66 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", span_words: int = 5) -> DataFrame:
+    """X51 — substring-level duplicate-SPAN detection: every maximal run
+    of words covered by some ``span_words``-gram that occurs ≥2 times
+    corpus-wide (the span-level pass of "Deduplicating Training Data
+    Makes Language Models Better" — trained-on text repeats at the
+    substring level long before whole documents or paragraphs repeat;
+    the reference's analog is word-set containment in
+    ``CheckNames``-style fuzzy matching, generalized here to positions).
+
+    Returns ``(doc_id, span_start, span_end, span_words)`` — word
+    offsets (0-based, inclusive) of each maximal duplicated span, one
+    row per span.  A document with no duplicated window emits nothing.
+
+    Plan shape: the sliding ``span_words``-gram table is built ROW-side
+    (``transform(sequence(...))`` over the per-doc word array — no
+    self-join, no explode-then-window regroup), keyed by ``xxhash64`` of
+    the window text so the wide shuffle moves 8-byte keys, not L-word
+    strings.  One partial-agg groupBy counts occurrences (map-side
+    combine collapses each partition's repeats first), one equi-join
+    marks duplicated window starts, and ONE per-doc window pass merges
+    overlapping/adjacent starts into maximal spans (gaps-and-islands:
+    a break when ``start - lag(start) > span_words``).  At 100 TB the
+    only wide exchanges are the 8-byte-key count shuffle and the per-doc
+    island window — both linear in token count; boilerplate mega-repeat
+    windows skew the count key but AQE skew-split handles a key whose
+    payload is one bigint.  The oracle groups by the raw window TEXT, so
+    hash equality also certifies the xxhash64 keying loses nothing
+    (collision odds ~n²/2⁶⁴, the ngram_jaccard argument).
+    """
+    L = span_words
+    ws = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(H.norm_text(F.col(text_col)), " "),
+                 lambda w: w != "").alias("ws"),
+    )
+    wins = ws.select(
+        "id",
+        F.posexplode(
+            F.when(F.size("ws") >= L, F.expr(
+                f"transform(sequence(0, size(ws) - {L}),"
+                f" i -> xxhash64(array_join(slice(ws, i + 1, {L}), ' ')))"))
+            .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        ).alias("start_i", "h"),
+    ).select("id", F.col("start_i").cast("bigint").alias("start"), "h")
+    dup = (wins.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 2).select("h"))
+    dwin = wins.join(dup, "h").select("id", "start")
+    order = Window.partitionBy("id").orderBy("start")
+    running = order.rowsBetween(Window.unboundedPreceding, 0)
+    isl = (dwin
+           .withColumn("brk", F.when(
+               F.col("start") - F.lag("start").over(order) <= L,
+               F.lit(0)).otherwise(F.lit(1)))
+           .withColumn("grp", F.sum("brk").over(running)))
+    return (isl.groupBy("id", "grp")
+            .agg(F.min("start").alias("span_start"),
+                 (F.max("start") + F.lit(L - 1)).alias("span_end"))
+            .select(F.col("id").alias("doc_id"), "span_start", "span_end",
+                    (F.col("span_end") - F.col("span_start") + 1)
+                    .alias("span_words")))

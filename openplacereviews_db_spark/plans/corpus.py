@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
-from ..operators import dedup, similarity, textstats
+from ..operators import dedup, kmeans, similarity, textstats
 from ..sources.testdata import load_table
 
 # Normalized text / word list, as DuckDB SQL fragments (must mirror
@@ -81,6 +81,24 @@ def dd_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Conjunctive keyword query for ``tx_keyword_search`` — all three words
 #: must appear in the document.
 _SEARCH_TERMS = ("spark", "merge", "window")
+
+
+def emb_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X52 integer-exact k-means (k=8, 2 Lloyd rounds) over the
+    embeddings table (operators/kmeans.py) — quantize → broadcast
+    centroids → exact BIGINT argmin → truncating-integer-mean update.
+    The oracle replays both rounds as a CTE chain; a hash match proves
+    assignment, tiebreak, AND the centroid arithmetic are engine-exact.
+    """
+    return kmeans.kmeans_assign(_embs(spark, sf_dir), k=8, iters=2)
+
+
+def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X51 substring-level dedup: maximal word spans covered by a
+    duplicated 5-gram window (operators/dedup.py ``duplicate_spans``).
+    The oracle rebuilds the sliding windows from raw window TEXT, so a
+    hash match also proves the xxhash64 window keying is lossless."""
+    return dedup.duplicate_spans(_docs(spark, sf_dir), span_words=5)
 
 
 def tx_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -208,6 +226,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_simhash_pairs": dd_simhash_pairs,
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_blocks": dd_blocks,
+    "dd_dup_spans": dd_dup_spans,
+    "emb_kmeans": emb_kmeans,
     "tx_keyword_search": tx_keyword_search,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_label": ann_knn_label,
@@ -355,6 +375,85 @@ ORACLES: dict[str, str] = {
                COALESCE(a.text_kept, '') AS text_kept
         FROM documents d LEFT JOIN agg a USING (doc_id)
         WHERE length(d.text) > 0
+    """,
+    # both Lloyd rounds replayed as a CTE chain in the same BIGINT
+    # arithmetic (floor-quantize, exact L2², truncating integer mean)
+    "emb_kmeans": """
+        WITH q AS (
+            SELECT vec_id AS id,
+                   list_transform(embedding,
+                       x -> CAST(floor(CAST(x AS DOUBLE) * 1000000)
+                                 AS BIGINT)) AS qv
+            FROM embeddings
+        ), qd AS (
+            SELECT id, CAST(i - 1 AS INT) AS dim, qv[i] AS v
+            FROM q, unnest(generate_series(1, len(qv))) AS t(i)
+        ), c0 AS (
+            SELECT cid, CAST(i - 1 AS INT) AS dim, cv[i] AS m
+            FROM (SELECT id AS cid, qv AS cv FROM q
+                  ORDER BY id LIMIT 8) s,
+                 unnest(generate_series(1, len(cv))) AS t(i)
+        ), a1 AS (
+            SELECT qd.id, c.cid,
+                   CAST(SUM((qd.v - c.m) * (qd.v - c.m)) AS BIGINT) AS d2
+            FROM qd JOIN c0 c USING (dim)
+            GROUP BY qd.id, c.cid
+        ), asg1 AS (
+            SELECT id, cid,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY d2, cid) AS rn
+            FROM a1
+        ), c1 AS (
+            SELECT a.cid, qd.dim,
+                   CAST(SUM(qd.v) AS BIGINT) // COUNT(*) AS m
+            FROM (SELECT id, cid FROM asg1 WHERE rn = 1) a
+            JOIN qd USING (id)
+            GROUP BY a.cid, qd.dim
+        ), a2 AS (
+            SELECT qd.id, c.cid,
+                   CAST(SUM((qd.v - c.m) * (qd.v - c.m)) AS BIGINT) AS d2
+            FROM qd JOIN c1 c USING (dim)
+            GROUP BY qd.id, c.cid
+        ), asg2 AS (
+            SELECT id, cid, d2,
+                   row_number() OVER (PARTITION BY id
+                                      ORDER BY d2, cid) AS rn
+            FROM a2
+        )
+        SELECT id AS vec_id, cid AS cluster, d2 FROM asg2 WHERE rn = 1
+    """,
+    # windows grouped by raw TEXT (not hash) — hash equality with the
+    # Spark side proves the xxhash64 window keying is lossless
+    "dd_dup_spans": f"""
+        WITH base AS (
+            SELECT doc_id, {_WORDS} AS lw
+            FROM documents WHERE length(text) > 0
+        ), wins AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+                   array_to_string(list_slice(lw, i, i + 4), ' ') AS wtext
+            FROM base,
+                 unnest(generate_series(1, len(lw) - 4)) AS t(i)
+        ), dup AS (
+            SELECT wtext FROM wins GROUP BY wtext HAVING COUNT(*) >= 2
+        ), dwin AS (
+            SELECT doc_id, start FROM wins
+            WHERE wtext IN (SELECT wtext FROM dup)
+        ), isl AS (
+            SELECT doc_id, start,
+                   CASE WHEN start - lag(start) OVER (
+                            PARTITION BY doc_id ORDER BY start) <= 5
+                        THEN 0 ELSE 1 END AS brk
+            FROM dwin
+        ), isl2 AS (
+            SELECT doc_id, start,
+                   sum(brk) OVER (PARTITION BY doc_id ORDER BY start
+                                  ROWS UNBOUNDED PRECEDING) AS grp
+            FROM isl
+        )
+        SELECT doc_id, min(start) AS span_start,
+               max(start) + 4 AS span_end,
+               max(start) + 5 - min(start) AS span_words
+        FROM isl2 GROUP BY doc_id, grp
     """,
     # brute-force all-pairs containment — hash equality with the Spark
     # side proves the prefix-filter blocking loses no pair

@@ -40,6 +40,7 @@ BOUNDED_JOIN_OK = {
     "tx_drift_report",      # 1-row (min,max,total) + 10-row bin histogram
     "emb_scalar_quant",     # 1-row per-dim min/max arrays (documented)
     "s4_adaptive_split",    # constant split-schedule frame (36×18 → 4×4 → 2×2)
+    "emb_kmeans",           # k=8 literal centroid rows broadcast per round
 }
 
 _SKIP = {name for name in entrymod.queries() if name.startswith("st_")}
@@ -129,6 +130,8 @@ EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
                   "tx_group_split", "emb_semdedup",  # CC loops
                   "x22_bucketed_lookup",  # write-once bucketed tables
                   "g9_pagerank",  # edges/deg checkpointed once, reused 4x/iter
+                  "emb_kmeans",  # quantized input checkpointed once;
+                  # k centroid rows collected per Lloyd round (bounded)
                   "tx_bpe_vocab"}  # greedy argmax per merge round (1-row)
 
 
