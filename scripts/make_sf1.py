@@ -1,0 +1,58 @@
+"""Materialize the sf1 (10x) spot-check corpus used by BASELINE.md.
+
+Replicates the sf0.1 ``documents`` and ``embeddings`` tables 10x into
+/tmp/opr_sf1 (wiped on reboot — rerun before any sf1 measurement):
+
+- each document copy gets a per-copy BIJECTIVE word transform (every
+  word suffixed ``_c<i>``), so within-copy duplicate/near-dup structure
+  is preserved exactly and cross-copy overlap is zero — pairwise
+  workloads (LSH pairs, dup spans) scale exactly 10x;
+- embedding copies keep their vectors (distance workloads are
+  value-insensitive) and offset ``vec_id`` by copy*N so ids stay unique.
+
+Usage: python scripts/make_sf1.py [src_sf_dir] [dest_dir]
+"""
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import duckdb
+
+
+def main() -> None:
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    dest = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/opr_sf1")
+    dest.mkdir(parents=True, exist_ok=True)
+    con = duckdb.connect()
+    n_docs = con.execute(
+        f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
+    n_vecs = con.execute(
+        f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
+    copies = ", ".join(str(c) for c in range(10))
+    con.execute(f"""
+        COPY (
+            SELECT doc_id + c * {n_docs} AS doc_id,
+                   array_to_string(list_transform(
+                       string_split(text, ' '),
+                       w -> CASE WHEN w = '' THEN w
+                                 ELSE w || '_c' || c END), ' ') AS text,
+                   lang, source, n_chars
+            FROM '{src}/documents.parquet',
+                 unnest([{copies}]) AS t(c)
+        ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT vec_id + c * {n_vecs} AS vec_id, embedding, label
+            FROM '{src}/embeddings.parquet',
+                 unnest([{copies}]) AS t(c)
+        ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("documents", "embeddings"):
+        n = con.execute(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()
+        print(t, n[0], "rows ->", dest / f"{t}.parquet")
+
+
+if __name__ == "__main__":
+    main()
