@@ -153,3 +153,80 @@ def segment_groups(df: DataFrame, order_col: str, deleted_col: str,
     not_last = F.row_number().over(w) < F.count(F.lit(1)).over(wp)
     boundary = (is_del & ~prev & not_last).cast("long")
     return df.withColumn("group_id", F.sum(boundary).over(w))
+
+
+def invariant_report(g: DataFrame, dist_m: float = 150.0) -> DataFrame:
+    """Driver-checkable INVARIANT report over a greedy clustering result
+    ``g`` (tile, id, lat, lon, status, group_id, seq).
+
+    Greedy group assignment is order-dependent (not SQL-expressible),
+    but every correct run satisfies deterministic invariants, so this
+    emits per tile: the input partition mirror (n_deleted / n_created /
+    n_rows — groups must partition the input, which an oracle CAN
+    recompute from the flat inputs) and six violation counters an
+    oracle pins at literal zero — duplicated ids, ungrouped deleted
+    features, groups whose seq-0 member is not the deleted seed,
+    created-before-deleted seq ordering (the reference's [deleted…,
+    created…] invariant, OprHistoryChangesProvider.java:205), non-dense
+    seq, and members ≥ ``dist_m`` from their group seed.  A greedy-
+    kernel regression flips a counter and fails the driver hash.
+    """
+    from ..functions import geo
+
+    deleted, created = F.lit(STATUS_DELETED), F.lit(STATUS_CREATED)
+    seed = (g.where((F.col("seq") == 0) & F.col("group_id").isNotNull())
+            .select("tile", "group_id", F.col("lat").alias("slat"),
+                    F.col("lon").alias("slon"), F.col("id").alias("seed_id"),
+                    F.col("status").alias("seed_status")))
+    members = (g.where(F.col("group_id").isNotNull())
+               .join(seed, ["tile", "group_id"], "left"))
+    per_group = (
+        members.groupBy("tile", "group_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max("seq").alias("max_seq"),
+            F.countDistinct("seq").alias("n_seq"),
+            F.max(F.when(F.col("status") == deleted, F.col("seq")))
+            .alias("max_del_seq"),
+            F.min(F.when(F.col("status") == created, F.col("seq")))
+            .alias("min_new_seq"),
+            F.max((F.col("seed_id") == F.col("group_id"))
+                  & (F.col("seed_status") == deleted)).alias("seed_ok"),
+            F.sum(F.when(
+                geo.haversine_m(F.col("slat"), F.col("slon"),
+                                F.col("lat"), F.col("lon")) >= dist_m, 1)
+                .when(F.col("seed_id").isNull(), 1).otherwise(0))
+            .alias("far_members"),
+        ))
+    per_tile_v = per_group.groupBy("tile").agg(
+        F.sum(F.when(~F.coalesce(F.col("seed_ok"), F.lit(False)), 1)
+              .otherwise(0)).alias("n_seed_violations"),
+        F.sum(F.when(F.col("min_new_seq") < F.col("max_del_seq"), 1)
+              .otherwise(0)).alias("n_order_violations"),
+        F.sum(F.when((F.col("max_seq") != F.col("n") - 1)
+                     | (F.col("n_seq") != F.col("n")), 1)
+              .otherwise(0)).alias("n_seq_violations"),
+        F.sum("far_members").alias("n_dist_violations"),
+    )
+    base = g.groupBy("tile").agg(
+        F.sum(F.when(F.col("status") == deleted, 1).otherwise(0))
+        .alias("n_deleted"),
+        F.sum(F.when(F.col("status") == created, 1).otherwise(0))
+        .alias("n_created"),
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("id")).alias("n_dup_ids"),
+        F.sum(F.when((F.col("status") == deleted)
+                     & F.col("group_id").isNull(), 1).otherwise(0))
+        .alias("n_ungrouped_deleted"),
+    )
+    z = F.lit(0).cast("long")
+    return (base.join(per_tile_v, "tile", "left")
+            .select("tile", "n_deleted", "n_created", "n_rows",
+                    "n_dup_ids", "n_ungrouped_deleted",
+                    F.coalesce("n_seed_violations", z)
+                    .alias("n_seed_violations"),
+                    F.coalesce("n_order_violations", z)
+                    .alias("n_order_violations"),
+                    F.coalesce("n_seq_violations", z)
+                    .alias("n_seq_violations"),
+                    F.coalesce("n_dist_violations", z)
+                    .alias("n_dist_violations")))

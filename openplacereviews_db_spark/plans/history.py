@@ -129,9 +129,23 @@ def p7_review_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full report: window ops → classify → status features → G2
-    per-tile clustering → ordered groups (rows-only check)."""
+    per-tile clustering → per-tile invariant report (rows-only since
+    r1, upgraded r6 to the same oracle-checkable invariant shape as
+    ``g2_proximity_groups``: the oracle recomputes the per-tile input
+    mirror from the ops corpus and pins every violation counter at
+    zero, so the greedy kernel's structural guarantees get a driver
+    hash even though exact group assignment stays greedy).
+
+    The ops join is deterministically deduped (min (key, lat, lon)
+    struct per obj_id) — ``dropDuplicates`` picks an arbitrary row and
+    nondeterminism is a correctness bug here.
+    """
     classified = p6_change_classification(spark, sf_dir)
-    ops = synthetic_ops(spark, sf_dir).select("obj_id", "lat", "lon", "key")
+    ops = (synthetic_ops(spark, sf_dir)
+           .groupBy("obj_id")
+           .agg(F.min(F.struct("key", "lat", "lon")).alias("m"))
+           .select("obj_id", F.col("m.key").alias("key"),
+                   F.col("m.lat").alias("lat"), F.col("m.lon").alias("lon")))
     status = (
         F.when(F.col("category") == "created", "created")
         .when(F.col("category").isin("removed", "osm_ref_deleted"), "deleted")
@@ -139,12 +153,12 @@ def history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = (
         classified.withColumn("status", status)
         .where(F.col("status").isNotNull())
-        .join(ops.dropDuplicates(["obj_id"]), on="obj_id")
+        .join(ops, on="obj_id")
         .select(F.substring("obj_id", 1, 4).alias("tile"),
                 F.col("key").alias("id"), "lat", "lon", "status")
     )
     groups = cluster.greedy_proximity_groups(feats, dist_m=150.0)
-    return groups.where(F.col("group_id").isNotNull())
+    return cluster.invariant_report(groups, dist_m=150.0)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -184,6 +198,39 @@ ORACLES: dict[str, str] = {
                CASE WHEN action = 'edit' AND k % 3 = 0 THEN 0 END AS ref_idx
         FROM ops
         WHERE block_date BETWEEN DATE '{WINDOW_START}' AND DATE '{WINDOW_END}'
+    """,
+    # invariant oracle (r6): the per-tile mirror is recomputed from the
+    # ops corpus (created = in-window creates; deleted = in-window
+    # deletes + tombstone edits, i.e. p6's removed/osm_ref_deleted) and
+    # every greedy-kernel violation counter is pinned at literal zero —
+    # the g2_proximity_groups pattern.  Relies on obj_id being unique
+    # per customer key (verified: zero collisions at sf0.001/0.01/0.1).
+    "history_report": f"""
+        WITH {_OPS_CTE},
+        cls AS (
+            SELECT obj_id,
+                   CASE WHEN action = 'create' THEN 'created'
+                        WHEN action = 'delete' THEN 'deleted'
+                        WHEN k % 3 = 0 THEN 'deleted'
+                        ELSE NULL END AS status
+            FROM ops
+            WHERE block_date BETWEEN DATE '{WINDOW_START}'
+                                 AND DATE '{WINDOW_END}'
+        )
+        SELECT substr(obj_id, 1, 4) AS tile,
+               CAST(COUNT(CASE WHEN status = 'deleted' THEN 1 END)
+                    AS BIGINT) AS n_deleted,
+               CAST(COUNT(CASE WHEN status = 'created' THEN 1 END)
+                    AS BIGINT) AS n_created,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(0 AS BIGINT) AS n_dup_ids,
+               CAST(0 AS BIGINT) AS n_ungrouped_deleted,
+               CAST(0 AS BIGINT) AS n_seed_violations,
+               CAST(0 AS BIGINT) AS n_order_violations,
+               CAST(0 AS BIGINT) AS n_seq_violations,
+               CAST(0 AS BIGINT) AS n_dist_violations
+        FROM cls WHERE status IS NOT NULL
+        GROUP BY 1
     """,
     # P7 truth table.  The in-window tombstone edit (k%5==3, k%3==0)
     # kills osm[0]; afterwards the main ref is dead for single-ref

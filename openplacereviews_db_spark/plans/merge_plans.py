@@ -91,63 +91,7 @@ def g2_proximity_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression flips a counter and fails the driver hash."""
     g = cluster.greedy_proximity_groups(
         _g2_features(spark, sf_dir), dist_m=150.0)
-    deleted, created = F.lit("deleted"), F.lit("created")
-    seed = (g.where((F.col("seq") == 0) & F.col("group_id").isNotNull())
-            .select("tile", "group_id", F.col("lat").alias("slat"),
-                    F.col("lon").alias("slon"), F.col("id").alias("seed_id"),
-                    F.col("status").alias("seed_status")))
-    members = (g.where(F.col("group_id").isNotNull())
-               .join(seed, ["tile", "group_id"], "left"))
-    per_group = (
-        members.groupBy("tile", "group_id").agg(
-            F.count(F.lit(1)).alias("n"),
-            F.max("seq").alias("max_seq"),
-            F.countDistinct("seq").alias("n_seq"),
-            F.max(F.when(F.col("status") == deleted, F.col("seq")))
-            .alias("max_del_seq"),
-            F.min(F.when(F.col("status") == created, F.col("seq")))
-            .alias("min_new_seq"),
-            F.max((F.col("seed_id") == F.col("group_id"))
-                  & (F.col("seed_status") == deleted)).alias("seed_ok"),
-            F.sum(F.when(
-                geo.haversine_m(F.col("slat"), F.col("slon"),
-                                F.col("lat"), F.col("lon")) >= 150.0, 1)
-                .when(F.col("seed_id").isNull(), 1).otherwise(0))
-            .alias("far_members"),
-        ))
-    per_tile_v = per_group.groupBy("tile").agg(
-        F.sum(F.when(~F.coalesce(F.col("seed_ok"), F.lit(False)), 1)
-              .otherwise(0)).alias("n_seed_violations"),
-        F.sum(F.when(F.col("min_new_seq") < F.col("max_del_seq"), 1)
-              .otherwise(0)).alias("n_order_violations"),
-        F.sum(F.when((F.col("max_seq") != F.col("n") - 1)
-                     | (F.col("n_seq") != F.col("n")), 1)
-              .otherwise(0)).alias("n_seq_violations"),
-        F.sum("far_members").alias("n_dist_violations"),
-    )
-    base = g.groupBy("tile").agg(
-        F.sum(F.when(F.col("status") == deleted, 1).otherwise(0))
-        .alias("n_deleted"),
-        F.sum(F.when(F.col("status") == created, 1).otherwise(0))
-        .alias("n_created"),
-        F.count(F.lit(1)).alias("n_rows"),
-        (F.count(F.lit(1)) - F.countDistinct("id")).alias("n_dup_ids"),
-        F.sum(F.when((F.col("status") == deleted)
-                     & F.col("group_id").isNull(), 1).otherwise(0))
-        .alias("n_ungrouped_deleted"),
-    )
-    z = F.lit(0).cast("long")
-    return (base.join(per_tile_v, "tile", "left")
-            .select("tile", "n_deleted", "n_created", "n_rows",
-                    "n_dup_ids", "n_ungrouped_deleted",
-                    F.coalesce("n_seed_violations", z)
-                    .alias("n_seed_violations"),
-                    F.coalesce("n_order_violations", z)
-                    .alias("n_order_violations"),
-                    F.coalesce("n_seq_violations", z)
-                    .alias("n_seq_violations"),
-                    F.coalesce("n_dist_violations", z)
-                    .alias("n_dist_violations")))
+    return cluster.invariant_report(g, dist_m=150.0)
 
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
