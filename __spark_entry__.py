@@ -61,6 +61,7 @@ _DRIVER_PRIORITY = [
     # verdict, and the 50-slot budget is exactly spent)
     "dd_dup_spans",  # X51 duplicate-span (substring-level) dedup
     "emb_kmeans",  # X52 integer-exact k-means over embeddings
+    "history_report",  # upgraded rows-only -> invariant oracle in r6
     # r4/r5-green rotation (yield their slots; sampled when room allows)
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",
@@ -81,7 +82,7 @@ _DRIVER_PRIORITY = [
     "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",
     "e2_config_delta", "g5_way_stats", "g4_simplify_ways",
     "o5_orthogonal_distance", "g6_points_in_triangle",
-    "p6_change_classification", "p7_review_candidates", "history_report",
+    "p6_change_classification", "p7_review_candidates",
     "j7_history_full_check", "p4_history_features", "s4_adaptive_split",
     "s5_staged_scan", "m8_placetype_ops",
     "s1_osm_xml_roundtrip", "tx_stratified_sample", "tx_mix_weights",
