@@ -36,6 +36,10 @@ def m9_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
     block 1: every lineitem edits ``lines.{linenumber} := quantity``;
     block 2: 'F'-status orders are deleted.
     """
+    return _fold_and_project(spark, _synthetic_oplog(spark, sf_dir))
+
+
+def _synthetic_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
     oid = F.col("o_orderkey").cast("string").alias("obj_id")
@@ -69,7 +73,25 @@ def m9_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("string").alias("doc"),
         F.lit(None).cast("string").alias("change"),
     )
-    ops = creates.unionByName(edits).unionByName(deletes)
+    return creates.unionByName(edits).unionByName(deletes)
+
+
+def m11_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X53 time-travel read of the versioned op log: the SAME fold as
+    ``m9_apply_changelog`` restricted to ``block_id <= 1`` — the state
+    as of block 1, BEFORE block 2's deletes ran (the reference's object
+    log is versioned by block and historical state is re-derivable from
+    a block-bounded fold, OpBlockChain semantics).  At 100 TB the as-of
+    predicate prunes whole block partitions before the fold shuffles
+    anything — time travel costs a partition filter, not a second copy
+    of the data."""
+    ops = _synthetic_oplog(spark, sf_dir).where(F.col("block_id") <= 1)
+    return _fold_and_project(spark, ops)
+
+
+def _fold_and_project(spark: SparkSession, ops: DataFrame) -> DataFrame:
+    """Fold an ops stream from the empty state and project the
+    (obj_id, status, n_lines, sum_qty) snapshot summary."""
     empty = spark.createDataFrame([], "obj_id string, doc string")
     snapshot = C.apply_operations(empty, ops)
     parsed = snapshot.select(
@@ -115,6 +137,7 @@ def e9_extract_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "m9_apply_changelog": m9_apply_changelog,
+    "m11_asof_snapshot": m11_asof_snapshot,
     "e9_extract_diff": e9_extract_diff,
 }
 
@@ -130,6 +153,19 @@ ORACLES: dict[str, str] = {
                COALESCE(CAST(SUM(l.qty) AS BIGINT), 0) AS sum_qty
         FROM orders o LEFT JOIN dedup l ON o.o_orderkey = l.l_orderkey
         WHERE o.o_orderstatus <> 'F'
+        GROUP BY o.o_orderkey, o.o_orderstatus
+    """,
+    # as of block 1 the deletes haven't run: every order is live
+    "m11_asof_snapshot": """
+        WITH dedup AS (
+            SELECT l_orderkey, l_linenumber, MAX(l_quantity) AS qty
+            FROM lineitem GROUP BY l_orderkey, l_linenumber
+        )
+        SELECT CAST(o.o_orderkey AS VARCHAR) AS obj_id,
+               o.o_orderstatus AS status,
+               COUNT(l.l_linenumber) AS n_lines,
+               COALESCE(CAST(SUM(l.qty) AS BIGINT), 0) AS sum_qty
+        FROM orders o LEFT JOIN dedup l ON o.o_orderkey = l.l_orderkey
         GROUP BY o.o_orderkey, o.o_orderstatus
     """,
     "e9_extract_diff": """
