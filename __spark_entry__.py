@@ -63,6 +63,7 @@ _DRIVER_PRIORITY = [
     "emb_kmeans",  # X52 integer-exact k-means over embeddings
     "history_report",  # upgraded rows-only -> invariant oracle in r6
     "m11_asof_snapshot",  # X53 time-travel (as-of block) oplog read
+    "st_exact_dedup",  # X54 incremental exact-dedup stream
     # r4/r5-green rotation (yield their slots; sampled when room allows)
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",

@@ -122,6 +122,14 @@ def st_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.neardup_once(spark, sf_dir)
 
 
+def st_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 incremental exact-dedup stream run to completion over the
+    2-batch parity split; first-SEEN-wins under the deterministic batch
+    order (evens then odds) is closed-form, so the oracle recomputes
+    keep_id/n_docs from the flat corpus."""
+    return sp.exact_dedup_once(spark, sf_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_stratified_sample": tx_stratified_sample,
     "tx_mix_weights": tx_mix_weights,
@@ -133,6 +141,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_sessionize": st_sessionize,
     "st_user_totals": st_user_totals,
     "st_neardup_pairs": st_neardup_pairs,
+    "st_exact_dedup": st_exact_dedup,
 }
 
 _U = curation.hash_uniform_sql("doc_id")
@@ -298,3 +307,19 @@ ORACLES: dict[str, str] = {
 from .corpus import ORACLES as _CORPUS_ORACLES  # noqa: E402
 
 ORACLES["st_neardup_pairs"] = _CORPUS_ORACLES["dd_minhash_lsh"]
+
+# first-SEEN-wins under the deterministic batch order (evens stream
+# first): min even doc_id of the group when one exists, else min odd
+from ..functions.hashing import fingerprint_sql as _fp_sql  # noqa: E402
+
+ORACLES["st_exact_dedup"] = f"""
+    WITH d AS (
+        SELECT doc_id, {_fp_sql('text')} AS fp
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT fp,
+           COALESCE(MIN(CASE WHEN doc_id % 2 = 0 THEN doc_id END),
+                    MIN(doc_id)) AS keep_id,
+           COUNT(*) AS n_docs
+    FROM d GROUP BY fp
+"""

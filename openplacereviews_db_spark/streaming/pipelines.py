@@ -258,6 +258,37 @@ def user_totals_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("s.total_millis").alias("total_millis"))
 
 
+def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
+    """Write-once staging of the documents corpus as TWO parquet files
+    split on doc_id parity (batch_a = even, batch_b = odd), under a
+    root whose name embeds the source parquet's mtime+size — driver
+    testdata drifts between rounds, and an existence-only cache check
+    silently serves stale rows (the s17 lesson, ADVICE r5).  Returns
+    ``(root, src)``; pyarrow IO only, so plan construction stays lazy.
+    """
+    import os
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src_parquet)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{int(st.st_mtime)}_{st.st_size}")
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"{prefix}_{tag}")
+    src = os.path.join(root, "src")
+    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src_parquet)
+        os.makedirs(src, exist_ok=True)
+        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
+        pq.write_table(t.filter(even), os.path.join(src, "batch_a.parquet"))
+        pq.write_table(t.filter(pc.invert(even)),
+                       os.path.join(src, "batch_b.parquet"))
+    return root, src
+
+
 def neardup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X19 run to completion as a driver-checkable query: the documents
     corpus is staged as TWO parquet files (write-once per sf, split on
@@ -275,22 +306,8 @@ def neardup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible."""
     import os
     import shutil
-    import tempfile
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
-    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
-                        f"neardup_{tag}")
-    src = os.path.join(root, "src")
-    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
-        import pyarrow.compute as pc
-        import pyarrow.parquet as pq
-
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"))
-        os.makedirs(src, exist_ok=True)
-        even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
-        pq.write_table(t.filter(even), os.path.join(src, "batch_a.parquet"))
-        pq.write_table(t.filter(pc.invert(even)),
-                       os.path.join(src, "batch_b.parquet"))
+    root, src = _stage_parity_split(sf_dir, "neardup")
     index_dir = os.path.join(root, "index")
     chk_dir = os.path.join(root, "chk")
     pairs_dir = os.path.join(root, "pairs")
@@ -401,6 +418,82 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
         pairs.coalesce(4).write.mode("append").parquet(pairs_dir)
         new_bands.coalesce(4).write.mode("append").parquet(bands_dir)
         new_sets.coalesce(4).write.mode("append").parquet(sets_dir)
+
+    return (docs_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def exact_dedup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54 run to completion as a driver-checkable query: the parity
+    split corpus streamed one file per micro-batch through
+    ``exact_dedup_stream``; the final per-fingerprint state is read
+    back as ``(fp, keep_id, n_docs)``.
+
+    Why this is oracle-able: first-SEEN-wins under the deterministic
+    batch order (evens then odds) is a closed-form rule — keep the min
+    even doc_id of the group if one exists, else the min odd — so the
+    oracle recomputes it from the flat corpus, and a regression in the
+    cross-batch anti-join (re-keeping an fp batch_b should have
+    skipped, or dropping a first-seen) flips keep_id or n_docs and
+    fails the driver hash."""
+    import os
+    import shutil
+
+    root, src = _stage_parity_split(sf_dir, "exactdd")
+    index_dir = os.path.join(root, "index")
+    counts_dir = os.path.join(root, "counts")
+    chk_dir = os.path.join(root, "chk")
+    for d in (index_dir, counts_dir, chk_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    schema = spark.read.parquet(src).schema
+    docs = (spark.readStream.format("parquet").schema(schema)
+            .option("maxFilesPerTrigger", 1).load(src)
+            .where(F.length("text") > 0))
+    q = exact_dedup_stream(docs, index_dir, chk_dir, counts_dir).start()
+    q.awaitTermination()
+    kept = spark.read.parquet(index_dir)
+    counts = (spark.read.parquet(counts_dir)
+              .groupBy("fp").agg(F.sum("c").alias("n_docs")))
+    return kept.join(counts, "fp").select("fp", "keep_id", "n_docs")
+
+
+def exact_dedup_stream(docs_stream: DataFrame, index_dir: str,
+                       checkpoint_dir: str, counts_dir: str):
+    """X54 — incremental EXACT dedup of a document feed against a
+    persistent fingerprint index (the streaming form of
+    ``dedup.exact_dedup``, as ``neardup_dedup_stream`` is for LSH —
+    the reference's first-wins dedup call sites, SURVEY §2.4 A7,
+    running online over a crawl feed).
+
+    Per micro-batch: collapse the batch per fingerprint (min doc_id —
+    in-batch first-wins), anti-join against the seen index so an fp
+    first seen in an EARLIER batch is never re-kept, append the
+    survivors to the index and the per-batch group sizes to
+    ``counts_dir``.  State is ids+fingerprints only (≤ 40 B/distinct
+    doc regardless of text size); the anti-join is an equi-join on the
+    md5 fingerprint — maximally spread, never quadratic.  Offsets
+    commit with the checkpoint in the same epoch (the changelog-fold
+    discipline above)."""
+    from ..functions import hashing as H
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        firsts = (batch
+                  .select("doc_id", H.fingerprint(F.col("text")).alias("fp"))
+                  .groupBy("fp")
+                  .agg(F.min("doc_id").alias("keep_id"),
+                       F.count(F.lit(1)).alias("c")))
+        try:
+            seen = spark.read.parquet(index_dir).select("fp")
+        except Exception:
+            seen = spark.createDataFrame([], "fp string")
+        new = (firsts.join(seen, "fp", "left_anti")
+               .select("fp", "keep_id"))
+        firsts.select("fp", "c").coalesce(4).write.mode("append") \
+            .parquet(counts_dir)
+        new.coalesce(4).write.mode("append").parquet(index_dir)
 
     return (docs_stream.writeStream.foreachBatch(on_batch)
             .option("checkpointLocation", checkpoint_dir)

@@ -242,3 +242,60 @@ def test_neardup_dedup_stream(spark, tmp_path):
     assert sets.count() == 5 and "sids" in sets.columns
     assert dict(sets.dtypes)["sids"] == "array<bigint>"  # 8 B/shingle index
     assert "sids" not in bands.columns  # ids-only band join at scale
+
+
+def test_exact_dedup_stream_cross_batch_first_seen(spark, tmp_path):
+    """X54 crafted duplicates across three micro-batches: an fp first
+    seen in batch 0 must keep batch 0's min id even when a LATER batch
+    carries a smaller doc_id for the same text (first-SEEN-wins, not
+    global min), and n_docs must accumulate across every batch."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    batches = [
+        # (doc_id, text)
+        [(10, "aaa bbb ccc"), (11, "unique zero")],
+        [(2, "aaa  BBB ccc"),  # same fp (normalization) — smaller id
+         (20, "xyz qqq")],
+        [(1, "aaa bbb ccc"), (21, "xyz  QQQ"), (22, "unique two")],
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        pd.DataFrame(rows, columns=["doc_id", "text"]).to_parquet(
+            src / f"batch_{i}.parquet")
+
+    docs = (spark.readStream.format("parquet")
+            .schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1).load(str(src))
+            .where(F.length("text") > 0))
+    q = SP.exact_dedup_stream(
+        docs, index_dir=str(tmp_path / "idx"),
+        checkpoint_dir=str(tmp_path / "ck"),
+        counts_dir=str(tmp_path / "cnt")).start()
+    q.awaitTermination(300)
+
+    kept = {r["fp"]: r["keep_id"]
+            for r in spark.read.parquet(str(tmp_path / "idx")).collect()}
+    counts = (spark.read.parquet(str(tmp_path / "cnt"))
+              .groupBy("fp").agg(F.sum("c").alias("n")).collect())
+    n_by_fp = {r["fp"]: r["n"] for r in counts}
+
+    from openplacereviews_db_spark.functions.hashing import fingerprint
+    fp_of = {t: r["fp"] for t, r in zip(
+        ["aaa bbb ccc", "unique zero", "xyz qqq", "unique two"],
+        spark.createDataFrame(
+            [("aaa bbb ccc",), ("unique zero",), ("xyz qqq",),
+             ("unique two",)], "text string")
+        .select(fingerprint(F.col("text")).alias("fp")).collect())}
+
+    # first-seen wins: doc 10 (batch 0) beats docs 2 and 1
+    assert kept[fp_of["aaa bbb ccc"]] == 10
+    # in-batch first-wins: doc 20 beats doc 21 (same fp after norm)
+    assert kept[fp_of["xyz qqq"]] == 20
+    assert kept[fp_of["unique zero"]] == 11
+    assert kept[fp_of["unique two"]] == 22
+    assert len(kept) == 4
+    # counts accumulate across batches: 3 copies of the aaa text
+    assert n_by_fp[fp_of["aaa bbb ccc"]] == 3
+    assert n_by_fp[fp_of["xyz qqq"]] == 2
