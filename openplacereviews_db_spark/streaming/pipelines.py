@@ -479,15 +479,20 @@ def exact_dedup_stream(docs_stream: DataFrame, index_dir: str,
     from ..functions import hashing as H
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        import os
+
         spark = batch.sparkSession
         firsts = (batch
                   .select("doc_id", H.fingerprint(F.col("text")).alias("fp"))
                   .groupBy("fp")
                   .agg(F.min("doc_id").alias("keep_id"),
                        F.count(F.lit(1)).alias("c")))
-        try:
+        # isdir guard, not try/except: a missing first-batch index is
+        # expected, and the AnalysisException path logs a full JVM
+        # stack trace per run
+        if os.path.isdir(index_dir):
             seen = spark.read.parquet(index_dir).select("fp")
-        except Exception:
+        else:
             seen = spark.createDataFrame([], "fp string")
         new = (firsts.join(seen, "fp", "left_anti")
                .select("fp", "keep_id"))
