@@ -87,6 +87,30 @@ def w2_event_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W (r6): time-RANGE sliding frame — per event, the count and sum
+    of the SAME user's events in the preceding hour (``RANGE BETWEEN
+    3600 PRECEDING AND CURRENT ROW`` on epoch seconds), the frame class
+    w1-w3 don't cover (ROWS frames need a tiebreak; a RANGE frame is
+    SET-determined — every peer of the current second is in, whatever
+    the shuffle order).  The measure is floor-quantized BIGINT cents so
+    accumulation order can't flip the hash; at 100 TB this is one
+    shuffle on user_id and a sorted single pass per partition."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_id", "user_id",
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.floor(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = (Window.partitionBy("user_id").orderBy("epoch_s")
+         .rangeBetween(-3600, 0))
+    return base.select(
+        "event_id", "user_id", "epoch_s",
+        F.count(F.lit(1)).over(w).alias("n_hour"),
+        F.sum("cents").over(w).alias("cents_hour"),
+    )
+
+
 def w3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per segment (the scale path would
     swap in approx_percentile; exact keeps the oracle comparable)."""
@@ -207,6 +231,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q6_revenue_delta": q6_revenue_delta,
     "w2_event_deltas": w2_event_deltas,
     "w3_percentiles": w3_percentiles,
+    "w4_range_frame": w4_range_frame,
     "o4_topk_per_group": o4_topk_per_group,
     "e4_set_ops": e4_set_ops,
     "a10_array_hof": a10_array_hof,
@@ -252,6 +277,20 @@ ORACLES: dict[str, str] = {
                  - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "w4_range_frame": """
+        WITH e AS (
+            SELECT event_id, user_id,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+                   CAST(floor(value * 100) AS BIGINT) AS cents
+            FROM events
+        )
+        SELECT event_id, user_id, epoch_s,
+               COUNT(*) OVER w AS n_hour,
+               CAST(SUM(cents) OVER w AS BIGINT) AS cents_hour
+        FROM e
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_s
+                     RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
     """,
     "w3_percentiles": """
         SELECT c_mktsegment,
