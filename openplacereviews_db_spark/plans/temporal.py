@@ -153,6 +153,49 @@ def j12_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: interval width AND bin width for the interval-overlap join (30 min)
+_IV_US = 1_800_000_000
+
+
+def j13_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X55 interval-OVERLAP join (interval × interval — distinct from
+    j12's point-in-interval): each error and each click of a user opens
+    a 30-minute window; emit every overlapping (error, click) window
+    pair with the exact overlap in microseconds.
+
+    Plan: a width-W interval starting in width-W bin b covers only bins
+    {b, b+1}, and two overlapping intervals share at least one covered
+    bin (any instant of the intersection lies in a bin covered by
+    both) — so each side explodes its ≤2 covered bins and the join is a
+    pure equi-join on (user_id, bin) with a pair-level dedup, never the
+    BroadcastNestedLoop Catalyst picks for the raw inequality.  The
+    ORACLE is the brute-force inequality join, so hash equality proves
+    the bin blocking loses no pair (the j3_border_correct pattern).
+    Bins come from `div` (64-bit integer division; floor(x/W) would
+    round-trip through a double and can misplace boundary values).
+    """
+    ev = _events(spark, sf_dir)
+    bin_of = lambda c: F.expr(f"{c} div {_IV_US}")  # noqa: E731
+
+    def side(event_type: str, tag: str) -> DataFrame:
+        s = (ev.where(F.col("event_type") == event_type)
+             .select(F.col("event_id").alias(f"{tag}_id"), "user_id",
+                     F.unix_micros("ts").alias(f"{tag}_start"))
+             .withColumn(f"{tag}_end", F.col(f"{tag}_start") + _IV_US))
+        return s.withColumn("bin", F.explode(F.array_distinct(F.array(
+            bin_of(f"{tag}_start"), bin_of(f"{tag}_start") + 1))))
+
+    pairs = (side("error", "a").join(side("click", "b"),
+                                     on=["user_id", "bin"])
+             .where((F.col("a_start") < F.col("b_end"))
+                    & (F.col("b_start") < F.col("a_end"))))
+    return (pairs.select(
+        "a_id", "b_id", "user_id",
+        (F.least("a_end", "b_end")
+         - F.greatest("a_start", "b_start")).alias("overlap_us"))
+        .dropDuplicates(["a_id", "b_id"]))
+
+
 def d5_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style continuous aggregate: hourly AND daily rollups of
     the event stream in ONE pass via GROUPING SETS — the multi-resolution
@@ -188,6 +231,7 @@ def d5_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_asof_join": j11_asof_join,
     "j12_range_join": j12_range_join,
+    "j13_interval_join": j13_interval_join,
     "d5_multires_rollup": d5_multires_rollup,
 }
 
@@ -228,6 +272,20 @@ ORACLES: dict[str, str] = {
                round(SUM(value), 2) AS sum_value
         FROM base
         GROUP BY GROUPING SETS ((day_b), (hour_b))
+    """,
+    # brute-force inequality join — hash equality proves the 2-bin
+    # blocking loses no overlapping pair
+    "j13_interval_join": """
+        SELECT e.event_id AS a_id, c.event_id AS b_id, e.user_id,
+               LEAST(epoch_us(e.ts) + 1800000000,
+                     epoch_us(c.ts) + 1800000000)
+               - GREATEST(epoch_us(e.ts), epoch_us(c.ts)) AS overlap_us
+        FROM events e JOIN events c
+          ON c.user_id = e.user_id
+         AND c.event_type = 'click'
+         AND epoch_us(e.ts) < epoch_us(c.ts) + 1800000000
+         AND epoch_us(c.ts) < epoch_us(e.ts) + 1800000000
+        WHERE e.event_type = 'error'
     """,
     "j12_range_join": """
         SELECT e.event_id, e.user_id, epoch_us(e.ts) AS err_us,
