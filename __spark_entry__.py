@@ -66,6 +66,7 @@ _DRIVER_PRIORITY = [
     "st_exact_dedup",  # X54 incremental exact-dedup stream
     "w4_range_frame",  # time-RANGE sliding frame (r6)
     "j13_interval_join",  # X55 interval-overlap join (r6)
+    "udf_expr_matchid",  # §2.12 registered-SQL-function surface (r6)
     # r4/r5-green rotation (yield their slots; sampled when room allows)
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",

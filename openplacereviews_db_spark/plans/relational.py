@@ -718,3 +718,42 @@ def sql_surface_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["sql_surface_report"] = sql_surface_report
 ORACLES["sql_surface_report"] = _SQL_SURFACE
+
+
+def udf_expr_matchid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.12 custom-function EXTENSION POINT, not just the functions:
+    the reference registers ``opr:simple_name`` / ``str:first_not_empty``
+    into its ANTLR expression evaluator (OprExprEvaluatorExt.java:13-85)
+    and the sync bot evaluates a match-id expression STRING against each
+    object (OsmSyncBot.java:452-462).  The Spark analog is registered
+    SQL scalar functions (CREATE TEMPORARY FUNCTION ... RETURN expr —
+    substituted into the Catalyst expression tree at parse time, JVM
+    codegen, NOT a Python UDF) plus ``F.expr`` over the expression text,
+    so changing the match-id expression is a config change, exactly as
+    in the reference.  The oracle inlines the same semantics through the
+    text-kit SQL mirrors."""
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION opr_simple_name(s STRING)
+        RETURNS STRING RETURN lower(regexp_replace(s, '[ -]', ''))
+    """)
+    spark.sql("""
+        CREATE OR REPLACE TEMPORARY FUNCTION str_first_not_empty(
+            a STRING, b STRING)
+        RETURNS STRING RETURN concat(coalesce(split(a, ';')[0], ''),
+                                     coalesce(split(b, ';')[0], ''))
+    """)
+    match_expr = ("concat(opr_simple_name(p_name), ':',"
+                  " str_first_not_empty(p_brand, p_type))")
+    part = _t(spark, sf_dir, "part")
+    return part.select("p_partkey", F.expr(match_expr).alias("match_id"))
+
+
+QUERIES["udf_expr_matchid"] = udf_expr_matchid
+ORACLES["udf_expr_matchid"] = """
+    SELECT p_partkey,
+           concat(lower(regexp_replace(p_name, '[ -]', '', 'g')), ':',
+                  concat(coalesce(string_split(p_brand, ';')[1], ''),
+                         coalesce(string_split(p_type, ';')[1], '')))
+               AS match_id
+    FROM part
+"""
