@@ -113,3 +113,48 @@ def test_kmeans_assignment_is_true_argmin(spark, sf_dir):
     a2 = assign(upd)
     got = {vid: (cid, d2) for vid, (d2, cid) in a2.items()}
     assert rows == got
+
+
+def _brute_spans(docs, L):
+    """Pure-Python reference for duplicate_spans: same normalization
+    (lowercase, whitespace-collapse), corpus-wide window counts, island
+    merge with gap > L."""
+    words = {d: t.lower().split() for d, t in docs}
+    wins = {}
+    for d, ws in words.items():
+        for s in range(len(ws) - L + 1):
+            wins.setdefault(" ".join(ws[s:s + L]), []).append((d, s))
+    dup = [occ for occs in wins.values() if len(occs) >= 2 for occ in occs]
+    per_doc = {}
+    for d, s in dup:
+        per_doc.setdefault(d, set()).add(s)
+    out = []
+    for d, starts in per_doc.items():
+        run = []
+        for s in sorted(starts):
+            if run and s - run[-1] <= L:
+                run.append(s)
+            else:
+                if run:
+                    out.append((d, run[0], run[-1] + L - 1,
+                                run[-1] + L - run[0]))
+                run = [s]
+        out.append((d, run[0], run[-1] + L - 1, run[-1] + L - run[0]))
+    return sorted(out)
+
+
+def test_dup_spans_random_corpora_match_brute_force(spark):
+    """Differential vs a brute-force reference on random small-alphabet
+    corpora (tiny vocab forces heavy window collisions — the regime
+    where island merging and corpus-wide counting can go wrong).
+    Deterministic seeds; one Spark run per corpus."""
+    import random
+
+    L = 3
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        docs = [(d, " ".join(rng.choice("abcde")
+                             for _ in range(rng.randint(0, 25))))
+                for d in range(30)]
+        got = _spans(spark, docs, span_words=L)
+        assert got == _brute_spans(docs, L), f"seed {seed}"
