@@ -839,3 +839,102 @@ ORACLES["q16_distinct_count"] = """
     GROUP BY p_brand, p_size
     HAVING COUNT(DISTINCT l_suppkey) >= 2
 """
+
+
+def g10_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X56 spatial JOIN (points × polygons — g6 generalized from one
+    fixed triangle to a polygon TABLE): every live place inside any of
+    25 synthetic triangles derived arithmetically from the nation keys.
+
+    Plan: each polygon explodes the ≤4 grid cells its bbox covers
+    (cell size ≥ max bbox extent by construction), each point computes
+    its single cell, and the candidate join is a pure (cy, cx)
+    equi-join — never a cross join — followed by the exact half-plane
+    sign test as COLUMN arithmetic (pure IEEE multiply/subtract,
+    engine-identical; no UDF, stays in codegen).  The ORACLE is the
+    brute-force cross join with the same predicate, so hash equality
+    proves the grid blocking loses no containment pair (the
+    j3/j13 pattern).  At 100 TB the points side shuffles once on the
+    cell key and polygons are a broadcast-scale dimension.
+    """
+    from ..sources import places as P
+
+    G = 30.0  # cell size, >= max bbox extent (1.5 * s_max = 30.0)
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    clat = ((k * 7 % 140).cast("double") - 70.0 + 0.5)
+    clon = ((k * 37 % 340).cast("double") - 170.0 + 0.5)
+    s = (k % 3).cast("double") * 5.0 + 10.0
+    tri = nat.select(
+        "n_nationkey",
+        clat.alias("alat"), clon.alias("alon"),
+        (clat + s).alias("blat"), (clon + s * 0.5).alias("blon"),
+        (clat - s * 0.5).alias("clat2"), (clon + s).alias("clon2"),
+    )
+    cells = (tri
+             .withColumn("cy", F.explode(F.sequence(
+                 F.floor((F.least("alat", "blat", "clat2") + 90.0) / G),
+                 F.floor((F.greatest("alat", "blat", "clat2") + 90.0) / G))))
+             .withColumn("cx", F.explode(F.sequence(
+                 F.floor((F.least("alon", "blon", "clon2") + 180.0) / G),
+                 F.floor((F.greatest("alon", "blon", "clon2") + 180.0) / G)))))
+    pts = P.synthetic_active_flat(spark, sf_dir).select(
+        "id", "lat", "lon",
+        F.floor((F.col("lat") + 90.0) / G).alias("cy"),
+        F.floor((F.col("lon") + 180.0) / G).alias("cx"))
+
+    def cross(x1, y1, x2, y2, px, py):
+        return ((F.col(x2) - F.col(x1)) * (F.col(py) - F.col(y1))
+                - (F.col(y2) - F.col(y1)) * (F.col(px) - F.col(x1)))
+
+    d1 = cross("alat", "alon", "blat", "blon", "lat", "lon")
+    d2 = cross("blat", "blon", "clat2", "clon2", "lat", "lon")
+    d3 = cross("clat2", "clon2", "alat", "alon", "lat", "lon")
+    has_neg = (d1 < 0) | (d2 < 0) | (d3 < 0)
+    has_pos = (d1 > 0) | (d2 > 0) | (d3 > 0)
+    return (pts.join(cells, ["cy", "cx"])
+            .where(~(has_neg & has_pos))
+            .select("id", "n_nationkey")
+            .dropDuplicates(["id", "n_nationkey"]))
+
+
+QUERIES["g10_spatial_join"] = g10_spatial_join
+
+# brute-force cross join with the identical half-plane predicate —
+# hash equality proves the grid blocking loses no containment pair.
+# Every fractional literal is CAST AS DOUBLE (DuckDB decimal-literal
+# trap).
+ORACLES["g10_spatial_join"] = f"""
+    WITH {{FLAT}},
+    tri AS (
+        SELECT n_nationkey,
+               CAST((n_nationkey * 7) % 140 AS DOUBLE)
+                   - CAST(70.0 AS DOUBLE) + CAST(0.5 AS DOUBLE) AS alat,
+               CAST((n_nationkey * 37) % 340 AS DOUBLE)
+                   - CAST(170.0 AS DOUBLE) + CAST(0.5 AS DOUBLE) AS alon,
+               CAST((n_nationkey % 3) * 5 + 10 AS DOUBLE) AS s
+        FROM nation
+    ), tri2 AS (
+        SELECT n_nationkey, alat, alon,
+               alat + s AS blat, alon + s * CAST(0.5 AS DOUBLE) AS blon,
+               alat - s * CAST(0.5 AS DOUBLE) AS clat2, alon + s AS clon2
+        FROM tri
+    )
+    SELECT p.id, t.n_nationkey
+    FROM active p, tri2 t
+    WHERE NOT (
+        (((t.blat - t.alat) * (p.lon - t.alon)
+          - (t.blon - t.alon) * (p.lat - t.alat)) < 0
+         OR ((t.clat2 - t.blat) * (p.lon - t.blon)
+             - (t.clon2 - t.blon) * (p.lat - t.blat)) < 0
+         OR ((t.alat - t.clat2) * (p.lon - t.clon2)
+             - (t.alon - t.clon2) * (p.lat - t.clat2)) < 0)
+        AND
+        (((t.blat - t.alat) * (p.lon - t.alon)
+          - (t.blon - t.alon) * (p.lat - t.alat)) > 0
+         OR ((t.clat2 - t.blat) * (p.lon - t.blon)
+             - (t.clon2 - t.blon) * (p.lat - t.blat)) > 0
+         OR ((t.alat - t.clat2) * (p.lon - t.clon2)
+             - (t.alon - t.clon2) * (p.lat - t.clat2)) > 0)
+    )
+""".replace("{FLAT}", _fc2())
