@@ -68,6 +68,7 @@ _DRIVER_PRIORITY = [
     "j13_interval_join",  # X55 interval-overlap join (r6)
     "udf_expr_matchid",  # §2.12 registered-SQL-function surface (r6)
     "g10_spatial_join",  # X56 grid-blocked spatial join (r6)
+    "dd_dup_spans_apply",  # X57 span-removal apply (r6)
     # r4/r5-green rotation (yield their slots; sampled when room allows)
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",

@@ -608,3 +608,66 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
             .select(F.col("id").alias("doc_id"), "span_start", "span_end",
                     (F.col("span_end") - F.col("span_start") + 1)
                     .alias("span_words")))
+
+
+def apply_span_dedup(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", span_words: int = 5) -> DataFrame:
+    """X57 — APPLY span-level dedup: every word position covered by a
+    non-first occurrence of a duplicated ``span_words``-gram is removed
+    and documents are reassembled from the surviving words (the
+    passage-removal form of "Deduplicating Training Data Makes LMs
+    Better" at substring granularity — ``block_dedup``'s analog for
+    X51's detection pass).  First occurrence is corpus-global and
+    deterministic: ranked by (doc_id, start) per window TEXT.
+
+    Returns one row per input document: ``(id, n_words, n_removed,
+    text_kept)``.
+
+    Plan shape: the same row-side window build as ``duplicate_spans``
+    (xxhash64 keys, so the wide rank shuffle moves 8-byte keys), ONE
+    window ranking occurrences per key, covered positions exploded only
+    for rank ≥ 2 windows (bounded by L × duplicated-window count, not
+    corpus size), one anti-join against the word table, one per-doc
+    reassembly groupBy.  The oracle reranks by raw window text, so hash
+    equality again certifies the hash keying.
+    """
+    L = span_words
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.filter(F.split(H.norm_text(F.col(text_col)), " "),
+                 lambda w: w != "").alias("ws"),
+    )
+    words = base.select(
+        "id", F.posexplode("ws").alias("pos_i", "w"),
+    ).select("id", F.col("pos_i").cast("bigint").alias("pos"), "w")
+    wins = base.select(
+        "id",
+        F.posexplode(
+            F.when(F.size("ws") >= L, F.expr(
+                f"transform(sequence(0, size(ws) - {L}),"
+                f" i -> xxhash64(array_join(slice(ws, i + 1, {L}), ' ')))"))
+            .otherwise(F.expr("CAST(array() AS array<bigint>)"))
+        ).alias("start_i", "h"),
+    ).select("id", F.col("start_i").cast("bigint").alias("start"), "h")
+    rn = F.row_number().over(Window.partitionBy("h").orderBy("id", "start"))
+    covered = (wins.withColumn("rn", rn).where(F.col("rn") >= 2)
+               .select("id", F.explode(F.expr(
+                   f"sequence(start, start + {L - 1})")).alias("pos"))
+               .dropDuplicates(["id", "pos"]))
+    kept = words.join(covered, ["id", "pos"], "left_anti")
+    per_doc = kept.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                        lambda x: x["w"]), " ").alias("text_kept"),
+    )
+    totals = words.groupBy("id").agg(F.count(F.lit(1)).alias("n_words"))
+    ids = df.select(F.col(id_col).alias("id"))
+    z = F.lit(0).cast("bigint")
+    return (ids.join(totals, "id", "left").join(per_doc, "id", "left")
+            .select(
+                "id",
+                F.coalesce("n_words", z).alias("n_words"),
+                (F.coalesce("n_words", z) - F.coalesce("n_kept", z))
+                .alias("n_removed"),
+                F.coalesce("text_kept", F.lit("")).alias("text_kept")))

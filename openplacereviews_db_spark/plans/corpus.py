@@ -101,6 +101,14 @@ def dd_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.duplicate_spans(_docs(spark, sf_dir), span_words=5)
 
 
+def dd_dup_spans_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X57 span-removal APPLY: drop every word position covered by a
+    non-first occurrence of a duplicated 5-gram and reassemble the
+    corpus (operators/dedup.py ``apply_span_dedup`` — the
+    passage-removal form of X51's detection pass)."""
+    return dedup.apply_span_dedup(_docs(spark, sf_dir), span_words=5)
+
+
 def tx_keyword_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Conjunctive keyword search in the postings-intersection form:
     explode distinct words, keep ONLY the query terms (so the shuffle
@@ -227,6 +235,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dd_ngram_jaccard": dd_ngram_jaccard,
     "dd_blocks": dd_blocks,
     "dd_dup_spans": dd_dup_spans,
+    "dd_dup_spans_apply": dd_dup_spans_apply,
     "emb_kmeans": emb_kmeans,
     "tx_keyword_search": tx_keyword_search,
     "ann_cosine_topk": ann_cosine_topk,
@@ -454,6 +463,51 @@ ORACLES: dict[str, str] = {
                max(start) + 4 AS span_end,
                max(start) + 5 - min(start) AS span_words
         FROM isl2 GROUP BY doc_id, grp
+    """,
+    # rank by raw window TEXT; covered positions of rank>=2 windows are
+    # removed and the doc is reassembled — mirrors apply_span_dedup
+    "dd_dup_spans_apply": f"""
+        WITH base AS (
+            SELECT doc_id, {_WORDS} AS lw
+            FROM documents WHERE length(text) > 0
+        ), wins AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS start,
+                   array_to_string(list_slice(lw, i, i + 4), ' ') AS wtext
+            FROM base,
+                 unnest(generate_series(1, len(lw) - 4)) AS t(i)
+        ), ranked AS (
+            SELECT doc_id, start,
+                   row_number() OVER (PARTITION BY wtext
+                                      ORDER BY doc_id, start) AS rn
+            FROM wins
+        ), cov AS (
+            SELECT DISTINCT doc_id, start + j AS pos
+            FROM ranked, unnest(generate_series(0, 4)) AS u(j)
+            WHERE rn >= 2
+        ), words AS (
+            SELECT doc_id, CAST(i - 1 AS BIGINT) AS pos, lw[i] AS w
+            FROM base, unnest(generate_series(1, len(lw))) AS t(i)
+        ), kept AS (
+            SELECT w.doc_id, w.pos, w.w
+            FROM words w
+            WHERE NOT EXISTS (SELECT 1 FROM cov c
+                              WHERE c.doc_id = w.doc_id AND c.pos = w.pos)
+        ), agg AS (
+            SELECT doc_id, COUNT(*) AS n_kept,
+                   string_agg(w, ' ' ORDER BY pos) AS text_kept
+            FROM kept GROUP BY doc_id
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_words FROM words GROUP BY doc_id
+        )
+        SELECT d.doc_id AS id,
+               CAST(COALESCE(t.n_words, 0) AS BIGINT) AS n_words,
+               CAST(COALESCE(t.n_words, 0) - COALESCE(a.n_kept, 0)
+                    AS BIGINT) AS n_removed,
+               COALESCE(a.text_kept, '') AS text_kept
+        FROM documents d
+        LEFT JOIN tot t USING (doc_id)
+        LEFT JOIN agg a USING (doc_id)
+        WHERE length(d.text) > 0
     """,
     # brute-force all-pairs containment — hash equality with the Spark
     # side proves the prefix-filter blocking loses no pair

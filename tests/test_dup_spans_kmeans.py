@@ -158,3 +158,43 @@ def test_dup_spans_random_corpora_match_brute_force(spark):
                 for d in range(30)]
         got = _spans(spark, docs, span_words=L)
         assert got == _brute_spans(docs, L), f"seed {seed}"
+
+
+def test_span_apply_random_corpora_match_brute_force(spark):
+    """X57 differential: span-removal apply vs a brute-force Python
+    reference on the same collision-heavy corpora as the detection
+    test.  Also pins the global first-occurrence rule: rank by
+    (doc_id, start) per window text, remove covered positions of every
+    rank>=2 occurrence."""
+    import random
+
+    from openplacereviews_db_spark.operators.dedup import apply_span_dedup
+
+    L = 3
+
+    def brute_apply(docs):
+        words = {d: t.lower().split() for d, t in docs}
+        occs = {}
+        for d, ws in sorted(words.items()):
+            for s in range(len(ws) - L + 1):
+                occs.setdefault(" ".join(ws[s:s + L]), []).append((d, s))
+        cov = {}
+        for occ in occs.values():
+            for d, s in sorted(occ)[1:]:
+                cov.setdefault(d, set()).update(range(s, s + L))
+        out = {}
+        for d, ws in words.items():
+            keep = [w for p, w in enumerate(ws)
+                    if p not in cov.get(d, set())]
+            out[d] = (len(ws), len(ws) - len(keep), " ".join(keep))
+        return out
+
+    for seed in (7, 41, 1234):
+        rng = random.Random(seed)
+        docs = [(d, " ".join(rng.choice("abcde")
+                             for _ in range(rng.randint(1, 25))))
+                for d in range(30)]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {r["id"]: (r["n_words"], r["n_removed"], r["text_kept"])
+               for r in apply_span_dedup(df, span_words=L).collect()}
+        assert got == brute_apply(docs), f"seed {seed}"
