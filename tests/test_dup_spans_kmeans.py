@@ -198,3 +198,13 @@ def test_span_apply_random_corpora_match_brute_force(spark):
         got = {r["id"]: (r["n_words"], r["n_removed"], r["text_kept"])
                for r in apply_span_dedup(df, span_words=L).collect()}
         assert got == brute_apply(docs), f"seed {seed}"
+
+
+def test_kmeans_k_exceeds_rows(spark):
+    """k >= n: every vector seeds its own cluster and converges to
+    itself — assignment is identity with d2 = 0 (the degenerate edge a
+    coarse-quantizer caller can hit on a tiny partition)."""
+    vecs = [[0.1, 0.2], [-0.3, 0.4], [0.5, -0.1]]
+    out = {r["vec_id"]: (r["cluster"], r["d2"])
+           for r in kmeans_assign(_emb(spark, vecs), k=8, iters=2).collect()}
+    assert out == {0: (0, 0), 1: (1, 0), 2: (2, 0)}
