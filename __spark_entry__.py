@@ -27,74 +27,56 @@ def entry(spark: SparkSession) -> DataFrame:
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
 #: evidence.  Round 6 is the staleness rotation the r5 verdict asked
-#: for: (a) queries whose plan or oracle changed THIS round (tx_bm25
-#: decimal-round oracle, g9_pagerank fixed-point ranks, s17 staging
-#: fingerprint), (b) round-6 additions, then (c) all 44 queries whose
-#: latest driver row predates r4 — the five r1-era rows first
-#: (g2/j4/j5/m6/p10), then the r3 cohort.  Every query past position 50
-#: has a green r4/r5 driver row and local parity coverage.
+#: for: (a) the 8 round-6 queries never driver-sampled plus the
+#: upgraded history_report, (b) queries whose plan/staging changed this
+#: round (s1/s2/s5 cache re-key, tx_bpe_vocab invariant upgrade, new
+#: s6_osm_export), then (c) the 41-query cohort whose latest driver row
+#: is r4 — least-recently-sampled first.  Every query past position 50
+#: has a green r4-r6 driver row and local parity coverage.
 _DRIVER_PRIORITY = [
-    # changed this round — need fresh driver evidence after the edits
-    "tx_bm25", "g9_pagerank", "s17_schema_evolution",
-    # new this round
-    "m10_tripadvisor_ops",  # X/M10 TripAdvisor enrichment emission
-    "g2_proximity_groups",  # upgraded rows-only -> invariant oracle
-    "dd_containment",  # X50 prefix-filter containment join
-    # stale since r1
-    "j4_match_cascade", "j5_pick_merges", "m6_close_report",
-    "p10_name_tags",
-    # stale since r3
-    "a1_area_summary", "a2_images_size", "ann_cosine_topk",
-    "ann_ivf_topk", "ann_knn_label", "curate_corpus", "d1_date_kit",
-    "dd_exact", "dd_simhash", "dd_simhash_pairs", "e1_snapshot_diff",
-    "e3_intersect_keys", "e9_extract_diff", "emb_neardup_lsh",
-    "g1_sessionize", "g3_tile_grid", "geoall_area_summary",
-    "j10_latest_event", "j1_argmax_join", "j4_fuzzy_name_join",
-    "j6_anti_join", "j7_semi_join", "m1m4_sync_ops", "mm_decode_stats",
-    "mm_feature_codes", "mm_sample_frames", "o1_distance_topk",
-    "p12_mercator_tiles", "p2_main_element", "p2_main_osm_element",
-    "q3_segment_topk", "q5_region_revenue", "s7_keys_scan",
-    "s9_inverse_index_lookup", "t1_text_kit", "tx_fingerprints",
-    "tx_language_id", "tx_quality_score", "w1_running_total",
-    # new late in round 6 — first in line for the r7 sample (positions
-    # 51+; the 44-stale rotation above must complete first per the r5
-    # verdict, and the 50-slot budget is exactly spent)
-    "dd_dup_spans",  # X51 duplicate-span (substring-level) dedup
-    "emb_kmeans",  # X52 integer-exact k-means over embeddings
-    "history_report",  # upgraded rows-only -> invariant oracle in r6
-    "m11_asof_snapshot",  # X53 time-travel (as-of block) oplog read
-    "st_exact_dedup",  # X54 incremental exact-dedup stream
-    "w4_range_frame",  # time-RANGE sliding frame (r6)
-    "j13_interval_join",  # X55 interval-overlap join (r6)
-    "udf_expr_matchid",  # §2.12 registered-SQL-function surface (r6)
-    "g10_spatial_join",  # X56 grid-blocked spatial join (r6)
-    "dd_dup_spans_apply",  # X57 span-removal apply (r6)
-    # r4/r5-green rotation (yield their slots; sampled when room allows)
+    # (a) never driver-sampled (added late r6) + the r6 invariant
+    # upgrade of history_report (last driver row r4, rows-only)
+    "emb_kmeans", "m11_asof_snapshot", "st_exact_dedup",
+    "w4_range_frame", "j13_interval_join", "udf_expr_matchid",
+    "g10_spatial_join", "dd_dup_spans_apply", "history_report",
+    # (b) changed this round
+    "s6_osm_export",  # OprOSMDataProvider reverse projection (new r7)
+    "tx_bpe_vocab",  # rows-only -> invariant oracle upgrade (r7)
+    "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
+    "s2_diff_roundtrip",                       # source mtime+size
+    # (c) last sampled r4, oldest evidence in the repo
+    "m9_apply_changelog", "m5_merge_ops", "m7_migrate_ids",
+    "s14_pack_ops", "s15_merge_upsert", "s13_geojson_features",
+    "s4_adaptive_split", "j3_border_correct", "j7_history_full_check",
+    "p4_history_features", "p6_change_classification",
+    "p7_review_candidates", "p11_json_extraction", "m8_placetype_ops",
+    "a5_merge_counters", "a7_first_last_wins",
+    "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
+    "e2_config_delta", "e4_set_ops", "o4_topk_per_group",
+    "o5_orthogonal_distance", "d2_monthly_windows", "w3_percentiles",
+    "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",
+    "q6_revenue_delta", "q16_distinct_count", "q19_disjunctive_filter",
+    "st_event_rollup", "st_sessionize", "st_user_totals",
+    "tx_boilerplate", "tx_decontaminate", "tx_mix_weights",
+    # 50-slot budget spent here; the rest roll to r8
+    "tx_pii_scrub", "tx_repetition", "tx_stratified_sample",
+    "tx_tfidf_topk",
+    # r5/r6-green rotation (yield their slots; sampled when room allows)
     "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
     "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",
     "dd_dup_groups", "dd_apply", "a4_place_types", "tx_token_counts",
     "geo_tile_report", "emb_neardup_pairs", "j2_proximity_pairs",
     "d4_lenient_timestamps", "tx_domain_cap", "tx_group_split",
-    "s2_diff_roundtrip", "st_neardup_pairs", "x22_bucketed_lookup",
+    "st_neardup_pairs", "x22_bucketed_lookup",
     "emb_semdedup", "j11_asof_join", "j12_range_join", "dd_blocks",
     "sk_kmv_distinct", "sk_countmin", "d5_multires_rollup",
     "sk_bottomk_quantiles", "tx_keyword_search", "mm_resize",
     "g7_zorder", "emb_scalar_quant", "tx_chunk_windows", "g8_zcell_scan",
     "tx_bigram_lm", "tx_classifier", "tx_weighted_sample",
     "tx_drift_report", "tx_shard_manifest", "sql_surface_report",
-    "tx_bpe_vocab", "ev_funnel", "ev_retention", "ev_anomaly",
+    "ev_funnel", "ev_retention", "ev_anomaly",
     "ann_quant_rerank", "dd_apply_best", "d6_incremental_rollup",
-    "w2_event_deltas", "o4_topk_per_group",
-    "e4_set_ops", "a10_array_hof", "d2_monthly_windows",
-    "a7_first_last_wins", "s13_geojson_features", "s15_merge_upsert",
-    "e2_config_delta", "g5_way_stats", "g4_simplify_ways",
-    "o5_orthogonal_distance", "g6_points_in_triangle",
-    "p6_change_classification", "p7_review_candidates",
-    "j7_history_full_check", "p4_history_features", "s4_adaptive_split",
-    "s5_staged_scan", "m8_placetype_ops",
-    "s1_osm_xml_roundtrip", "tx_stratified_sample", "tx_mix_weights",
-    "tx_repetition", "tx_decontaminate", "tx_pii_scrub",
-    "st_event_rollup", "st_sessionize", "st_user_totals",
+    "w2_event_deltas",
 ]
 
 

@@ -111,8 +111,11 @@ def s5_staged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     then aggregate the STAGED copy — event counts and payload stats per
     type.  Cache key mirrors SyncRequest.getCacheId; keyed by the sf
     dir so scale factors never cross-contaminate."""
+    # cache id carries the source parquet's mtime+size so a driver
+    # testdata refresh rebuilds the stage (CLAUDE.md stale-cache rule)
     cid = staging.cache_id(
-        name=f"events-{os.path.basename(os.path.normpath(sf_dir))}",
+        name=(f"events-{os.path.basename(os.path.normpath(sf_dir))}"
+              f"-{staging.source_fingerprint(sf_dir, 'events')}"),
         date="2021-06-01", bbox=(-180.0, -90.0, 180.0, 90.0))
     cache_dir = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
 
@@ -309,7 +312,11 @@ def s1_osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer→parser→filter loop is lossless."""
     from ..sources import osm_xml
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # cache keyed on the source parquet's mtime+size (CLAUDE.md rule:
+    # driver testdata drifts between rounds; existence-only keys serve
+    # stale rows while the oracle reads fresh parquet)
+    tag = (os.path.basename(os.path.normpath(sf_dir))
+           + "_" + staging.source_fingerprint(sf_dir, "customer"))
     path = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"osm_src_{tag}.osm")
     if not os.path.exists(path):
@@ -364,7 +371,9 @@ def s2_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle, which derives the same facts straight from the parquet."""
     from ..sources import osm_xml
 
-    tag = os.path.basename(os.path.normpath(sf_dir))
+    # mtime+size-keyed like s1 — see the CLAUDE.md stale-cache rule
+    tag = (os.path.basename(os.path.normpath(sf_dir))
+           + "_" + staging.source_fingerprint(sf_dir, "customer"))
     path = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"osm_diff_{tag}.osm")
     if not os.path.exists(path):

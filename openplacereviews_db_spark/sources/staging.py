@@ -43,6 +43,16 @@ def cache_id(name: str, date: str,
     return r.replace(":", "_")
 
 
+def source_fingerprint(sf_dir: str, table: str) -> str:
+    """``{mtime}_{size}`` of ``sf_dir/table.parquet`` — embed this in
+    every write-once staging path derived from driver testdata.  The
+    driver regenerates parquet between rounds (events.ts changed type
+    in r3); an existence-only cache check would then serve stale staged
+    rows while the oracle reads the fresh table."""
+    st = os.stat(os.path.join(sf_dir, f"{table}.parquet"))
+    return f"{int(st.st_mtime)}_{st.st_size}"
+
+
 def stage_raw(spark: SparkSession, fetch: Callable[[], DataFrame],
               cache_dir: str, cid: str) -> DataFrame:
     """Write-once staging: if ``cache_dir/cid`` holds a completed

@@ -89,3 +89,51 @@ def test_global_cumsum_matches_single_window(spark):
            for r in global_row_index(df, ["id"], "i",
                                      num_partitions=5).collect()}
     assert idx == {i: i for i in range(1000)}
+
+
+def _mini_sf_dir(tmp_path, keys):
+    """A throwaway sf_dir with just the tables s1/s5 stage from."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(keys, pa.int64()),
+        "c_name": [f"Customer#{k}" for k in keys],
+        "c_mktsegment": ["BUILDING" for _ in keys],
+    }), str(tmp_path / "customer.parquet"))
+    pq.write_table(pa.table({
+        "event_id": pa.array(keys, pa.int64()),
+        "event_type": ["click" for _ in keys],
+        "user_id": pa.array(keys, pa.int64()),
+        "ts": pa.array([1_600_000_000_000_000 + k for k in keys],
+                       pa.timestamp("us")),
+    }), str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def test_staging_rebuilds_on_source_refresh(spark, tmp_path):
+    """The CLAUDE.md stale-cache rule: when the driver regenerates a
+    source parquet, every write-once stage derived from it must
+    rebuild — existence-only keys would serve stale rows while the
+    oracle reads fresh data (guaranteed driver FAIL)."""
+    import os
+    import time
+
+    from openplacereviews_db_spark.plans.sync_plans import (
+        s1_osm_xml_roundtrip, s5_staged_scan)
+
+    sf = _mini_sf_dir(tmp_path, [2, 4, 6])
+    assert sorted(r["id"] for r in
+                  s1_osm_xml_roundtrip(spark, sf).collect()) == [2, 4, 6]
+    assert s5_staged_scan(spark, sf).collect()[0]["n"] == 3
+
+    # simulate a driver testdata refresh (mtime and/or size change)
+    time.sleep(0.01)
+    _mini_sf_dir(tmp_path, [8, 10, 12, 14])
+    os.utime(str(tmp_path / "customer.parquet"))
+    os.utime(str(tmp_path / "events.parquet"))
+
+    assert sorted(r["id"] for r in
+                  s1_osm_xml_roundtrip(spark, sf).collect()) == \
+        [8, 10, 12, 14]
+    assert s5_staged_scan(spark, sf).collect()[0]["n"] == 4
