@@ -467,12 +467,70 @@ ORACLES["tx_drift_report"] = f"""
 def tx_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE vocabulary induction (X43): learn the corpus' first five
     byte-pair merges — tokenizer training as a distributed pipeline
-    stage.  Genuinely iterative (greedy argmax per round), so
-    rows-only at the driver; semantics pinned by the pure-Python golden
-    in tests/test_bpe.py."""
+    stage.  Iterative greedy argmax per round, but the merge budget is
+    fixed, so the oracle unrolls the loop into a closed-form CTE chain
+    (see ``_bpe_oracle``) — full driver-hash coverage since r7;
+    semantics additionally pinned by the pure-Python golden in
+    tests/test_bpe.py."""
     from ..operators.bpe import bpe_merges
 
     return bpe_merges(_docs(spark, sf_dir), n_merges=5)
 
 
 QUERIES["tx_bpe_vocab"] = tx_bpe_vocab
+
+
+def _bpe_oracle(n_merges: int = 5) -> str:
+    """Closed-form unrolled mirror of :func:`bpe_merges` — the greedy
+    loop is bounded (five merges), so it unrolls into a fixed CTE
+    chain, the same trick as sync_plans._s4_oracle's depth-capped
+    recursion.  Symbol sequences ride as chr(1)-delimited strings with
+    a leading/trailing sentinel ("\\x01a\\x01b\\x01"): DuckDB
+    ``replace`` scans left-to-right non-overlapping ("a a a" ->
+    "aa a"), which IS the greedy merge semantics of
+    operators/bpe.py:merge_word, and the sentinels make matches
+    token-boundary-exact (a pair pattern "\\x01a\\x01b\\x01" cannot
+    match inside a longer token).  Each round: lockstep-unnest adjacent
+    pairs, SUM(freq) argmax with the (cnt DESC, a, b) tiebreak, apply
+    via replace.  Corpus text is sentinel-free (checked at both sf),
+    so the encoding is lossless."""
+    S = "chr(1)"
+    ctes = [f"""
+    wt AS (
+        SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT unnest({_WORDS}) AS w
+              FROM documents WHERE length(text) > 0)
+        GROUP BY 1
+    ),
+    st0 AS (
+        SELECT {S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g') AS s,
+               freq
+        FROM wt
+    )"""]
+    for r in range(1, n_merges + 1):
+        ctes.append(f"""
+    p{r} AS (
+        SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM (SELECT unnest(ws[1:len(ws)-1]) AS a,
+                     unnest(ws[2:len(ws)]) AS b, freq
+              FROM (SELECT string_split(trim(s, {S}), {S}) AS ws, freq
+                    FROM st{r - 1}))
+        GROUP BY 1, 2
+    ),
+    m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1)""")
+        if r < n_merges:
+            ctes.append(f"""
+    st{r} AS (
+        SELECT replace(s, {S} || a || {S} || b || {S},
+                       {S} || a || b || {S}) AS s, freq
+        FROM st{r - 1} CROSS JOIN m{r}
+    )""")
+    selects = [
+        f"SELECT {r} AS merge_rank, a AS \"left\", b AS \"right\", "
+        f"a || b AS merged, cnt AS pair_count FROM m{r}"
+        for r in range(1, n_merges + 1)]
+    return ("WITH " + ",".join(ctes) + "\n"
+            + "\nUNION ALL\n".join(selects))
+
+
+ORACLES["tx_bpe_vocab"] = _bpe_oracle()

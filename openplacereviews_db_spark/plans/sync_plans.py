@@ -594,3 +594,98 @@ ORACLES["s17_schema_evolution"] = """
            CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
     FROM u GROUP BY 1
 """
+
+
+def s6_osm_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reverse projection place -> OSM entity rows
+    (OprOSMDataProvider.java:57-120 ``generateEntityFromObject``): for
+    every live place, explode ``source.osm`` and emit one entity row
+    per element, dispatching on the element type exactly as the
+    reference does —
+
+    - ``node`` (:89-94): id + lat/lon + tags + entity info;
+    - ``way`` (:103-108): same surface (the Way ctor carries lat/lon,
+      tags and info; node refs are null in the draft);
+    - ``relation`` (:84-87): the BARE id — the reference constructs
+      ``new Relation(id)`` and returns without tags, coords or info,
+      so every other column is NULL;
+    - any other type (:75-77): dropped.
+
+    The synthetic corpus stores only nodes, so the element type is
+    remapped in-query from the element id (declared input prep,
+    mirrored identically in the oracle) to exercise all four dispatch
+    branches under the driver hash.  Live-place filter per P1
+    (``fetchAllObjects`` only sees objects still in blockchain state).
+    Scale shape: explode + column expressions only — no shuffle at
+    all; the export is embarrassingly parallel over place partitions.
+    """
+    from ..sources import places as P
+
+    pl = P.synthetic_places(spark, sf_dir)
+    e = (pl.where(F.col("deleted").isNull())
+         .select(F.explode("source.osm").alias("o")))
+    oid = F.col("o.id")
+    etype = (F.when(oid % 10 == 3, "way")
+             .when(oid % 10 == 7, "relation")
+             .when(oid % 10 == 9, "bogus")
+             .otherwise("node"))
+    e = e.select(oid.alias("osm_id"), etype.alias("entity_type"), "o")
+    full = F.col("entity_type").isin("node", "way")
+    return (e.where(F.col("entity_type") != "bogus")
+            .select(
+                "osm_id", "entity_type",
+                F.when(full, F.col("o.lat")).alias("lat"),
+                F.when(full, F.col("o.lon")).alias("lon"),
+                F.when(full, F.size("o.tags")).cast("int").alias("n_tags"),
+                F.when(full, F.col("o.tags")["name"]).alias("tag_name"),
+                F.when(full, F.col("o.tags")["amenity"]).alias("tag_amenity"),
+                F.when(full, F.col("o.version")).alias("version"),
+                F.when(full, F.col("o.timestamp")).alias("info_timestamp"),
+            ))
+
+
+QUERIES["s6_osm_export"] = s6_osm_export
+
+
+def _s6_oracle() -> str:
+    from ..sources import places as P
+
+    lat = (f"(((key * {P._LAT_MUL}) % {P._LAT_MOD})"
+           " / CAST(100.0 AS DOUBLE) - CAST(80.0 AS DOUBLE))")
+    lon = (f"(((key * {P._LON_MUL}) % {P._LON_MOD})"
+           " / CAST(100.0 AS DOUBLE) - CAST(180.0 AS DOUBLE))")
+    return f"""
+    WITH live AS (
+        SELECT c_custkey AS key, c_name, lower(c_mktsegment) AS ptype
+        FROM customer WHERE c_custkey % 11 <> 0
+    ),
+    elems AS (
+        SELECT key, c_name, ptype, key AS id FROM live
+        UNION ALL
+        SELECT key, c_name, ptype, key + 5000000 AS id FROM live
+        WHERE key % 13 = 0 OR key % 7 = 0
+    ),
+    typed AS (
+        SELECT *,
+               CASE WHEN id % 10 = 3 THEN 'way'
+                    WHEN id % 10 = 7 THEN 'relation'
+                    WHEN id % 10 = 9 THEN 'bogus'
+                    ELSE 'node' END AS entity_type
+        FROM elems
+    )
+    SELECT id AS osm_id, entity_type,
+           CASE WHEN entity_type <> 'relation' THEN {lat} END AS lat,
+           CASE WHEN entity_type <> 'relation' THEN {lon} END AS lon,
+           CASE WHEN entity_type <> 'relation'
+                THEN CAST(2 AS INTEGER) END AS n_tags,
+           CASE WHEN entity_type <> 'relation' THEN c_name END AS tag_name,
+           CASE WHEN entity_type <> 'relation' THEN ptype END AS tag_amenity,
+           CASE WHEN entity_type <> 'relation'
+                THEN CAST(1 + key % 5 AS VARCHAR) END AS version,
+           CASE WHEN entity_type <> 'relation'
+                THEN '2021-01-01T00:00:00' END AS info_timestamp
+    FROM typed WHERE entity_type <> 'bogus'
+"""
+
+
+ORACLES["s6_osm_export"] = _s6_oracle()
