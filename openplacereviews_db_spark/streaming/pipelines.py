@@ -473,14 +473,35 @@ def exact_dedup_stream(docs_stream: DataFrame, index_dir: str,
     survivors to the index and the per-batch group sizes to
     ``counts_dir``.  State is ids+fingerprints only (≤ 40 B/distinct
     doc regardless of text size); the anti-join is an equi-join on the
-    md5 fingerprint — maximally spread, never quadratic.  Offsets
-    commit with the checkpoint in the same epoch (the changelog-fold
-    discipline above)."""
+    md5 fingerprint — maximally spread, never quadratic.
+
+    foreachBatch is AT-LEAST-ONCE, so both sinks are idempotent per
+    epoch: each batch writes its output to an ``epoch=<id>`` partition
+    directory with mode=overwrite (a committed retry is skipped
+    outright, a torn one is rewritten), and the seen-index read prunes
+    to ``epoch < current`` so a half-written current epoch can never
+    feed its own anti-join.  A retried micro-batch therefore recomputes
+    byte-identical output instead of double-appending counts."""
+    on_batch = _exact_dedup_batch(index_dir, counts_dir)
+    return (docs_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def _exact_dedup_batch(index_dir: str, counts_dir: str):
+    """The foreachBatch body of :func:`exact_dedup_stream`, exposed so
+    tests can replay an epoch and assert the retry is a no-op."""
     from ..functions import hashing as H
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         import os
 
+        epoch = int(epoch_id)
+        idx_part = os.path.join(index_dir, f"epoch={epoch}")
+        cnt_part = os.path.join(counts_dir, f"epoch={epoch}")
+        if (os.path.isfile(os.path.join(idx_part, "_SUCCESS"))
+                and os.path.isfile(os.path.join(cnt_part, "_SUCCESS"))):
+            return  # retried, already-committed epoch: exact no-op
         spark = batch.sparkSession
         firsts = (batch
                   .select("doc_id", H.fingerprint(F.col("text")).alias("fp"))
@@ -489,17 +510,17 @@ def exact_dedup_stream(docs_stream: DataFrame, index_dir: str,
                        F.count(F.lit(1)).alias("c")))
         # isdir guard, not try/except: a missing first-batch index is
         # expected, and the AnalysisException path logs a full JVM
-        # stack trace per run
+        # stack trace per run.  The epoch < current filter is partition
+        # PRUNING — a torn current-epoch directory is never opened.
         if os.path.isdir(index_dir):
-            seen = spark.read.parquet(index_dir).select("fp")
+            seen = (spark.read.parquet(index_dir)
+                    .where(F.col("epoch") < F.lit(epoch)).select("fp"))
         else:
             seen = spark.createDataFrame([], "fp string")
         new = (firsts.join(seen, "fp", "left_anti")
                .select("fp", "keep_id"))
-        firsts.select("fp", "c").coalesce(4).write.mode("append") \
-            .parquet(counts_dir)
-        new.coalesce(4).write.mode("append").parquet(index_dir)
+        firsts.select("fp", "c").coalesce(4).write.mode("overwrite") \
+            .parquet(cnt_part)
+        new.coalesce(4).write.mode("overwrite").parquet(idx_part)
 
-    return (docs_stream.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True))
+    return on_batch

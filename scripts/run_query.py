@@ -11,6 +11,7 @@ Examples:
 """
 from __future__ import annotations
 
+import argparse
 import sys
 from pathlib import Path
 
@@ -19,47 +20,50 @@ sys.path.insert(0, str(REPO))
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    flags = [a for a in sys.argv[1:] if a.startswith("--")]
+    ap = argparse.ArgumentParser(
+        prog="run_query.py",
+        description="Run any contract query by name.")
+    ap.add_argument("name", nargs="?",
+                    help="query name (or filter pattern with --list)")
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--list", action="store_true", dest="list_queries",
+                    help="list query names matching the filter")
+    ap.add_argument("--explain", action="store_true")
+    ap.add_argument("--limit", type=int, default=20,
+                    help="rows to show (both --limit N and --limit=N)")
+    ns = ap.parse_args()
 
     import __spark_entry__ as entrymod
 
-    if "--list" in flags:
-        pat = (args[0] if args else "").lower()
+    if ns.list_queries:
+        pat = (ns.name or "").lower()
         for name in entrymod.queries():
             if pat in name.lower():
                 print(name)
         return 0
 
-    if not args:
+    if not ns.name:
         print(__doc__)
         return 2
-    name = args[0]
-    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
     qs = entrymod.queries()
-    if name not in qs:
-        close = [n for n in qs if name.lower() in n.lower()]
-        print(f"unknown query {name!r}" + (f"; close: {close}" if close else ""))
+    if ns.name not in qs:
+        close = [n for n in qs if ns.name.lower() in n.lower()]
+        print(f"unknown query {ns.name!r}"
+              + (f"; close: {close}" if close else ""))
         return 2
-
-    limit = 20
-    for f in flags:
-        if f.startswith("--limit"):
-            limit = int(f.split("=", 1)[1]) if "=" in f else int(sys.argv[
-                sys.argv.index(f) + 1])
 
     from openplacereviews_db_spark.session import get_spark
 
     spark = get_spark("run_query", shuffle_partitions=32)
-    df = qs[name](spark, sf_dir)
-    if "--explain" in flags:
+    df = qs[ns.name](spark, ns.sf_dir)
+    if ns.explain:
         df.explain("formatted")
     import time
     t0 = time.time()
     rows = df.collect()
     dt = time.time() - t0
-    df.limit(limit).show(limit, truncate=40)
-    print(f"{name}: {len(rows)} rows in {dt:.2f}s at {sf_dir}")
+    df.limit(ns.limit).show(ns.limit, truncate=40)
+    print(f"{ns.name}: {len(rows)} rows in {dt:.2f}s at {ns.sf_dir}")
     return 0
 
 

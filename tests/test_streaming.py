@@ -299,3 +299,44 @@ def test_exact_dedup_stream_cross_batch_first_seen(spark, tmp_path):
     # counts accumulate across batches: 3 copies of the aaa text
     assert n_by_fp[fp_of["aaa bbb ccc"]] == 3
     assert n_by_fp[fp_of["xyz qqq"]] == 2
+
+
+def test_exact_dedup_batch_retry_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: replaying an already-committed
+    epoch (same epoch_id, same batch content) must change NOTHING —
+    neither the kept index nor the accumulated counts — and a replay
+    with the commit marker removed (torn write) must rebuild the same
+    state, not double-append."""
+    from pyspark.sql import functions as F
+
+    idx, cnt = str(tmp_path / "idx"), str(tmp_path / "cnt")
+    on_batch = SP._exact_dedup_batch(idx, cnt)
+
+    b0 = spark.createDataFrame(
+        [(10, "aaa bbb"), (11, "unique zero")], "doc_id long, text string")
+    b1 = spark.createDataFrame(
+        [(2, "aaa  BBB"), (20, "xyz qqq")], "doc_id long, text string")
+    on_batch(b0, 0)
+    on_batch(b1, 1)
+
+    def state():
+        kept = sorted((r["fp"], r["keep_id"]) for r in
+                      spark.read.parquet(idx).select("fp", "keep_id")
+                      .collect())
+        counts = sorted((r["fp"], r["n"]) for r in
+                        spark.read.parquet(cnt).groupBy("fp")
+                        .agg(F.sum("c").alias("n")).collect())
+        return kept, counts
+
+    committed = state()
+    on_batch(b1, 1)  # committed retry: exact no-op
+    assert state() == committed
+
+    # torn retry: nuke epoch 1's commit markers, replay — the epoch
+    # partition is overwritten (not appended) and seen prunes to
+    # epoch < 1, so the rebuilt state is identical
+    import os
+    for d in (idx, cnt):
+        os.remove(os.path.join(d, "epoch=1", "_SUCCESS"))
+    on_batch(b1, 1)
+    assert state() == committed
