@@ -8,7 +8,14 @@ Replicates the sf0.1 ``documents`` and ``embeddings`` tables 10x into
   is preserved exactly and cross-copy overlap is zero — pairwise
   workloads (LSH pairs, dup spans) scale exactly 10x;
 - embedding copies keep their vectors (distance workloads are
-  value-insensitive) and offset ``vec_id`` by copy*N so ids stay unique.
+  value-insensitive) and offset ``vec_id`` by copy*N so ids stay unique;
+- ``customer`` / ``orders`` / ``lineitem`` replicate with consistent
+  key offsets (c_custkey, o_orderkey/o_custkey, l_orderkey) so each
+  copy is join-closed — the r7 spot-check of the non-dedup heavies
+  (m9 changelog fold, g9 pagerank, history_report) needs them.
+  l_suppkey/l_partkey are NOT offset: suppliers/parts are shared
+  dimensions, so the pagerank graph gets 10× edges over the same
+  supplier set (denser, the harder direction) rather than 10 islands.
 
 Usage: python scripts/make_sf1.py [src_sf_dir] [dest_dir]
 """
@@ -49,7 +56,33 @@ def main() -> None:
                  unnest([{copies}]) AS t(c)
         ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
     """)
-    for t in ("documents", "embeddings"):
+    n_cust = con.execute(
+        f"SELECT max(c_custkey) + 1 FROM '{src}/customer.parquet'").fetchone()[0]
+    n_ord = con.execute(
+        f"SELECT max(o_orderkey) + 1 FROM '{src}/orders.parquet'").fetchone()[0]
+    con.execute(f"""
+        COPY (
+            SELECT c_custkey + c * {n_cust} AS c_custkey,
+                   * EXCLUDE (c_custkey)
+            FROM '{src}/customer.parquet', unnest([{copies}]) AS t(c)
+        ) TO '{dest}/customer.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT o_orderkey + c * {n_ord} AS o_orderkey,
+                   o_custkey + c * {n_cust} AS o_custkey,
+                   * EXCLUDE (o_orderkey, o_custkey)
+            FROM '{src}/orders.parquet', unnest([{copies}]) AS t(c)
+        ) TO '{dest}/orders.parquet' (FORMAT PARQUET)
+    """)
+    con.execute(f"""
+        COPY (
+            SELECT l_orderkey + c * {n_ord} AS l_orderkey,
+                   * EXCLUDE (l_orderkey)
+            FROM '{src}/lineitem.parquet', unnest([{copies}]) AS t(c)
+        ) TO '{dest}/lineitem.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("documents", "embeddings", "customer", "orders", "lineitem"):
         n = con.execute(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()
         print(t, n[0], "rows ->", dest / f"{t}.parquet")
 
