@@ -100,3 +100,63 @@ def bpe_merges(docs: DataFrame, n_merges: int = 5) -> DataFrame:
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, "
                 "merged string, pair_count bigint")
+
+
+#: sentinel for the codegen encode path — a char the corpus never
+#: contains (asserted for the testdata corpora in plans/scoring.py's
+#: oracle note); symbol strings ride as "\x01a\x01b\x01"
+_SENT = "\x01"
+
+
+def encode_token_counts(docs: DataFrame, merges: list[tuple[str, str]],
+                        text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Apply a learned merge table to the corpus and count tokens —
+    the tokenizer-APPLICATION stage (X58), complement of
+    :func:`bpe_merges`' training stage.
+
+    Pure codegen, ZERO shuffle and zero Python: each word becomes a
+    DOUBLE-sentinel-delimited symbol string ("\\x01\\x01a\\x01\\x01b
+    \\x01\\x01") and each merge applies as one ``replace`` with the
+    pattern "\\x01a\\x01\\x01b\\x01" → "\\x01ab\\x01".  Java
+    ``String.replace`` scans left-to-right non-overlapping and
+    continues AFTER each replacement — exactly :func:`merge_word`'s
+    greedy semantics — and the double separator keeps each match's
+    outer sentinels untouched, so two ADJACENT occurrences of the pair
+    both merge (single separators would share the boundary sentinel
+    and silently skip the second: "abab" must become [ab, ab]).
+    Token-boundary-exactness still holds: the pattern's outer single
+    sentinels can only align against a separator, never inside a
+    longer token.  The token count is sentinel arithmetic.  The whole
+    computation is a row-local column expression over the documents
+    scan, so it pipelines at input-scan speed at any corpus size — the
+    shape one wants for tokenizing 100 TB.
+
+    Returns (doc_id, n_words, n_base_tokens, n_tokens): base tokens =
+    characters (the pre-merge symbol count), n_tokens = symbols after
+    all merges, applied in rank order.
+    """
+    S = _SENT
+
+    def tok(w):
+        enc = F.concat(F.lit(S + S), F.regexp_replace(w, "(.)", "$1" + S + S))
+        for a, b in merges:
+            enc = F.replace(enc, F.lit(S + a + S + S + b + S),
+                            F.lit(S + a + b + S))
+        # sentinel count is 2*(tokens+1) — always even
+        n_sent = (F.length(enc)
+                  - F.length(F.replace(enc, F.lit(S), F.lit(""))))
+        return (F.shiftright(n_sent, 1) - F.lit(1)).cast("long")
+
+    words = F.filter(F.split(H.norm_text(F.col(text_col)), " "),
+                     lambda w: w != "")
+    zero = F.lit(0).cast("long")
+    return docs.select(
+        F.col(id_col),
+        F.size(words).alias("n_words"),
+        F.aggregate(words, zero,
+                    lambda acc, w: acc + F.length(w).cast("long"))
+        .alias("n_base_tokens"),
+        F.aggregate(words, zero, lambda acc, w: acc + tok(w))
+        .alias("n_tokens"),
+    )

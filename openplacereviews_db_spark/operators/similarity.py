@@ -101,6 +101,42 @@ def knn_label_predict(corpus: DataFrame, queries: DataFrame, k: int = 7,
                     .alias("correct")))
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 3,
+                       vec_col: str = "embedding", id_col: str = "vec_id",
+                       label_col: str = "label",
+                       round_digits: int = 4) -> DataFrame:
+    """Hard-negative mining (X59): for each query vector, the k most
+    cosine-similar corpus vectors with a DIFFERENT label — the
+    confusable negatives contrastive embedding training wants (the
+    batch form of in-batch hard-negative selection).
+
+    Same discipline as :func:`cosine_topk`: bounded query side
+    broadcast, corpus streams once, similarity rounded BEFORE ranking,
+    (sim DESC, c_id ASC) tiebreak.  The label-mismatch predicate rides
+    in the join condition, so same-label rows are dropped before the
+    rank window ever sees them.  At an unbounded query scale, swap the
+    candidate generation for the LSH/IVF bucket paths and keep the
+    same label filter + rank tail.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), as_double(F.col(vec_col)).alias("q_vec"),
+        F.col(label_col).alias("q_label"))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"), as_double(F.col(vec_col)).alias("c_vec"),
+        F.col(label_col).alias("neg_label"))
+    scored = (
+        c.join(F.broadcast(q),
+               (F.col("q_id") != F.col("c_id"))
+               & (F.col("q_label") != F.col("neg_label")))
+        .select("q_id", "q_label", "c_id", "neg_label",
+                F.round(cosine(F.col("q_vec"), F.col("c_vec")),
+                        round_digits).alias("sim")))
+    w = F.row_number().over(
+        Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id")))
+    return (scored.withColumn("rank", w).where(F.col("rank") <= k)
+            .select("q_id", "q_label", "c_id", "neg_label", "sim", "rank"))
+
+
 def cosine_pairs_gemm(embs: DataFrame, threshold: float,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       round_digits: int = 4,

@@ -1681,3 +1681,39 @@ ORACLES["dd_apply_best"] = f"""
           FROM m)
     SELECT id, canonical_id, group_size, score, rk = 1 AS kept FROM r
 """
+
+
+def emb_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining (X59): every 25th labeled vector under id
+    1000 (bounded probe set, constant broadcast side) gets its 3 most
+    cosine-similar DIFFERENT-label neighbors — the contrastive-training
+    negative sampler.  See operators/similarity.py:hard_negative_topk
+    for the scale discussion."""
+    embs = _embs(spark, sf_dir)
+    queries = embs.where((F.col("vec_id") % 25 == 0)
+                         & (F.col("vec_id") < 1000))
+    return similarity.hard_negative_topk(embs, queries, k=3)
+
+
+QUERIES["emb_hard_negatives"] = emb_hard_negatives
+
+ORACLES["emb_hard_negatives"] = """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+               FROM embeddings),
+    scored AS (
+        SELECT q.vec_id AS q_id, q.label AS q_label,
+               c.vec_id AS c_id, c.label AS neg_label,
+               round(list_dot_product(q.v, c.v)
+                     / (sqrt(list_dot_product(q.v, q.v))
+                        * sqrt(list_dot_product(c.v, c.v))), 4) AS sim
+        FROM e q, e c
+        WHERE q.vec_id % 25 = 0 AND q.vec_id < 1000
+          AND q.vec_id <> c.vec_id AND q.label <> c.label),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+                                     ORDER BY sim DESC, c_id ASC) AS rank
+        FROM scored)
+    SELECT q_id, q_label, c_id, neg_label, sim,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 3
+"""

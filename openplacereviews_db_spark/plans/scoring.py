@@ -484,13 +484,17 @@ def _bpe_oracle(n_merges: int = 5) -> str:
     """Closed-form unrolled mirror of :func:`bpe_merges` — the greedy
     loop is bounded (five merges), so it unrolls into a fixed CTE
     chain, the same trick as sync_plans._s4_oracle's depth-capped
-    recursion.  Symbol sequences ride as chr(1)-delimited strings with
-    a leading/trailing sentinel ("\\x01a\\x01b\\x01"): DuckDB
-    ``replace`` scans left-to-right non-overlapping ("a a a" ->
-    "aa a"), which IS the greedy merge semantics of
-    operators/bpe.py:merge_word, and the sentinels make matches
-    token-boundary-exact (a pair pattern "\\x01a\\x01b\\x01" cannot
-    match inside a longer token).  Each round: lockstep-unnest adjacent
+    recursion.  Symbol sequences ride as DOUBLE-chr(1)-separated
+    strings ("\\x01\\x01a\\x01\\x01b\\x01\\x01") and a merge applies
+    as ``replace(s, \\x01a\\x01\\x01b\\x01, \\x01ab\\x01)``: DuckDB
+    ``replace`` scans left-to-right non-overlapping and continues
+    after each replacement — IS the greedy semantics of
+    operators/bpe.py:merge_word — and the double separator keeps each
+    match's outer sentinels intact so ADJACENT pair occurrences both
+    merge ("abab" -> [ab, ab]; a single separator would be consumed
+    by the first match and silently skip the second).  The pattern's
+    outer single sentinels can only align on a separator, so matches
+    are token-boundary-exact.  Each round: lockstep-unnest adjacent
     pairs, SUM(freq) argmax with the (cnt DESC, a, b) tiebreak, apply
     via replace.  Corpus text is sentinel-free (checked at both sf),
     so the encoding is lossless."""
@@ -503,8 +507,9 @@ def _bpe_oracle(n_merges: int = 5) -> str:
         GROUP BY 1
     ),
     st0 AS (
-        SELECT {S} || regexp_replace(word, '(.)', '\\1' || {S}, 'g') AS s,
-               freq
+        SELECT {S} || {S}
+               || regexp_replace(word, '(.)', '\\1' || {S} || {S}, 'g')
+               AS s, freq
         FROM wt
     )"""]
     for r in range(1, n_merges + 1):
@@ -513,7 +518,8 @@ def _bpe_oracle(n_merges: int = 5) -> str:
         SELECT a, b, CAST(SUM(freq) AS BIGINT) AS cnt
         FROM (SELECT unnest(ws[1:len(ws)-1]) AS a,
                      unnest(ws[2:len(ws)]) AS b, freq
-              FROM (SELECT string_split(trim(s, {S}), {S}) AS ws, freq
+              FROM (SELECT string_split(trim(s, {S}), {S} || {S}) AS ws,
+                           freq
                     FROM st{r - 1}))
         GROUP BY 1, 2
     ),
@@ -521,7 +527,7 @@ def _bpe_oracle(n_merges: int = 5) -> str:
         if r < n_merges:
             ctes.append(f"""
     st{r} AS (
-        SELECT replace(s, {S} || a || {S} || b || {S},
+        SELECT replace(s, {S} || a || {S} || {S} || b || {S},
                        {S} || a || b || {S}) AS s, freq
         FROM st{r - 1} CROSS JOIN m{r}
     )""")
@@ -534,3 +540,68 @@ def _bpe_oracle(n_merges: int = 5) -> str:
 
 
 ORACLES["tx_bpe_vocab"] = _bpe_oracle()
+
+
+def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed tokenization with a learned vocab (X58): train the
+    5-merge BPE table (:func:`tx_bpe_vocab`'s loop — bounded 5-row
+    driver state, the kmeans-centroid class), then ENCODE the corpus
+    with it as pure codegen column expressions — zero shuffle, zero
+    Python, pipelines at scan speed (see
+    operators/bpe.py:encode_token_counts).  Output is the per-doc
+    token accounting a training pipeline budgets with: words, base
+    (character) symbols, and post-merge tokens.
+
+    Training executes at plan-build (EAGER_BUILD_OK, like
+    ann_ivf_topk's index build); the encode plan itself is lazy."""
+    from ..operators.bpe import bpe_merges, encode_token_counts
+
+    docs = _docs(spark, sf_dir)
+    merges = [(r["left"], r["right"])
+              for r in bpe_merges(docs, n_merges=5)
+              .orderBy("merge_rank").collect()]
+    return encode_token_counts(docs, merges)
+
+
+QUERIES["tx_bpe_encode"] = tx_bpe_encode
+
+
+def _bpe_encode_oracle(n_merges: int = 5) -> str:
+    """Training mirror (the _bpe_oracle CTE chain) + encode mirror:
+    the 5 merge pairs pivot to one row via cross join, and each doc's
+    token count is the same sentinel/replace arithmetic inside a
+    list_transform lambda."""
+    S = "chr(1)"
+    train = _bpe_oracle(n_merges)
+    # strip the trailing SELECT … UNION ALL block: keep only the WITH
+    # chain (everything up to the first top-level SELECT after the
+    # last m<N> CTE), then re-emit our own final select.
+    with_block = train[: train.rindex("\nSELECT 1 AS merge_rank")]
+    params = ", ".join(f"m{r}.a AS a{r}, m{r}.b AS b{r}"
+                       for r in range(1, n_merges + 1))
+    froms = ", ".join(f"m{r}" for r in range(1, n_merges + 1))
+    enc = (f"{S} || {S} || "
+           f"regexp_replace(w, '(.)', '\\1' || {S} || {S}, 'g')")
+    for r in range(1, n_merges + 1):
+        enc = (f"replace({enc}, {S} || a{r} || {S} || {S} || b{r} || {S}, "
+               f"{S} || a{r} || b{r} || {S})")
+    # sentinel count is 2*(tokens+1)
+    tok = (f"((length({enc}) - length(replace({enc}, {S}, ''))) // 2"
+           f" - 1)::BIGINT")
+    return f"""{with_block},
+    mp AS (SELECT {params} FROM {froms}),
+    dw AS (
+        SELECT doc_id, {_WORDS} AS ws
+        FROM documents WHERE length(text) > 0
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS INTEGER) AS n_words,
+           CAST(list_sum(list_transform(ws, w -> length(w)))
+                AS BIGINT) AS n_base_tokens,
+           CAST(list_sum(list_transform(ws, w -> {tok}))
+                AS BIGINT) AS n_tokens
+    FROM dw CROSS JOIN mp
+"""
+
+
+ORACLES["tx_bpe_encode"] = _bpe_encode_oracle()

@@ -84,3 +84,36 @@ try:
                 assert ab == a or ab == b
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_encode_token_counts_golden(spark):
+    """X58 crafted corpus: the codegen replace-chain encode must equal
+    applying merge_word sequentially in Python — including the
+    overlap case (aaa with (a,a) -> [aa, a]) and a merged pair that a
+    later merge extends."""
+    from openplacereviews_db_spark.operators.bpe import (
+        encode_token_counts, merge_word)
+
+    docs = [(1, "abab abb aaa"), (2, "ba  AB"), (3, "c")]
+    merges = [("a", "b"), ("ab", "ab")]
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_words"], r["n_base_tokens"], r["n_tokens"])
+           for r in encode_token_counts(sdf, merges).collect()}
+
+    import re
+    for doc_id, text in docs:
+        norm = re.sub(r"\s+", " ", text).strip().lower()
+        words = [w for w in norm.split(" ") if w]
+        want_tokens = 0
+        for w in words:
+            syms = list(w)
+            for a, b in merges:
+                syms = merge_word(syms, a, b, a + b)
+            want_tokens += len(syms)
+        assert got[doc_id] == (len(words), sum(len(w) for w in words),
+                               want_tokens), (doc_id, got[doc_id])
+    # spot-pin the interesting values: "abab"->[abab], "abb"->[ab,b],
+    # "aaa"->[a,a,a]; "ba"->[b,a], "ab"->[ab]; "c"->[c]
+    assert got[1] == (3, 10, 6)
+    assert got[2] == (2, 4, 3)
+    assert got[3] == (1, 1, 1)

@@ -27,6 +27,9 @@ BOUNDED_JOIN_OK = {
     "ann_cosine_topk",      # query side is a fixed k-row probe set
     "ann_quant_rerank",     # bounded probe set + 1-row dim-stats bcast
     "ann_knn_label",        # probe side constant (≤50 ids by filter)
+    "emb_hard_negatives",   # probe side constant (≤40 ids by filter);
+                            # the label-mismatch predicate rides in the
+                            # join condition of the bounded broadcast
     "ann_ivf_topk",         # invariant query runs the exact kernel too:
                             # its nested loop broadcasts the ≤50-row
                             # vec_id<50 probe set (same as ann_cosine_topk)
@@ -132,7 +135,9 @@ EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
                   "g9_pagerank",  # edges/deg checkpointed once, reused 4x/iter
                   "emb_kmeans",  # quantized input checkpointed once;
                   # k centroid rows collected per Lloyd round (bounded)
-                  "tx_bpe_vocab"}  # greedy argmax per merge round (1-row)
+                  "tx_bpe_vocab",  # greedy argmax per merge round (1-row)
+                  "tx_bpe_encode"}  # trains the 5-row merge table at
+                  # build (bpe_merges collect), then encodes lazily
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
