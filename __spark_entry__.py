@@ -44,6 +44,7 @@ _DRIVER_PRIORITY = [
     "tx_bpe_vocab",  # rows-only -> closed-form oracle upgrade (r7)
     "tx_bpe_encode",  # X58 tokenizer application (new r7)
     "emb_hard_negatives",  # X59 hard-negative mining (new r7)
+    "emb_rp_project",  # X60 J-L random projection (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo

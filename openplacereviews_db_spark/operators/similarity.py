@@ -705,3 +705,44 @@ def quant_rerank_topk(embs: DataFrame, probe_max_id: int = 10,
     wf = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("c_id"))
     return (rr.withColumn("rank", F.row_number().over(wf))
             .where(F.col("rank") <= k))
+
+
+def rp_signs(in_dim: int, out_dim: int, seed: str = "rp") -> list:
+    """Deterministic ±1 projection matrix derived from md5 — the
+    Achlioptas/J-L sign matrix, reproducible in any engine (the oracle
+    generator inlines the identical literals).  Row j is the sign
+    vector of output dimension j."""
+    import hashlib
+
+    return [
+        [1.0 if int(hashlib.md5(f"{seed}:{j}:{i}".encode())
+                    .hexdigest()[:2], 16) < 128 else -1.0
+         for i in range(in_dim)]
+        for j in range(out_dim)
+    ]
+
+
+def random_project(embs: DataFrame, in_dim: int, out_dim: int = 8,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   round_digits: int = 6) -> DataFrame:
+    """Random-projection dimensionality reduction (X60): project each
+    vector onto ``out_dim`` deterministic ±1 directions — the
+    Johnson-Lindenstrauss front end that shrinks embeddings before an
+    ANN index at scale (64→8 here; distances are preserved within
+    (1±ε) w.h.p., and the sign matrix needs no training pass).
+
+    Pure row-local column arithmetic (one ``zip_with``+``aggregate``
+    dot product per output dim against a LITERAL sign array) — zero
+    shuffle, zero Python, pipelines at scan speed.  Projections are
+    rounded before leaving the operator so downstream ranking is
+    engine-exact; the unnormalized signed sum is emitted (the 1/√k
+    scale is a constant that cancels in any cosine/rank use).
+    """
+    signs = rp_signs(in_dim, out_dim)
+    v = as_double(F.col(vec_col))
+    return embs.select(
+        F.col(id_col),
+        *[F.round(dot(v, F.array(*[F.lit(s) for s in signs[j]])),
+                  round_digits).alias(f"y{j}")
+          for j in range(out_dim)],
+    )

@@ -1717,3 +1717,34 @@ ORACLES["emb_hard_negatives"] = """
            CAST(rank AS INTEGER) AS rank
     FROM ranked WHERE rank <= 3
 """
+
+
+def emb_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-projection dim reduction (X60): 64→8 J-L signed
+    projection of every embedding — see
+    operators/similarity.py:random_project.  Zero shuffle; the oracle
+    inlines the identical md5-derived sign literals and mirrors the
+    dot product with list_dot_product (same summation order as the
+    zip_with/aggregate fold, proven by the ann_* oracles)."""
+    return similarity.random_project(_embs(spark, sf_dir), in_dim=64,
+                                     out_dim=8)
+
+
+QUERIES["emb_rp_project"] = emb_rp_project
+
+
+def _rp_oracle() -> str:
+    signs = similarity.rp_signs(64, 8)
+    cols = ",\n           ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(f"{s:.1f}e0" for s in signs[j])
+        + "]::DOUBLE[]), 6) AS y" + str(j)
+        for j in range(8))
+    return f"""
+    SELECT vec_id,
+           {cols}
+    FROM embeddings
+"""
+
+
+ORACLES["emb_rp_project"] = _rp_oracle()

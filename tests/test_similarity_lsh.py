@@ -258,3 +258,51 @@ def test_scalar_quantize_properties(spark, sf_dir):
     assert out[1]["codes"].split(",")[0] == "0"   # constant dim -> 0
     assert out[1]["codes"].split(",")[1] == "0"   # min of dim 2
     assert out[2]["codes"].split(",")[1] == "255"  # max of dim 2
+
+
+def test_random_project_jl_property(spark, sf_dir):
+    """X60 J-L pin: for the ±1 sign matrix S (8×64), E[⟨Sx, Sy⟩] =
+    8·⟨x, y⟩ — so over sampled pairs the regression slope of projected
+    dot on original dot must sit near 8, with positive correlation.
+    (Exact top-k identity is NOT preservable 64→8 on this corpus — the
+    synthetic embeddings are near-noise, max cosine ≈ 0.35 vs a 0.29
+    bulk — so the pin is the expectation identity, which holds for any
+    data.)  Also pins determinism: two builds are identical."""
+    from pyspark.sql import functions as F
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    proj = similarity.random_project(embs, in_dim=64, out_dim=8)
+    again = similarity.random_project(embs, in_dim=64, out_dim=8)
+    assert sorted(map(tuple, proj.collect())) == \
+        sorted(map(tuple, again.collect()))
+
+    sub = embs.where(F.col("vec_id") < 40)
+    psub = proj.where(F.col("vec_id") < 40).select(
+        "vec_id", F.array(*[F.col(f"y{j}") for j in range(8)]).alias("y"))
+    a = sub.alias("a").join(sub.alias("b"),
+                            F.col("a.vec_id") < F.col("b.vec_id"))
+    od = {(r["qa"], r["qb"]): r["od"] for r in a.select(
+        F.col("a.vec_id").alias("qa"), F.col("b.vec_id").alias("qb"),
+        similarity.dot(
+            similarity.as_double(F.col("a.embedding")),
+            similarity.as_double(F.col("b.embedding"))).alias("od"))
+        .collect()}
+    pj = psub.alias("a").join(psub.alias("b"),
+                              F.col("a.vec_id") < F.col("b.vec_id"))
+    pd_ = {(r["qa"], r["qb"]): r["pd"] for r in pj.select(
+        F.col("a.vec_id").alias("qa"), F.col("b.vec_id").alias("qb"),
+        similarity.dot(F.col("a.y"), F.col("b.y")).alias("pd"))
+        .collect()}
+
+    import statistics
+    keys = sorted(od)
+    xs = [od[k] for k in keys]
+    ys = [pd_[k] for k in keys]
+    mx, my = statistics.fmean(xs), statistics.fmean(ys)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    varx = sum((x - mx) ** 2 for x in xs)
+    slope = cov / varx
+    corr = cov / (varx ** 0.5
+                  * sum((y - my) ** 2 for y in ys) ** 0.5)
+    assert 6.0 <= slope <= 10.0, slope   # E[slope] = out_dim = 8
+    assert corr >= 0.2, corr
