@@ -45,6 +45,8 @@ _DRIVER_PRIORITY = [
     "tx_bpe_encode",  # X58 tokenizer application (new r7)
     "emb_hard_negatives",  # X59 hard-negative mining (new r7)
     "emb_rp_project",  # X60 J-L random projection (new r7)
+    "g11_triangle_count",  # X61 triangle counting (new r7)
+    "st_stream_join",  # X62 stream-stream interval join (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo

@@ -142,3 +142,103 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 ORACLES: dict[str, str] = {
     "g9_pagerank": _pagerank_oracle(),
 }
+
+
+# ---------------------------------------------------------------------------
+# X61 — triangle counting over the proximity graph
+# ---------------------------------------------------------------------------
+
+#: grid cell for the triangle edge build (same blocking as j2: 0.002°
+#: ≈ 222 m ≥ the 150 m radius, so the 3×3 neighborhood is lossless)
+_TRI_CELL = 0.002
+_TRI_RADIUS_M = 150
+
+
+def _tri_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 4th event as a point on the j2 synthetic 0.001° grid."""
+    ev = load_table(spark, "events", sf_dir).where(F.col("event_id") % 4 == 0)
+    return ev.select(
+        F.col("event_id").alias("id"),
+        ((F.col("event_id") % 2000) * 0.001).alias("lat"),
+        (((F.col("event_id") * 7) % 2000) * 0.001).alias("lon"))
+
+
+def g11_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting (X61) over the 150 m proximity graph — the
+    clustering-coefficient primitive (spam-cluster detection in a
+    crawl graph; density scoring of a place graph).
+
+    Scale shape: the edge set builds exactly like J2 (3×3 tile
+    neighborhood explode on one side, own-tile key on the other — an
+    equi-join, never quadratic; ``a < b`` orients each edge once).
+    Triangle enumeration is the standard two-step ORIENTED edge join:
+    e1(a,b) ⋈ e2(b,c) on the shared middle vertex, then a semi-check
+    join against e3(a,c) — with edges oriented a<b<c every triangle is
+    produced exactly once, and both joins are hash equi-joins whose
+    key is a vertex id (skew = max node degree, bounded by the radius/
+    grid geometry, and AQE-splittable).  Output is per-node triangle
+    membership counts (each triangle counts once at each corner).
+
+    The oracle rebuilds edges blocking-free (exact distance cross
+    join) and enumerates the same oriented join — equality proves the
+    tile blocking loses no edge and the orientation produces each
+    triangle exactly once.
+    """
+    from ..functions import geo
+
+    pts = _tri_points(spark, sf_dir)
+    probes = pts.select(
+        "id", "lat", "lon",
+        F.explode(geo.tile_neighbors(F.col("lat"), F.col("lon"),
+                                     _TRI_CELL)).alias("tile"))
+    build = pts.select(
+        F.col("id").alias("id_b"), F.col("lat").alias("lat_b"),
+        F.col("lon").alias("lon_b"),
+        geo.grid_tile(F.col("lat"), F.col("lon"), _TRI_CELL).alias("tile"))
+    dist = geo.haversine_m(F.col("lat"), F.col("lon"),
+                           F.col("lat_b"), F.col("lon_b"))
+    edges = (probes.join(build, on="tile")
+             .where(F.col("id") < F.col("id_b"))
+             .where(F.round(dist, 3) < _TRI_RADIUS_M)
+             .select(F.col("id").alias("a"), F.col("id_b").alias("b")))
+    e1 = edges
+    e2 = edges.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = edges.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = (e1.join(e2, "b")
+            .join(e3, ["a", "c"])
+            .select("a", "b", "c"))
+    corners = tris.select(F.explode(F.array("a", "b", "c")).alias("node"))
+    return (corners.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("n_triangles")))
+
+
+QUERIES["g11_triangle_count"] = g11_triangle_count
+
+
+def _g11_oracle() -> str:
+    from ..functions import geo
+
+    hav = geo.haversine_m_sql("x.lat", "x.lon", "y.lat", "y.lon")
+    return f"""
+    WITH pts AS (
+        SELECT event_id AS id,
+               (event_id % 2000) * 0.001       AS lat,
+               ((event_id * 7) % 2000) * 0.001 AS lon
+        FROM events WHERE event_id % 4 = 0),
+    edges AS (
+        SELECT x.id AS a, y.id AS b
+        FROM pts x, pts y
+        WHERE x.id < y.id AND round({hav}, 3) < {_TRI_RADIUS_M}),
+    tris AS (
+        SELECT e1.a, e1.b, e2.b AS c
+        FROM edges e1
+        JOIN edges e2 ON e2.a = e1.b
+        JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b),
+    corners AS (
+        SELECT unnest([a, b, c]) AS node FROM tris)
+    SELECT node, COUNT(*) AS n_triangles
+    FROM corners GROUP BY 1
+"""
+
+
+ORACLES["g11_triangle_count"] = _g11_oracle()

@@ -323,3 +323,23 @@ ORACLES["st_exact_dedup"] = f"""
            COUNT(*) AS n_docs
     FROM d GROUP BY fp
 """
+
+
+def st_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 watermarked stream-stream interval join run to completion
+    over the 2-batch parity split (views batch 1, clicks batch 2 —
+    every match crosses the micro-batch boundary through the join
+    state); the 40-day watermark exceeds the 30-day corpus span so no
+    state evicts and the result equals the batch join exactly."""
+    return sp.stream_join_once(spark, sf_dir)
+
+
+QUERIES["st_stream_join"] = st_stream_join
+
+ORACLES["st_stream_join"] = """
+    SELECT v.user_id, v.event_id AS view_id, c.event_id AS click_id,
+           epoch_us(v.ts) AS view_us, epoch_us(c.ts) AS click_us
+    FROM events v JOIN events c ON v.user_id = c.user_id
+    WHERE v.event_id % 2 = 0 AND c.event_id % 2 = 1
+      AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
+"""

@@ -524,3 +524,82 @@ def _exact_dedup_batch(index_dir: str, counts_dir: str):
         new.coalesce(4).write.mode("overwrite").parquet(idx_part)
 
     return on_batch
+
+
+def _stage_events_split(sf_dir: str, prefix: str) -> tuple[str, str]:
+    """Write-once staging of the EVENTS table as two parquet files
+    split on event_id parity — the stream-join feed (views arrive in
+    batch 1, clicks in batch 2, so every match is cross-batch).  Cache
+    keyed on the source parquet's mtime+size (the CLAUDE.md
+    stale-cache rule); pyarrow IO only, plan construction stays lazy."""
+    import os
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_parquet)
+    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{int(st.st_mtime)}_{st.st_size}")
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"{prefix}_{tag}")
+    src = os.path.join(root, "src")
+    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src_parquet)
+        os.makedirs(src, exist_ok=True)
+        even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
+        pq.write_table(t.filter(even), os.path.join(src, "batch_a.parquet"))
+        pq.write_table(t.filter(pc.invert(even)),
+                       os.path.join(src, "batch_b.parquet"))
+    return root, src
+
+
+def stream_join_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X62 — watermarked stream-stream interval join run to
+    completion: a views stream (even event_ids) inner-joined to a
+    clicks stream (odd event_ids) on user_id with the click inside
+    [view_ts, view_ts + 10 min] — the attribution join every event
+    pipeline runs online (Spark buffers BOTH sides in the state store
+    and matches across micro-batches; the time bound + watermark is
+    what lets it evict state at scale).
+
+    Why this is oracle-able: the events are staged as two files split
+    on the SAME parity that defines the two sides, so batch 1 carries
+    only views and batch 2 only clicks — every match crosses the
+    micro-batch boundary through the join state, the hardest path.
+    The watermark delay (40 days) exceeds the corpus' 30-day span, so
+    no state is evicted before the final batch and the emitted pair
+    set equals the batch join EXACTLY; at production the same plan
+    runs with a tight delay and state stays bounded.  Timestamps cross
+    the driver as epoch micros (the repo's timestamp-asymmetry rule).
+    """
+    from ..sources.testdata import normalize_events_ts
+
+    root, src = _stage_events_split(sf_dir, "strjoin")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(src).schema
+
+    def side(parity: int, id_alias: str, ts_alias: str,
+             user_alias: str) -> DataFrame:
+        s = (spark.readStream.format("parquet").schema(schema)
+             .option("maxFilesPerTrigger", 1).load(src))
+        s = normalize_events_ts(s)
+        return (s.where(F.col("event_id") % 2 == parity)
+                .select(F.col("user_id").alias(user_alias),
+                        F.col("event_id").alias(id_alias),
+                        F.col("ts").alias(ts_alias))
+                .withWatermark(ts_alias, "40 days"))
+
+    views = side(0, "view_id", "view_ts", "v_user")
+    clicks = side(1, "click_id", "click_ts", "c_user")
+    joined = views.join(
+        clicks,
+        F.expr("v_user = c_user AND click_ts >= view_ts "
+               "AND click_ts <= view_ts + interval 10 minutes"))
+    out = joined.select(
+        F.col("v_user").alias("user_id"), "view_id", "click_id",
+        F.unix_micros("view_ts").alias("view_us"),
+        F.unix_micros("click_ts").alias("click_us"))
+    return _run_to_memory(out, "append")

@@ -340,3 +340,47 @@ def test_exact_dedup_batch_retry_is_idempotent(spark, tmp_path):
         os.remove(os.path.join(d, "epoch=1", "_SUCCESS"))
     on_batch(b1, 1)
     assert state() == committed
+
+
+def test_stream_join_crosses_batches(spark, tmp_path):
+    """X62 crafted feed: views arrive in batch 1, clicks in batch 2 —
+    the match MUST come out of the buffered join state; clicks outside
+    [view_ts, view_ts+10min] or on other users must not pair."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pd.Timestamp("2024-01-01 12:00:00")
+    views = [(100, base, 1), (102, base, 2)]
+    clicks = [
+        (101, base + pd.Timedelta(minutes=5), 1),    # in-window, user 1
+        (103, base + pd.Timedelta(minutes=11), 1),   # too late
+        (105, base - pd.Timedelta(seconds=1), 1),    # before the view
+        (107, base + pd.Timedelta(minutes=2), 3),    # other user
+    ]
+    for name, rows in (("batch_a", views), ("batch_b", clicks)):
+        pdf = pd.DataFrame(rows, columns=["event_id", "ts", "user_id"])
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark can't
+        pdf.to_parquet(src / f"{name}.parquet")  # read NANOS timestamps
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def side(parity, id_alias, ts_alias, user_alias):
+        s = (spark.readStream.format("parquet").schema(schema)
+             .option("maxFilesPerTrigger", 1).load(str(src)))
+        return (s.where(F.col("event_id") % 2 == parity)
+                .select(F.col("user_id").alias(user_alias),
+                        F.col("event_id").alias(id_alias),
+                        # pandas parquet is NTZ; watermarks need LTZ
+                        F.col("ts").cast("timestamp").alias(ts_alias))
+                .withWatermark(ts_alias, "40 days"))
+
+    joined = side(0, "view_id", "view_ts", "v_user").join(
+        side(1, "click_id", "click_ts", "c_user"),
+        F.expr("v_user = c_user AND click_ts >= view_ts "
+               "AND click_ts <= view_ts + interval 10 minutes"))
+    out = SP._run_to_memory(
+        joined.select("v_user", "view_id", "click_id"), "append")
+    rows = sorted(tuple(r) for r in out.collect())
+    assert rows == [(1, 100, 101)], rows
