@@ -61,9 +61,11 @@ _DRIVER_PRIORITY = [
     "o5_orthogonal_distance", "d2_monthly_windows", "w3_percentiles",
     "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",
     "q6_revenue_delta", "q16_distinct_count", "q19_disjunctive_filter",
-    "st_event_rollup", "st_sessionize", "st_user_totals",
+    "st_event_rollup",
+    # 50-slot budget spent here (19 in (a)+(b) above + 31 of the r4
+    # cohort); the rest of the cohort rolls to r8
+    "st_sessionize", "st_user_totals",
     "tx_boilerplate", "tx_decontaminate", "tx_mix_weights",
-    # 50-slot budget spent here; the rest roll to r8
     "tx_pii_scrub", "tx_repetition", "tx_stratified_sample",
     "tx_tfidf_topk",
     # r5/r6-green rotation (yield their slots; sampled when room allows)

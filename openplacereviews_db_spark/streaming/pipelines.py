@@ -283,10 +283,25 @@ def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         t = pq.read_table(src_parquet)
         os.makedirs(src, exist_ok=True)
         even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
-        pq.write_table(t.filter(even), os.path.join(src, "batch_a.parquet"))
-        pq.write_table(t.filter(pc.invert(even)),
-                       os.path.join(src, "batch_b.parquet"))
+        a = os.path.join(src, "batch_a.parquet")
+        b = os.path.join(src, "batch_b.parquet")
+        pq.write_table(t.filter(even), a)
+        pq.write_table(t.filter(pc.invert(even)), b)
+        _pin_batch_order(a, b)
     return root, src
+
+
+def _pin_batch_order(*paths: str) -> None:
+    """FileStreamSource orders files by modification TIME, not name —
+    pin explicit mtimes 1 s apart (in argument order) so the batch
+    order the closed-form oracles assume can never tie, even on a
+    coarse-mtime filesystem (ADVICE r6 hardening)."""
+    import os
+    import time
+
+    base = time.time()
+    for i, p in enumerate(paths):
+        os.utime(p, (base + i, base + i))
 
 
 def neardup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -549,9 +564,11 @@ def _stage_events_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         t = pq.read_table(src_parquet)
         os.makedirs(src, exist_ok=True)
         even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
-        pq.write_table(t.filter(even), os.path.join(src, "batch_a.parquet"))
-        pq.write_table(t.filter(pc.invert(even)),
-                       os.path.join(src, "batch_b.parquet"))
+        a = os.path.join(src, "batch_a.parquet")
+        b = os.path.join(src, "batch_b.parquet")
+        pq.write_table(t.filter(even), a)
+        pq.write_table(t.filter(pc.invert(even)), b)
+        _pin_batch_order(a, b)
     return root, src
 
 
