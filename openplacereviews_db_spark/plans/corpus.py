@@ -1748,3 +1748,56 @@ def _rp_oracle() -> str:
 
 
 ORACLES["emb_rp_project"] = _rp_oracle()
+
+
+def tx_outlier_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quantile outlier trim (X67): compute each source's
+    exact p05/p95 document-length band and report how much of the
+    corpus survives the trim — the per-domain tail-cut every curation
+    pipeline applies before mixing (truncated boilerplate at the short
+    end, concatenation accidents at the long end).
+
+    Scale shape: one percentile aggregate per source (exact here so
+    the oracle is value-comparable; the 100 TB swap is
+    ``approx_percentile`` — t-digest sketches, mergeable partials,
+    identical plan shape, same one shuffle), then the band is a
+    SMALL per-source relation joined back broadcast — the corpus
+    streams through the filter once."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    band = (d.groupBy("source")
+            .agg(F.round(F.percentile("n_chars", F.lit(0.05)), 6)
+                 .alias("p05"),
+                 F.round(F.percentile("n_chars", F.lit(0.95)), 6)
+                 .alias("p95")))
+    kept = F.col("n_chars").cast("double").between(F.col("p05"),
+                                                   F.col("p95"))
+    return (d.join(F.broadcast(band), "source")
+            .groupBy("source", "p05", "p95")
+            .agg(F.count(F.lit(1)).alias("n_total"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+                 .alias("kept_chars")))
+
+
+QUERIES["tx_outlier_trim"] = tx_outlier_trim
+
+ORACLES["tx_outlier_trim"] = """
+    WITH d AS (
+        SELECT doc_id, source, n_chars
+        FROM documents WHERE length(text) > 0),
+    band AS (
+        SELECT source,
+               round(quantile_cont(n_chars, 0.05), 6) AS p05,
+               round(quantile_cont(n_chars, 0.95), 6) AS p95
+        FROM d GROUP BY 1)
+    SELECT d.source, b.p05, b.p95,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN CAST(n_chars AS DOUBLE)
+                              BETWEEN b.p05 AND b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN CAST(n_chars AS DOUBLE)
+                              BETWEEN b.p05 AND b.p95
+                         THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM d JOIN band b ON b.source = d.source
+    GROUP BY 1, 2, 3
+"""

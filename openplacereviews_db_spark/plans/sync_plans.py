@@ -689,3 +689,48 @@ def _s6_oracle() -> str:
 
 
 ORACLES["s6_osm_export"] = _s6_oracle()
+
+
+def x63_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction (X63) as a driver-checkable roundtrip:
+    the events projection is staged once as 32 deliberately-tiny
+    parquet files (the shape a per-batch streaming ingest accretes),
+    compacted via ``staging.compact_dir`` into a handful of
+    scan-sized files, and the COMPACTED copy aggregated — the oracle
+    aggregates the source directly, so equality proves the
+    maintenance pass is lossless.  A unit additionally pins the file
+    count drop (tests/test_sync_infra.py).  Write-once dirs keyed on
+    the source parquet's mtime+size (the stale-cache rule); both the
+    stage and the compaction execute at plan build, whitelisted in
+    EAGER_BUILD_OK like the other index builders."""
+    fp = staging.source_fingerprint(sf_dir, "events")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"compact_{tag}")
+    small = os.path.join(root, "small")
+    packed = os.path.join(root, "packed")
+    if not os.path.isfile(os.path.join(small, "_SUCCESS")):
+        (load_table(spark, "events", sf_dir)
+         .select("event_id", "event_type", "user_id", "value")
+         .repartition(32)
+         .write.mode("overwrite").parquet(small))
+    if not os.path.isfile(os.path.join(packed, "_SUCCESS")):
+        staging.compact_dir(spark, small, packed,
+                            target_bytes=1024 * 1024)
+    return (spark.read.parquet(packed)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("user_id").alias("n_users"),
+                 F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+                 .alias("sum_millis")))
+
+
+QUERIES["x63_compact_roundtrip"] = x63_compact_roundtrip
+
+ORACLES["x63_compact_roundtrip"] = """
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_millis
+    FROM events GROUP BY event_type
+"""

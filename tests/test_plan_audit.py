@@ -136,8 +136,10 @@ EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
                   "emb_kmeans",  # quantized input checkpointed once;
                   # k centroid rows collected per Lloyd round (bounded)
                   "tx_bpe_vocab",  # greedy argmax per merge round (1-row)
-                  "tx_bpe_encode"}  # trains the 5-row merge table at
+                  "tx_bpe_encode",  # trains the 5-row merge table at
                   # build (bpe_merges collect), then encodes lazily
+                  "x63_compact_roundtrip"}  # write-once stage +
+                  # compaction maintenance pass IS execution
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):

@@ -137,3 +137,24 @@ def test_staging_rebuilds_on_source_refresh(spark, tmp_path):
                   s1_osm_xml_roundtrip(spark, sf).collect()) == \
         [8, 10, 12, 14]
     assert s5_staged_scan(spark, sf).collect()[0]["n"] == 4
+
+
+def test_compact_dir_reduces_files_losslessly(spark, tmp_path):
+    """X63: compaction must cut the file count to the byte-target
+    bound and preserve content exactly (row multiset equality)."""
+    import os
+
+    from openplacereviews_db_spark.sources.staging import compact_dir
+
+    src = str(tmp_path / "small")
+    dest = str(tmp_path / "packed")
+    df = spark.range(10_000).selectExpr(
+        "id", "id % 97 AS k", "CAST(id AS STRING) AS s")
+    df.repartition(24).write.parquet(src)
+    n_small = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    assert n_small == 24
+    n_packed = compact_dir(spark, src, dest, target_bytes=64 * 1024)
+    assert n_packed < n_small
+    a = sorted(map(tuple, spark.read.parquet(src).collect()))
+    b = sorted(map(tuple, spark.read.parquet(dest).collect()))
+    assert a == b
