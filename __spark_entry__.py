@@ -49,6 +49,7 @@ _DRIVER_PRIORITY = [
     "st_stream_join",  # X62 stream-stream interval join (new r7)
     "x63_compact_roundtrip",  # X63 small-file compaction (new r7)
     "tx_outlier_trim",  # X67 per-source quantile trim (new r7)
+    "x64_bloom_prune",  # X64 bloom runtime join pruning (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo
@@ -62,10 +63,9 @@ _DRIVER_PRIORITY = [
     "e2_config_delta", "e4_set_ops", "o4_topk_per_group",
     "o5_orthogonal_distance", "d2_monthly_windows", "w3_percentiles",
     "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",
-    "q6_revenue_delta",
-    # 50-slot budget spent here (21 in (a)+(b) above + 29 of the r4
+    # 50-slot budget spent here (22 in (a)+(b) above + 28 of the r4
     # cohort); the rest of the cohort rolls to r8
-    "q16_distinct_count", "q19_disjunctive_filter",
+    "q6_revenue_delta", "q16_distinct_count", "q19_disjunctive_filter",
     "st_event_rollup", "st_sessionize", "st_user_totals",
     "tx_boilerplate", "tx_decontaminate", "tx_mix_weights",
     "tx_pii_scrub", "tx_repetition", "tx_stratified_sample",

