@@ -242,3 +242,77 @@ def _g11_oracle() -> str:
 
 
 ORACLES["g11_triangle_count"] = _g11_oracle()
+
+
+# ---------------------------------------------------------------------------
+# X65 — hierarchy flattening via pointer doubling
+# ---------------------------------------------------------------------------
+
+#: synthetic 7-ary hierarchy over customer keys: parent(k) = k div 7,
+#: roots are k < 7.  Depth ≤ log7(max key): 5 doubling rounds cover
+#: depth 2^5 = 32, i.e. keys up to 7^32 — any scale factor ever.
+_HIER_FANOUT = 7
+_HIER_ROUNDS = 5
+
+
+def x65_hierarchy_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchy flattening (X65): resolve every node's ROOT and DEPTH
+    in a parent-pointer relation — Spark's answer to ``WITH
+    RECURSIVE`` (which the DataFrame API lacks) via POINTER DOUBLING:
+    each round joins the ancestor relation with itself, so the walked
+    distance doubles per round and a depth-D hierarchy flattens in
+    ⌈log2 D⌉ equi-joins instead of D sequential ones — at 100 TB,
+    5 shuffles for a depth-32 hierarchy where the naive walk pays 32.
+    Root rows saturate ((anc, steps) = (self, 0)), so over-walking is
+    harmless and no convergence probe is needed: the round count is a
+    static bound from the key domain.
+
+    The parent table is a synthetic 7-ary forest over customer keys
+    (parent = k div 7, roots k < 7) — used strictly as DATA through
+    the joins, exactly like a real org/category/thread hierarchy.
+    State is localCheckpointed per round (the iterative-loop rule;
+    whitelisted in EAGER_BUILD_OK like operators/components.py).  The
+    oracle is DuckDB's native ``WITH RECURSIVE`` — an INDEPENDENT
+    implementation, the j11-ASOF pattern."""
+    c = load_table(spark, "customer", sf_dir)
+    k = F.col("c_custkey")
+    is_root = k < _HIER_FANOUT
+    state = c.select(
+        k.alias("node"),
+        F.when(is_root, k).otherwise(
+            F.expr(f"c_custkey div {_HIER_FANOUT}")).alias("anc"),
+        F.when(is_root, F.lit(0)).otherwise(F.lit(1))
+        .cast("long").alias("steps"),
+    ).localCheckpoint(eager=True)
+    for _ in range(_HIER_ROUNDS):
+        a, b = state.alias("a"), state.alias("b")
+        state = (a.join(b, F.col("a.anc") == F.col("b.node"))
+                 .select(F.col("a.node").alias("node"),
+                         F.col("b.anc").alias("anc"),
+                         (F.col("a.steps") + F.col("b.steps"))
+                         .alias("steps"))
+                 .localCheckpoint(eager=True))
+    return state.select("node", F.col("anc").alias("root"),
+                        F.col("steps").alias("depth"))
+
+
+QUERIES["x65_hierarchy_flatten"] = x65_hierarchy_flatten
+
+ORACLES["x65_hierarchy_flatten"] = f"""
+    WITH RECURSIVE walk(node, anc, depth) AS (
+        SELECT c_custkey AS node,
+               CASE WHEN c_custkey < {_HIER_FANOUT} THEN c_custkey
+                    ELSE c_custkey // {_HIER_FANOUT} END AS anc,
+               CASE WHEN c_custkey < {_HIER_FANOUT} THEN 0
+                    ELSE 1 END AS depth
+        FROM customer
+        UNION ALL
+        SELECT node,
+               CASE WHEN anc < {_HIER_FANOUT} THEN anc
+                    ELSE anc // {_HIER_FANOUT} END,
+               depth + CASE WHEN anc < {_HIER_FANOUT} THEN 0 ELSE 1 END
+        FROM walk WHERE anc >= {_HIER_FANOUT}
+    )
+    SELECT node, anc AS root, CAST(depth AS BIGINT) AS depth
+    FROM walk WHERE anc < {_HIER_FANOUT}
+"""

@@ -141,8 +141,10 @@ EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
                   "tx_bpe_vocab",  # greedy argmax per merge round (1-row)
                   "tx_bpe_encode",  # trains the 5-row merge table at
                   # build (bpe_merges collect), then encodes lazily
-                  "x63_compact_roundtrip"}  # write-once stage +
+                  "x63_compact_roundtrip",  # write-once stage +
                   # compaction maintenance pass IS execution
+                  "x65_hierarchy_flatten"}  # pointer-doubling rounds
+                  # localCheckpoint per round (iterative-loop rule)
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
