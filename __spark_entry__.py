@@ -51,6 +51,8 @@ _DRIVER_PRIORITY = [
     "tx_outlier_trim",  # X67 per-source quantile trim (new r7)
     "x64_bloom_prune",  # X64 bloom runtime join pruning (new r7)
     "x65_hierarchy_flatten",  # X65 pointer-doubling hierarchy (new r7)
+    "x66_ewma_features",  # X66 time-decayed user features (new r7)
+    "x69_ri_audit",  # X69 referential-integrity audit (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo
@@ -63,9 +65,9 @@ _DRIVER_PRIORITY = [
     "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
     "e2_config_delta", "e4_set_ops", "o4_topk_per_group",
     "o5_orthogonal_distance", "d2_monthly_windows", "w3_percentiles",
-    "g4_simplify_ways", "g5_way_stats",
-    # 50-slot budget spent here (23 in (a)+(b) above + 27 of the r4
+    # 50-slot budget spent here (25 in (a)+(b) above + 25 of the r4
     # cohort); the rest of the cohort rolls to r8
+    "g4_simplify_ways", "g5_way_stats",
     "g6_points_in_triangle",
     "q6_revenue_delta", "q16_distinct_count", "q19_disjunctive_filter",
     "st_event_rollup", "st_sessionize", "st_user_totals",

@@ -262,3 +262,57 @@ ORACLES["d6_incremental_rollup"] = """
     FROM events
     GROUP BY 1, 2
 """
+
+
+def x66_ewma_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decayed user features (X66): each user's exponentially
+    weighted average over their last 8 events (newest weighted 1,
+    halving per step back) — the classic feature-engineering aggregate
+    a ranking/serving pipeline maintains per entity.
+
+    Engine-exactness by construction: the measure is floor-quantized
+    integer millis, the decay is a=1/2 so every weight is a POWER OF
+    TWO (1/2^j is exact in binary; millis·2⁻ʲ is exact; all partial
+    sums fit the 53-bit mantissa, so summation order cannot round) and
+    the single final division is performed on bit-identical doubles in
+    both engines — no rounding anywhere, per the never-re-round rule.
+    Scale shape: one shuffle on user_id for the rank window, then a
+    partial-agg groupBy."""
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id"))
+    ranked = (ev.select(
+        "user_id", "event_id", "ts",
+        F.floor(F.col("value") * 1000).cast("long").alias("millis"))
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= 8))
+    weight_den = F.expr("CAST(shiftleft(CAST(1 AS BIGINT), rk - 1) "
+                        "AS DOUBLE)")
+    term = F.col("millis").cast("double") / weight_den
+    wgt = F.lit(1.0) / weight_den
+    return (ranked.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_recent"),
+                 (F.sum(term) / F.sum(wgt) / F.lit(1000.0))
+                 .alias("ewma_value")))
+
+
+QUERIES["x66_ewma_features"] = x66_ewma_features
+
+ORACLES["x66_ewma_features"] = """
+    WITH ranked AS (
+        SELECT user_id,
+               CAST(floor(value * 1000) AS BIGINT) AS millis,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rk
+        FROM events)
+    SELECT user_id, COUNT(*) AS n_recent,
+           (SUM(CAST(millis AS DOUBLE)
+                / CAST((CAST(1 AS BIGINT) << (rk - 1)) AS DOUBLE))
+            / SUM(1.0e0 / CAST((CAST(1 AS BIGINT) << (rk - 1))
+                               AS DOUBLE))
+            / 1000.0e0) AS ewma_value
+    FROM ranked WHERE rk <= 8
+    GROUP BY user_id
+"""

@@ -757,3 +757,63 @@ ORACLES["udf_expr_matchid"] = """
                AS match_id
     FROM part
 """
+
+
+def x69_ri_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit (X69): the data-quality gate a
+    warehouse runs after every load — per FK relationship, child and
+    parent cardinalities, ORPHAN children (FK with no parent — pinned
+    at zero on this corpus, and the pin is the check) and unreferenced
+    parents.  All four counts are anti-join/semi-join aggregates — one
+    hash shuffle per side, no row ever leaves as data."""
+    def audit(name, child, ckey, parent, pkey):
+        c = _t(spark, sf_dir, child).select(F.col(ckey).alias("ck"))
+        p = _t(spark, sf_dir, parent).select(F.col(pkey).alias("pk"))
+        orphans = c.join(p, c.ck == p.pk, "left_anti")
+        unref = p.join(c, p.pk == c.ck, "left_anti")
+        return (
+            c.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(p.agg(F.count(F.lit(1)).alias("n_parent")))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphan")))
+            .crossJoin(unref.agg(
+                F.count(F.lit(1)).alias("n_unreferenced")))
+            .select(F.lit(name).alias("relationship"),
+                    "n_child", "n_parent", "n_orphan", "n_unreferenced"))
+
+    return (audit("lineitem->orders", "lineitem", "l_orderkey",
+                  "orders", "o_orderkey")
+            .unionByName(audit("orders->customer", "orders", "o_custkey",
+                               "customer", "c_custkey"))
+            .unionByName(audit("customer->nation", "customer",
+                               "c_nationkey", "nation", "n_nationkey")))
+
+
+QUERIES["x69_ri_audit"] = x69_ri_audit
+
+ORACLES["x69_ri_audit"] = """
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT COUNT(*) FROM lineitem) AS n_child,
+           (SELECT COUNT(*) FROM orders) AS n_parent,
+           (SELECT COUNT(*) FROM lineitem l WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphan,
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))
+               AS n_unreferenced
+    UNION ALL
+    SELECT 'orders->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM orders o WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+           (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey))
+    UNION ALL
+    SELECT 'customer->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM nation),
+           (SELECT COUNT(*) FROM customer c WHERE NOT EXISTS
+               (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)),
+           (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
+               (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey))
+"""

@@ -33,6 +33,8 @@ BOUNDED_JOIN_OK = {
     "x64_bloom_prune",      # 1-row bloom relation (2048 32-bit words,
                             # 8 KB) cross-joined broadcast — the
                             # runtime-filter state itself
+    "x69_ri_audit",         # 1-row count aggregates cross-joined into
+                            # the per-relationship report row
     "ann_ivf_topk",         # invariant query runs the exact kernel too:
                             # its nested loop broadcasts the ≤50-row
                             # vec_id<50 probe set (same as ann_cosine_topk)
