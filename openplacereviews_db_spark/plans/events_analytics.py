@@ -316,3 +316,49 @@ ORACLES["x66_ewma_features"] = """
     FROM ranked WHERE rk <= 8
     GROUP BY user_id
 """
+
+
+def x68_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-transition matrix (X68): per (prev_type, next_type) pair,
+    transition counts and the row-normalized probability — the Markov
+    user-journey model product analytics fits over a clickstream
+    (and the n-gram transition shape of sequence-data prep).
+
+    One lag window per user (ts, event_id tiebreak — the repo's
+    nondeterminism rule), then a partial-agg groupBy on the pair; the
+    probability divides by the prev-type total via a tiny broadcast
+    join.  Counts are exact integers; the single division happens on
+    bit-identical inputs in both engines (never-re-round rule)."""
+    ev = load_table(spark, "events", sf_dir)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id", "event_type")
+             .withColumn("next_type", F.lead("event_type").over(w))
+             .where(F.col("next_type").isNotNull())
+             .groupBy(F.col("event_type").alias("prev_type"),
+                      "next_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    totals = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_n"))
+    return (pairs.join(F.broadcast(totals), "prev_type")
+            .select("prev_type", "next_type", "n",
+                    (F.col("n").cast("double")
+                     / F.col("row_n").cast("double")).alias("p")))
+
+
+QUERIES["x68_event_transitions"] = x68_event_transitions
+
+ORACLES["x68_event_transitions"] = """
+    WITH seq AS (
+        SELECT event_type AS prev_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events),
+    pairs AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2),
+    totals AS (SELECT prev_type, SUM(n) AS row_n FROM pairs GROUP BY 1)
+    SELECT p.prev_type, p.next_type, p.n,
+           (CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE)) AS p
+    FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
+"""
