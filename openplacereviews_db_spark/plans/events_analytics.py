@@ -362,3 +362,48 @@ ORACLES["x68_event_transitions"] = """
            (CAST(p.n AS DOUBLE) / CAST(t.row_n AS DOUBLE)) AS p
     FROM pairs p JOIN totals t ON t.prev_type = p.prev_type
 """
+
+
+#: pivot column set — pinned (Spark's pivot with explicit values skips
+#: the extra distinct-scan job AND keeps the output schema static, the
+#: form a production pipeline wants; the oracle mirrors with
+#: conditional aggregation)
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def a11_pivot_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (A11): per-user wide event-type count matrix via
+    ``groupBy().pivot(values=...)`` — the long→wide reshape
+    (feature-matrix assembly).  Explicit pivot values keep the plan a
+    single partial-agg shuffle with a static schema; without them
+    Spark runs a distinct job first and the schema becomes
+    data-dependent (schema drift between driver runs = a hash FAIL
+    waiting to happen).  The oracle is conditional aggregation — what
+    pivot compiles to underneath."""
+    ev = load_table(spark, "events", sf_dir)
+    wide = (ev.groupBy("user_id")
+            .pivot("event_type", list(_EVENT_TYPES))
+            .agg(F.count(F.lit(1))))
+    out = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+          for t in _EVENT_TYPES])
+    total = None
+    for t in _EVENT_TYPES:
+        c = F.col(f"n_{t}")
+        total = c if total is None else total + c
+    return out.withColumn("n_total", total)
+
+
+QUERIES["a11_pivot_matrix"] = a11_pivot_matrix
+
+ORACLES["a11_pivot_matrix"] = """
+    SELECT user_id,
+           """ + ",\n           ".join(
+    f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+    f"AS BIGINT) AS n_{t}" for t in _EVENT_TYPES) + """,
+           CAST(SUM(CASE WHEN event_type IN
+               ('click','error','purchase','signup','view')
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_total
+    FROM events GROUP BY user_id
+"""

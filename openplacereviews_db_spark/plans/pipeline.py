@@ -343,3 +343,23 @@ ORACLES["st_stream_join"] = """
     WHERE v.event_id % 2 = 0 AND c.event_id % 2 = 1
       AND c.ts >= v.ts AND c.ts <= v.ts + INTERVAL 10 MINUTE
 """
+
+
+def st_enrich_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 stream-static enrichment join run to completion — the
+    events stream joined to the static customer dim inside the
+    streaming query, rolled up per (segment, event_type); equals the
+    batch join+rollup exactly (the oracle)."""
+    return sp.enrich_stream_once(spark, sf_dir)
+
+
+QUERIES["st_enrich_join"] = st_enrich_join
+
+ORACLES["st_enrich_join"] = """
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(e.value * 1000) AS BIGINT)) AS BIGINT)
+               AS sum_millis
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1, 2
+"""

@@ -620,3 +620,28 @@ def stream_join_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros("view_ts").alias("view_us"),
         F.unix_micros("click_ts").alias("click_us"))
     return _run_to_memory(out, "append")
+
+
+def enrich_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70 — stream-static enrichment join run to completion: the
+    events stream joins the STATIC customer dimension (user_id →
+    segment) inside the streaming query — the canonical "enrich the
+    feed against a slowly-changing dim" pattern.  The static side is
+    re-planned per micro-batch (Spark re-reads it each trigger, which
+    is what makes dim updates visible mid-stream); with AQE off in
+    streaming, the equi-join broadcasts the dim under the default
+    threshold.  Aggregated per (segment, event_type) so the result is
+    the exact batch join+rollup — the oracle.  Value millis are
+    floor-quantized BIGINT (engine-exact summation)."""
+    ev = _stream_events_parquet(spark, sf_dir)
+    import os
+
+    dim = (spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+           .select(F.col("c_custkey").alias("user_id"),
+                   F.col("c_mktsegment").alias("segment")))
+    joined = ev.join(dim, "user_id")  # stream ⋈ static
+    agg = (joined.groupBy("segment", "event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+                .alias("sum_millis")))
+    return _run_to_memory(agg, "complete")
