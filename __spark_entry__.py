@@ -55,6 +55,7 @@ _DRIVER_PRIORITY = [
     "x69_ri_audit",  # X69 referential-integrity audit (new r7)
     "x68_event_transitions",  # X68 Markov transition matrix (new r7)
     "a11_pivot_matrix",  # A11 pivot long->wide reshape (new r7)
+    "a12_unpivot_roundtrip",  # A12 unpivot wide->long melt (new r7)
     "st_enrich_join",  # X70 stream-static enrichment join (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
@@ -66,10 +67,10 @@ _DRIVER_PRIORITY = [
     "p7_review_candidates", "p11_json_extraction", "m8_placetype_ops",
     "a5_merge_counters", "a7_first_last_wins",
     "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
-    "e2_config_delta", "e4_set_ops", "o4_topk_per_group",
-    # 50-slot budget spent here (28 in (a)+(b) above + 22 of the r4
-    # cohort, ending at o4_topk_per_group); the rest rolls to r8
-    "o5_orthogonal_distance",
+    "e2_config_delta", "e4_set_ops",
+    # 50-slot budget spent here (29 in (a)+(b) above + 21 of the r4
+    # cohort, ending at e4_set_ops); the rest rolls to r8
+    "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles",
     "g4_simplify_ways", "g5_way_stats",
     "g6_points_in_triangle",

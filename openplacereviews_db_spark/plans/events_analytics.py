@@ -407,3 +407,31 @@ ORACLES["a11_pivot_matrix"] = """
                THEN 1 ELSE 0 END) AS BIGINT) AS n_total
     FROM events GROUP BY user_id
 """
+
+
+def a12_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (A12): the wide per-user matrix of ``a11_pivot_matrix``
+    melted BACK to long form with ``DataFrame.unpivot`` (SQL ``stack``)
+    — the wide→long reshape, here as a pivot→unpivot roundtrip so the
+    oracle is simply the long-form counts (zero cells dropped, as a
+    melt of a sparse matrix should).  Same single-shuffle profile as
+    the pivot; the unpivot itself is a row-local generator."""
+    wide = a11_pivot_matrix(spark, sf_dir).drop("n_total")
+    long = wide.unpivot(
+        "user_id",
+        [f"n_{t}" for t in _EVENT_TYPES],
+        "event_type", "n")
+    return (long.where(F.col("n") > 0)
+            .select("user_id",
+                    F.expr("substring(event_type, 3)").alias("event_type"),
+                    "n"))
+
+
+QUERIES["a12_unpivot_roundtrip"] = a12_unpivot_roundtrip
+
+ORACLES["a12_unpivot_roundtrip"] = """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    WHERE event_type IN ('click','error','purchase','signup','view')
+    GROUP BY 1, 2
+"""
