@@ -57,6 +57,9 @@ _DRIVER_PRIORITY = [
     "a11_pivot_matrix",  # A11 pivot long->wide reshape (new r7)
     "a12_unpivot_roundtrip",  # A12 unpivot wide->long melt (new r7)
     "st_enrich_join",  # X70 stream-static enrichment join (new r7)
+    "sk_hll_distinct",  # SQL-reproducible HyperLogLog (new r7)
+    "x71_scd2_build",  # SCD type-2 dimension build (new r7)
+    "s18_format_roundtrip",  # CSV/JSON sink+source roundtrip (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo
@@ -68,8 +71,8 @@ _DRIVER_PRIORITY = [
     "a5_merge_counters", "a7_first_last_wins",
     "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
     "e2_config_delta", "e4_set_ops",
-    # 50-slot budget spent here (29 in (a)+(b) above + 21 of the r4
-    # cohort, ending at e4_set_ops); the rest rolls to r8
+    # 50-slot budget spent here (32 in (a)+(b) above + 18 of the r4
+    # cohort, ending around a9_cube_flags); the rest rolls to r8
     "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles",
     "g4_simplify_ways", "g5_way_stats",

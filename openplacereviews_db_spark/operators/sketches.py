@@ -166,6 +166,113 @@ def bottomk_quantile_sql(table: str, group_col: str, key_col: str,
     """
 
 
+#: HyperLogLog geometry: p=9 bucket bits -> m=512 registers; the
+#: remaining 43 of the 52 md5 bits feed the leading-zero scan, so
+#: register values live in [1, 44] (44 = all-zero remainder).
+HLL_P = 9
+HLL_M = 1 << HLL_P
+HLL_RHO_MAX = 52 - HLL_P + 1
+#: alpha_m * m^2 * 2^44 — numerator of the raw estimate, precomputed in
+#: one place so Spark and the SQL mirror share the identical double.
+HLL_EST_NUM = 0.7213 / (1.0 + 1.079 / HLL_M) * HLL_M * HLL_M * float(2 ** 44)
+
+
+def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Per-group HyperLogLog distinct-count estimate [Flajolet et al.
+    2007] next to the exact count: ``(grp, n_exact, n_buckets, n_est)``.
+
+    Spark's own ``approx_count_distinct`` is HLL++ but its estimate is
+    JVM-private; this build is pure column arithmetic, so a SQL engine
+    reproduces it bit-for-bit — every step is INTEGER-exact:
+
+    - 52-bit hash h from the first 13 hex digits of md5 (exact in a
+      BIGINT), bucket = low 9 bits, remainder = high 43 bits;
+    - rho = 44 - bitlen(remainder), with bitlen taken as the LENGTH of
+      the base-2 string of the remainder (``conv``/``bin``) — no
+      floating log2, whose floor is an off-by-one landmine at exact
+      powers of two;
+    - registers sum as ``2^(44-rho)`` BIGINTs (the 2^44-scaled harmonic
+      denominator; max 512 * 2^44 = 2^53, in-range), empty registers
+      contributing 2^44 each;
+    - the only float op is the final NUM / sum division, one IEEE
+      divide on both engines, rounded to 4 places (same discipline as
+      :func:`kmv_distinct`).
+
+    The raw-estimate regime (no linear-counting small-range correction)
+    is used deliberately: the correction needs ``ln``, whose last-ulp
+    behaviour is libm-specific — a cross-engine hash hazard.  The
+    exact count and non-empty-register count sit alongside so accuracy
+    is auditable.
+
+    Plan: two stacked partial-aggregating shuffles — (grp, bucket)
+    max-rho+count, then per-grp fold — so the wide exchange carries at
+    most m=512 rows per group regardless of input size; the per-bucket
+    counts also yield the exact distinct count without a second scan.
+    """
+    distinct = (df.select(F.col(group_col).alias("grp"),
+                          F.col(value_col).alias("v")).distinct())
+    h = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13),
+                16, 10).cast("bigint"))
+    rem = F.shiftright(h, HLL_P)
+    bucketed = distinct.select(
+        "grp", F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        (F.lit(HLL_RHO_MAX) - F.when(rem == 0, F.lit(0)).otherwise(
+            F.length(F.conv(rem.cast("string"), 10, 2)))).alias("rho"))
+    regs = (bucketed.groupBy("grp", "bucket")
+            .agg(F.count(F.lit(1)).alias("n_v"),
+                 F.max("rho").alias("rho_max")))
+    scaled = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({HLL_RHO_MAX} - rho_max as int))")
+    return (
+        regs.groupBy("grp")
+        .agg(F.sum("n_v").alias("n_exact"),
+             F.count(F.lit(1)).alias("n_buckets"),
+             F.sum(scaled).alias("_sum_present"))
+        .select(
+            "grp", "n_exact", "n_buckets",
+            F.round(
+                F.lit(HLL_EST_NUM)
+                / (F.col("_sum_present")
+                   + (F.lit(HLL_M) - F.col("n_buckets"))
+                   * F.lit(1 << (HLL_RHO_MAX - 1))), 4).alias("n_est"),
+        )
+    )
+
+
+def hll_distinct_sql(table: str, group_col: str, value_col: str) -> str:
+    """DuckDB oracle for :func:`hll_distinct` — same hash, same base-2
+    bitlen, same scaled-integer register sum, same single divide.
+    DuckDB ``SUM(BIGINT)`` is HUGEINT, so sums cast back to BIGINT."""
+    empty_w = 1 << (HLL_RHO_MAX - 1)
+    return f"""
+        WITH distinct_vals AS (
+            SELECT DISTINCT {group_col} AS grp, {value_col} AS v
+            FROM {table}
+        ), hashed AS (
+            SELECT grp,
+                   CAST(('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 13))
+                        AS BIGINT) AS h
+            FROM distinct_vals
+        ), bucketed AS (
+            SELECT grp, h % {HLL_M} AS bucket,
+                   {HLL_RHO_MAX} - CASE WHEN h // {HLL_M} = 0 THEN 0
+                        ELSE length(bin(h // {HLL_M})) END AS rho
+            FROM hashed
+        ), regs AS (
+            SELECT grp, bucket, COUNT(*) AS n_v, MAX(rho) AS rho_max
+            FROM bucketed GROUP BY grp, bucket
+        )
+        SELECT grp,
+               CAST(SUM(n_v) AS BIGINT) AS n_exact,
+               COUNT(*) AS n_buckets,
+               round({HLL_EST_NUM!r} /
+                     (CAST(SUM(CAST(1 AS BIGINT) <<
+                                ({HLL_RHO_MAX} - rho_max)) AS BIGINT)
+                      + ({HLL_M} - COUNT(*)) * {empty_w}), 4) AS n_est
+        FROM regs GROUP BY grp
+    """
+
+
 def _cm_col(key: Column, row: int, width: int) -> Column:
     """Counter column of ``key`` in sketch row ``row`` — an independent
     md5 hash per row via a seed prefix, reduced mod width."""

@@ -38,10 +38,20 @@ def sk_bottomk_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         c, "c_mktsegment", "c_custkey", "c_acctbal", k=256, q=0.5)
 
 
+def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: 512-register HyperLogLog estimate
+    vs exact — the fixed-size mergeable answer to COUNT(DISTINCT) at
+    100 TB, reproduced bit-for-bit by the SQL oracle (the JVM-private
+    ``approx_count_distinct`` can't be)."""
+    ev = load_table(spark, "events", sf_dir)
+    return sketches.hll_distinct(ev, "event_type", "user_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_countmin": sk_countmin,
     "sk_bottomk_quantiles": sk_bottomk_quantiles,
+    "sk_hll_distinct": sk_hll_distinct,
 }
 
 ORACLES: dict[str, str] = {
@@ -52,4 +62,6 @@ ORACLES: dict[str, str] = {
     "sk_bottomk_quantiles": sketches.bottomk_quantile_sql(
         "customer", "c_mktsegment", "c_custkey", "c_acctbal",
         k=256, q=0.5),
+    "sk_hll_distinct": sketches.hll_distinct_sql(
+        "events", "event_type", "user_id"),
 }

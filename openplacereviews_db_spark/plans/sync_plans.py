@@ -21,7 +21,7 @@ import os
 import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import adaptive_split as AS
@@ -733,4 +733,93 @@ ORACLES["x63_compact_roundtrip"] = """
            CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
                AS sum_millis
     FROM events GROUP BY event_type
+"""
+
+
+#: explicit read schema for the CSV/JSON roundtrip — schema-on-read,
+#: never inference (inference samples the data and can drift).
+_S18_SCHEMA = ("c_custkey bigint, c_name string, c_acctbal double, "
+               "c_mktsegment string")
+
+
+def s18_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: multi-format source/sink roundtrip — the customer
+    projection is staged once as CSV (header, quoted) AND as JSON
+    lines, read back through EXPLICIT schemas, and both copies joined
+    against the parquet original; output is the per-segment rollup of
+    the CSV copy plus zero-pinned violation counters (row lost in
+    either format, any field value changed by the text roundtrip —
+    doubles included, since both writers emit the shortest-repr form
+    that parses back to the identical IEEE value).
+
+    The reference exchanges data as text formats throughout (OSM XML,
+    GeoJSON, gzip JSON bulk files — e.g. ``OsmSyncBot`` /
+    ``PublicDataManager`` endpoints); this pins Spark's text sinks and
+    sources as lossless citizens of the same engine.  Write-once dirs
+    keyed on the source parquet's mtime+size (stale-cache rule); the
+    staging writes execute at plan build like every builder in
+    EAGER_BUILD_OK.
+
+    Plan: both roundtripped copies join the original on the 8-byte
+    key; at scale these are co-partitioned sort-merge joins feeding one
+    partial-aggregating rollup — the text parse itself is the JVM's
+    vectorized CSV/JSON readers, never Python.
+    """
+    fp = staging.source_fingerprint(sf_dir, "customer")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"formats_{tag}")
+    csv_dir = os.path.join(root, "csv")
+    json_dir = os.path.join(root, "json")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    if not os.path.isfile(os.path.join(csv_dir, "_SUCCESS")):
+        cust.write.mode("overwrite").option("header", True).csv(csv_dir)
+    if not os.path.isfile(os.path.join(json_dir, "_SUCCESS")):
+        cust.write.mode("overwrite").json(json_dir)
+    csv_rt = (spark.read.schema(_S18_SCHEMA).option("header", True)
+              .csv(csv_dir))
+    json_rt = spark.read.schema(_S18_SCHEMA).json(json_dir)
+
+    def _tagged(df: DataFrame, t: str) -> DataFrame:
+        return df.select(
+            "c_custkey",
+            F.col("c_name").alias(f"{t}_name"),
+            F.col("c_acctbal").alias(f"{t}_acctbal"),
+            F.col("c_mktsegment").alias(f"{t}_seg"))
+
+    j = (cust
+         .join(_tagged(csv_rt, "csv"), on="c_custkey", how="left")
+         .join(_tagged(json_rt, "js"), on="c_custkey", how="left"))
+
+    def _bad(t: str) -> Column:
+        return F.when(
+            F.col(f"{t}_name").isNull()
+            | (F.col(f"{t}_name") != F.col("c_name"))
+            | (F.col(f"{t}_acctbal") != F.col("c_acctbal"))
+            | (F.col(f"{t}_seg") != F.col("c_mktsegment")),
+            F.lit(1)).otherwise(F.lit(0))
+
+    return (
+        j.groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.floor(F.col("csv_acctbal") * 100).cast("bigint"))
+             .alias("sum_cents"),
+             F.sum(_bad("csv")).alias("n_csv_mismatch"),
+             F.sum(_bad("js")).alias("n_json_mismatch"))
+    )
+
+
+QUERIES["s18_format_roundtrip"] = s18_format_roundtrip
+
+# The oracle aggregates the parquet original directly and pins both
+# mismatch counters to zero — equality proves the text roundtrips are
+# lossless.  SUM(BIGINT) is HUGEINT in DuckDB: cast back.
+ORACLES["s18_format_roundtrip"] = """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(0 AS BIGINT) AS n_csv_mismatch,
+           CAST(0 AS BIGINT) AS n_json_mismatch
+    FROM customer GROUP BY c_mktsegment
 """

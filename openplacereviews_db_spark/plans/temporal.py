@@ -228,11 +228,59 @@ def d5_multires_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x71_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: slowly-changing-dimension type-2 build — turn each user's
+    event-type stream into versioned validity ranges ``(user_id,
+    version, event_type, eff_from_us, eff_to_us, n_events,
+    is_current)``: consecutive equal values collapse into one version,
+    ``eff_to_us`` is the next version's start (NULL while current).
+
+    This is the warehouse-side complement of ``m11_asof_snapshot``
+    (which *reads* state as of T; SCD2 *materializes* every T at once)
+    and the dimension shape the reference's history tables imply
+    (``PlaceOpObjectHistory``: each op supersedes the previous state of
+    its place — see ``HistoryManager.java`` saveObjects).
+
+    Plan: one shuffle on user_id serves the change-flag lag window, the
+    running-sum version stamp, and (after a same-key partial agg) the
+    lead window for range ends — Spark keeps the exchange because all
+    three stages share the partition key.  State per task is O(1) rows
+    (streaming window frames, no buffering beyond the frame row).
+    Ordering is total — (ts_us, event_id) — so version stamps can never
+    depend on shuffle order (CLAUDE.md tiebreak rule); timestamps are
+    BIGINT epoch micros per the repo window-oracle convention.
+    """
+    ev = _events(spark, sf_dir)
+    rows = ev.select("user_id", "event_id", "event_type",
+                     F.unix_micros("ts").alias("ts_us"))
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w_ord)
+    flagged = rows.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("event_type")),
+                      F.lit(1)).otherwise(F.lit(0)))
+    versioned = flagged.withColumn(
+        "version", F.sum("chg").over(
+            w_ord.rowsBetween(Window.unboundedPreceding,
+                              Window.currentRow)))
+    grouped = (versioned.groupBy("user_id", "version", "event_type")
+               .agg(F.min("ts_us").alias("eff_from_us"),
+                    F.count(F.lit(1)).alias("n_events")))
+    w_v = Window.partitionBy("user_id").orderBy("version")
+    nxt = F.lead("eff_from_us").over(w_v)
+    return grouped.select(
+        "user_id", "version", "event_type", "eff_from_us",
+        nxt.alias("eff_to_us"), "n_events",
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .alias("is_current"),
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_asof_join": j11_asof_join,
     "j12_range_join": j12_range_join,
     "j13_interval_join": j13_interval_join,
     "d5_multires_rollup": d5_multires_rollup,
+    "x71_scd2_build": x71_scd2_build,
 }
 
 # DuckDB has a native ASOF JOIN — the oracle uses it directly, so the
@@ -299,5 +347,42 @@ ORACLES: dict[str, str] = {
          AND epoch_us(c.ts) < epoch_us(e.ts)
         WHERE e.event_type = 'error'
         GROUP BY e.event_id, e.user_id, epoch_us(e.ts)
+    """,
+    # DuckDB window-SUM over INTEGER yields HUGEINT — cast the version
+    # stamp back to BIGINT (CLAUDE.md Arrow-type rule).
+    "x71_scd2_build": """
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_us(ts) AS ts_us,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev_type
+            FROM events
+        ), flagged AS (
+            SELECT user_id, event_id, event_type, ts_us,
+                   CASE WHEN prev_type IS NULL
+                             OR prev_type <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM ordered
+        ), versioned AS (
+            SELECT user_id, event_type, ts_us,
+                   CAST(SUM(chg) OVER (
+                       PARTITION BY user_id ORDER BY ts_us, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS version
+            FROM flagged
+        ), grouped AS (
+            SELECT user_id, version, event_type,
+                   MIN(ts_us) AS eff_from_us, COUNT(*) AS n_events
+            FROM versioned GROUP BY user_id, version, event_type
+        )
+        SELECT user_id, version, event_type, eff_from_us,
+               lead(eff_from_us) OVER (
+                   PARTITION BY user_id ORDER BY version) AS eff_to_us,
+               n_events,
+               CASE WHEN lead(eff_from_us) OVER (
+                        PARTITION BY user_id ORDER BY version) IS NULL
+                    THEN 1 ELSE 0 END AS is_current
+        FROM grouped
     """,
 }

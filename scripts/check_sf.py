@@ -1,7 +1,8 @@
 """Run the driver-shaped oracle comparison at an arbitrary SF.
 
-Usage: python scripts/check_sf.py [sf_dir]
+Usage: python scripts/check_sf.py [sf_dir] [name1,name2,...]
 Prints one line per query: OK / MISMATCH(kind) / NO_ORACLE / ERROR.
+The optional second argument restricts the run to the named queries.
 """
 from __future__ import annotations
 
@@ -32,9 +33,12 @@ def main() -> int:
               "events documents embeddings").split():
         duck.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
+    only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     oracles = entrymod.oracle_sql()
     failures = 0
     for name, fn in sorted(entrymod.queries().items()):
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

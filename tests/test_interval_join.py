@@ -63,3 +63,45 @@ def test_interval_join_random_boundary_heavy(spark, tmp_path):
     want = _brute(rows)
     assert got == want
     assert len(want) > 20, "boundary-heavy corpus should produce pairs"
+
+
+def test_scd2_ranges_partition_the_timeline(spark):
+    """X71 invariants beyond oracle parity: per user, versions are
+    contiguous from 1, ranges chain exactly (eff_to == next eff_from),
+    exactly one open (current) range per user, consecutive versions
+    never share a value (the collapse actually collapsed), and the
+    n_events total equals the user's event count."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.plans.temporal import x71_scd2_build
+    from openplacereviews_db_spark.sources.testdata import load_table
+
+    sf = "/root/testdata/sf0.001"
+    out = x71_scd2_build(spark, sf).cache()
+    try:
+        per_user = (out.groupBy("user_id")
+                    .agg(F.count(F.lit(1)).alias("n_ver"),
+                         F.min("version").alias("v_min"),
+                         F.max("version").alias("v_max"),
+                         F.sum("is_current").alias("n_open"),
+                         F.sum("n_events").alias("n_ev")))
+        bad = per_user.where(
+            (F.col("v_min") != 1)
+            | (F.col("v_max") != F.col("n_ver"))
+            | (F.col("n_open") != 1)).count()
+        assert bad == 0
+        ev_counts = (load_table(spark, "events", sf)
+                     .groupBy("user_id").count())
+        drift = (per_user.join(ev_counts, "user_id", "full")
+                 .where(F.col("n_ev") != F.col("count")).count())
+        assert drift == 0
+        nxt = out.select("user_id",
+                         (F.col("version") - 1).alias("version"),
+                         F.col("eff_from_us").alias("next_from"),
+                         F.col("event_type").alias("next_type"))
+        chain = out.join(nxt, ["user_id", "version"])
+        assert chain.where(
+            (F.col("eff_to_us") != F.col("next_from"))
+            | (F.col("event_type") == F.col("next_type"))).count() == 0
+    finally:
+        out.unpersist()

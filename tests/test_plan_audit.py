@@ -145,6 +145,7 @@ EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
                   # build (bpe_merges collect), then encodes lazily
                   "x63_compact_roundtrip",  # write-once stage +
                   # compaction maintenance pass IS execution
+                  "s18_format_roundtrip",  # write-once CSV/JSON stage
                   "x65_hierarchy_flatten"}  # pointer-doubling rounds
                   # localCheckpoint per round (iterative-loop rule)
 

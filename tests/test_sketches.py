@@ -53,6 +53,32 @@ def test_countmin_grid_is_bounded(spark):
     assert grid.count() <= 4 * 128
 
 
+def test_hll_estimate_error_bound(spark):
+    """HLL relative standard error is ~1.04/sqrt(m); at m=512 that is
+    ~4.6%, so 3 sigma = ~14%. Assert a loose 20% band on real data for
+    groups big enough to be in the raw-estimate regime (the deliberate
+    no-linear-counting design documented on the operator)."""
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    rows = sketches.hll_distinct(ev, "event_type", "user_id").collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_buckets"] <= sketches.HLL_M
+        if r["n_exact"] >= 2.5 * sketches.HLL_M:
+            rel = abs(r["n_est"] - r["n_exact"]) / r["n_exact"]
+            assert rel < 0.20, dict(r.asDict())
+
+
+def test_hll_registers_bounded(spark):
+    """The register frame must collapse to <= m rows per group — the
+    fixed-size-aggregate property that makes HLL the 100 TB answer."""
+    from pyspark.sql import functions as F
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    out = sketches.hll_distinct(ev, "event_type", "user_id")
+    n_types = ev.select("event_type").distinct().count()
+    assert out.count() == n_types
+    assert out.agg(F.max("n_buckets")).first()[0] <= sketches.HLL_M
+
+
 def test_bottomk_quantile_accuracy(spark):
     """The 256-row hash sample's median must track the exact median —
     loose 25% relative band (binomial quantile error at k=256 is ~6%
