@@ -60,6 +60,8 @@ _DRIVER_PRIORITY = [
     "sk_hll_distinct",  # SQL-reproducible HyperLogLog (new r7)
     "x71_scd2_build",  # SCD type-2 dimension build (new r7)
     "s18_format_roundtrip",  # CSV/JSON sink+source roundtrip (new r7)
+    "sk_kmv_setops",  # theta-sketch union/intersection (new r7)
+    "x72_gapfill_locf",  # hypertable gap-fill + LOCF (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo
@@ -71,8 +73,8 @@ _DRIVER_PRIORITY = [
     "a5_merge_counters", "a7_first_last_wins",
     "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
     "e2_config_delta", "e4_set_ops",
-    # 50-slot budget spent here (32 in (a)+(b) above + 18 of the r4
-    # cohort, ending around a9_cube_flags); the rest rolls to r8
+    # 50-slot budget spent here (34 in (a)+(b) above + 16 of the r4
+    # cohort); the rest rolls to r8
     "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles",
     "g4_simplify_ways", "g5_way_stats",

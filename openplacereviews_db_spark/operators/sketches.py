@@ -166,6 +166,101 @@ def bottomk_quantile_sql(table: str, group_col: str, key_col: str,
     """
 
 
+def kmv_setops(df_a: DataFrame, df_b: DataFrame, value_col: str,
+               k: int = 64) -> DataFrame:
+    """Theta-sketch-style SET OPERATIONS on KMV sketches [Dasgupta et
+    al. 2016]: distinct-count estimates for the union AND intersection
+    of two sets from one k-minimum-values sample of their union, next
+    to the exact counts — one row ``(n_a_exact, n_b_exact,
+    n_union_exact, n_inter_exact, union_est, inter_est)``.
+
+    The union sketch's k smallest hashes form a uniform sample of the
+    union, so the fraction of them belonging to BOTH sets estimates the
+    Jaccard similarity, and ``inter_est = n_match/k * union_est``.
+    When the union has fewer than k distinct values the sketch IS the
+    union and both estimates are exact by construction.
+
+    This is what sketch-partitioned 100 TB rollups need: per-partition
+    KMV sketches merge by keeping the k smallest of a union, so
+    "distinct users in segment A AND segment B" never re-scans the
+    fact table.  The k-smallest selection is ``ORDER BY .. LIMIT k`` —
+    Spark plans TakeOrderedAndProject (per-partition top-k, then a
+    k-row merge on one task), NOT a global sort and NOT a
+    single-partition window.
+    """
+    a = (df_a.select(F.col(value_col).alias("v")).distinct()
+         .withColumn("in_a", F.lit(1)))
+    b = (df_b.select(F.col(value_col).alias("v")).distinct()
+         .withColumn("in_b", F.lit(1)))
+    merged = (a.join(b, on="v", how="full")
+              .select("v", F.coalesce("in_a", F.lit(0)).alias("in_a"),
+                      F.coalesce("in_b", F.lit(0)).alias("in_b"))
+              .withColumn("frac", hash_frac(F.col("v"))))
+    exact = merged.agg(
+        F.sum("in_a").alias("n_a_exact"),
+        F.sum("in_b").alias("n_b_exact"),
+        F.count(F.lit(1)).alias("n_union_exact"),
+        F.sum(F.col("in_a") * F.col("in_b")).alias("n_inter_exact"))
+    sk = (merged.orderBy("frac", "v").limit(k)
+          .agg(F.count(F.lit(1)).alias("n_sk"),
+               F.max("frac").alias("h_k"),
+               F.sum(F.col("in_a") * F.col("in_b")).alias("n_match")))
+    full_sketch = F.col("n_sk") < k
+    raw_union = F.lit(k - 1) / F.col("h_k")
+    return exact.crossJoin(sk).select(
+        "n_a_exact", "n_b_exact", "n_union_exact", "n_inter_exact",
+        F.round(F.when(full_sketch,
+                       F.col("n_union_exact").cast("double"))
+                .otherwise(raw_union), 4).alias("union_est"),
+        F.round(F.when(full_sketch,
+                       F.col("n_inter_exact").cast("double"))
+                .otherwise(F.col("n_match") * raw_union / F.lit(k)),
+                4).alias("inter_est"),
+    )
+
+
+def kmv_setops_sql(table_a: str, table_b: str, value_col: str,
+                   k: int = 64) -> str:
+    """DuckDB oracle for :func:`kmv_setops` — same ranks, textually
+    identical estimate arithmetic (``n_match * ((k-1)/h_k) / k``);
+    DuckDB SUM(INTEGER) is HUGEINT, so every sum casts back."""
+    frac = hash_frac_sql("v")
+    return f"""
+        WITH a AS (SELECT DISTINCT {value_col} AS v, 1 AS in_a
+                   FROM {table_a}),
+        b AS (SELECT DISTINCT {value_col} AS v, 1 AS in_b
+              FROM {table_b}),
+        merged AS (
+            SELECT COALESCE(a.v, b.v) AS v,
+                   COALESCE(in_a, 0) AS in_a, COALESCE(in_b, 0) AS in_b
+            FROM a FULL OUTER JOIN b ON a.v = b.v
+        ), withfrac AS (
+            SELECT v, in_a, in_b, {frac} AS frac FROM merged
+        ), exact AS (
+            SELECT CAST(SUM(in_a) AS BIGINT) AS n_a_exact,
+                   CAST(SUM(in_b) AS BIGINT) AS n_b_exact,
+                   COUNT(*) AS n_union_exact,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_inter_exact
+            FROM withfrac
+        ), topk AS (
+            SELECT * FROM withfrac ORDER BY frac, v LIMIT {k}
+        ), sk AS (
+            SELECT COUNT(*) AS n_sk, MAX(frac) AS h_k,
+                   CAST(SUM(in_a * in_b) AS BIGINT) AS n_match
+            FROM topk
+        )
+        SELECT n_a_exact, n_b_exact, n_union_exact, n_inter_exact,
+               round(CASE WHEN n_sk < {k}
+                          THEN CAST(n_union_exact AS DOUBLE)
+                          ELSE {k - 1} / h_k END, 4) AS union_est,
+               round(CASE WHEN n_sk < {k}
+                          THEN CAST(n_inter_exact AS DOUBLE)
+                          ELSE n_match * ({k - 1} / h_k) / {k} END,
+                     4) AS inter_est
+        FROM exact, sk
+    """
+
+
 #: HyperLogLog geometry: p=9 bucket bits -> m=512 registers; the
 #: remaining 43 of the 52 md5 bits feed the leading-zero scan, so
 #: register values live in [1, 44] (44 = all-zero remainder).

@@ -435,3 +435,82 @@ ORACLES["a12_unpivot_roundtrip"] = """
     WHERE event_type IN ('click','error','purchase','signup','view')
     GROUP BY 1, 2
 """
+
+
+def x72_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: hypertable gap-filling with last-observation-carried-forward
+    — each user's daily activity series densified to EVERY day between
+    their first and last event (``time_bucket_gapfill`` + ``locf`` in
+    TimescaleDB terms): ``(user_id, day_b, n_events, sum_millis_locf,
+    is_gap)`` where gap days carry ``n_events = 0`` and the previous
+    observed day's exact-integer value sum.
+
+    Daily sums use the x63 floor-millis integer trick so LOCF carries a
+    value summation order can't perturb; day buckets are BIGINT epoch
+    seconds (window-oracle convention).
+
+    Plan: the daily rollup and the per-user span share one user_id
+    shuffle; the grid is a ``sequence``/``explode`` over the span (no
+    driver-side loop, no cross join with a calendar table), the
+    observed rollup left-joins back on (user, day), and a streaming
+    rows-unbounded window carries values forward.  At 100 TB grid size
+    is output-bounded (users x span-days), never input-bounded.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    daily = (ev.groupBy(
+        "user_id",
+        (F.expr("unix_timestamp(ts) div 86400") * 86400).alias("day_b"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
+             .alias("sum_millis")))
+    grid = (daily.groupBy("user_id")
+            .agg(F.min("day_b").alias("lo"), F.max("day_b").alias("hi"))
+            .select("user_id",
+                    F.explode(F.sequence(
+                        F.col("lo"), F.col("hi"),
+                        F.lit(86400).cast("long"))).alias("day_b")))
+    filled = grid.join(daily, on=["user_id", "day_b"], how="left")
+    w = (Window.partitionBy("user_id").orderBy("day_b")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return filled.select(
+        "user_id", "day_b",
+        F.coalesce("n_events", F.lit(0).cast("long")).alias("n_events"),
+        F.last("sum_millis", ignorenulls=True).over(w)
+        .alias("sum_millis_locf"),
+        F.when(F.col("n_events").isNull(), F.lit(1)).otherwise(F.lit(0))
+        .alias("is_gap"),
+    )
+
+
+QUERIES["x72_gapfill_locf"] = x72_gapfill_locf
+
+# DuckDB generate_series is list-valued in a SELECT, so the per-user
+# calendar unnests without a lateral join; last_value IGNORE NULLS over
+# rows-unbounded is the LOCF mirror.
+ORACLES["x72_gapfill_locf"] = """
+    WITH daily AS (
+        SELECT user_id,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                   AS day_b,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+                   AS sum_millis
+        FROM events GROUP BY 1, 2
+    ), grid AS (
+        SELECT user_id,
+               unnest(generate_series(MIN(day_b), MAX(day_b), 86400))
+                   AS day_b
+        FROM daily GROUP BY user_id
+    )
+    SELECT g.user_id, g.day_b,
+           COALESCE(d.n_events, 0) AS n_events,
+           last_value(d.sum_millis IGNORE NULLS) OVER (
+               PARTITION BY g.user_id ORDER BY g.day_b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sum_millis_locf,
+           CASE WHEN d.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day_b = g.day_b
+"""

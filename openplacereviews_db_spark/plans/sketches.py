@@ -9,6 +9,7 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import sketches
 from ..sources.testdata import load_table
@@ -47,11 +48,24 @@ def sk_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_distinct(ev, "event_type", "user_id")
 
 
+def sk_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users who clicked vs users who errored: union and
+    intersection cardinality estimated from ONE 64-value KMV sample of
+    the union (theta-sketch set algebra), vs exact — the
+    "segment A AND segment B" audience question answered from
+    fixed-size mergeable state."""
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.where(F.col("event_type") == "click")
+    errors = ev.where(F.col("event_type") == "error")
+    return sketches.kmv_setops(clicks, errors, "user_id", k=64)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_countmin": sk_countmin,
     "sk_bottomk_quantiles": sk_bottomk_quantiles,
     "sk_hll_distinct": sk_hll_distinct,
+    "sk_kmv_setops": sk_kmv_setops,
 }
 
 ORACLES: dict[str, str] = {
@@ -64,4 +78,8 @@ ORACLES: dict[str, str] = {
         k=256, q=0.5),
     "sk_hll_distinct": sketches.hll_distinct_sql(
         "events", "event_type", "user_id"),
+    "sk_kmv_setops": sketches.kmv_setops_sql(
+        "(SELECT * FROM events WHERE event_type = 'click')",
+        "(SELECT * FROM events WHERE event_type = 'error')",
+        "user_id", k=64),
 }

@@ -40,6 +40,8 @@ BOUNDED_JOIN_OK = {
                             # vec_id<50 probe set (same as ann_cosine_topk)
     "g3_tile_grid",         # constant 36×18 grid × constant split table
     "a5_merge_counters",    # 1-row global counters joined to 1-row total
+    "sk_kmv_setops",        # 1-row exact aggregate × 1-row k-sample
+                            # sketch aggregate (both bounded by agg)
     "tx_mix_weights",       # 1-row normalizing total (documented)
     "tx_tfidf_topk",        # 1-row corpus-size aggregate (documented)
     "tx_bigram_lm",         # 1-row vocabulary-size aggregate (documented)

@@ -88,3 +88,27 @@ def test_bottomk_quantile_accuracy(spark):
             c, "c_mktsegment", "c_custkey", "c_acctbal").collect():
         denom = max(abs(r["p_exact"]), 1.0)
         assert abs(r["p_est"] - r["p_exact"]) / denom < 0.25, dict(r.asDict())
+
+
+def test_kmv_setops_exact_below_k(spark):
+    """A union smaller than k makes BOTH estimates exact by
+    construction (the sketch IS the union)."""
+    a = spark.createDataFrame([(i,) for i in range(20)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(10, 40)], "v long")
+    r = sketches.kmv_setops(a, b, "v", k=64).first()
+    assert r["n_union_exact"] == 40 and r["n_inter_exact"] == 10
+    assert r["union_est"] == 40.0 and r["inter_est"] == 10.0
+
+
+def test_kmv_setops_estimate_bands(spark):
+    """Above k the union estimate keeps KMV's ~1/sqrt(k-2) error and
+    the intersection estimate adds binomial sampling noise on the
+    match fraction — assert loose 3-sigma-ish bands on synthetic sets
+    with a known 1/3 overlap."""
+    n = 3000
+    a = spark.createDataFrame([(i,) for i in range(2 * n)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(n, 3 * n)], "v long")
+    r = sketches.kmv_setops(a, b, "v", k=64).first()
+    assert r["n_union_exact"] == 3 * n and r["n_inter_exact"] == n
+    assert abs(r["union_est"] - 3 * n) / (3 * n) < 0.40
+    assert abs(r["inter_est"] - n) / n < 0.75
