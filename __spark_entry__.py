@@ -62,6 +62,8 @@ _DRIVER_PRIORITY = [
     "s18_format_roundtrip",  # CSV/JSON sink+source roundtrip (new r7)
     "sk_kmv_setops",  # theta-sketch union/intersection (new r7)
     "x72_gapfill_locf",  # hypertable gap-fill + LOCF (new r7)
+    "x74_partition_prune",  # metadata-time partition pruning (new r7)
+    "x75_smb_join",  # shuffle-free bucketed fact-fact join (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo
@@ -73,7 +75,7 @@ _DRIVER_PRIORITY = [
     "a5_merge_counters", "a7_first_last_wins",
     "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
     "e2_config_delta", "e4_set_ops",
-    # 50-slot budget spent here (34 in (a)+(b) above + 16 of the r4
+    # 50-slot budget spent here (36 in (a)+(b) above + 14 of the r4
     # cohort); the rest rolls to r8
     "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles",

@@ -736,6 +736,129 @@ ORACLES["x63_compact_roundtrip"] = """
 """
 
 
+def x74_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: partition-pruned scan — the events stream staged ONCE as a
+    day-partitioned parquet layout (the hive-style ``day_b=<epoch>/``
+    tree every 100 TB fact table lives in), then a single-day rollup
+    that Catalyst answers by reading ONLY that day's directory:
+    ``PartitionFilters`` prune at metadata time, before any IO
+    (tests/test_sync_infra.py asserts the plan carries the partition
+    filter and the scan's inputFiles collapse to one day).
+
+    The pruning literal (the corpus's first day) is computed at staging
+    and pinned in a sidecar next to the layout, so the query itself
+    stays a pure metadata-pruned scan — no subquery against the full
+    table; the oracle recomputes the same day with a scalar subquery.
+    Staging is write-once keyed on the source parquet's mtime+size
+    (stale-cache rule) and eager by necessity (EAGER_BUILD_OK).
+    Value sums are floor-millis integers (x63 trick).
+    """
+    import json
+
+    fp = staging.source_fingerprint(sf_dir, "events")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"partgrid_{tag}")
+    data_dir = os.path.join(root, "data")
+    meta_path = os.path.join(root, "meta.json")
+    if not os.path.isfile(meta_path):
+        ev = load_table(spark, "events", sf_dir).select(
+            (F.expr("unix_timestamp(ts) div 86400") * 86400)
+            .alias("day_b"),
+            "event_type",
+            F.floor(F.col("value") * 1000).cast("bigint").alias("millis"))
+        ev.write.mode("overwrite").partitionBy("day_b").parquet(data_dir)
+        min_day = ev.agg(F.min("day_b")).first()[0]
+        os.makedirs(root, exist_ok=True)
+        with open(meta_path, "w") as fh:
+            json.dump({"min_day": int(min_day)}, fh)
+    with open(meta_path) as fh:
+        min_day = json.load(fh)["min_day"]
+    df = (spark.read.parquet(data_dir)
+          .where(F.col("day_b") == F.lit(min_day)))
+    return (df.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("millis").alias("sum_millis")))
+
+
+QUERIES["x74_partition_prune"] = x74_partition_prune
+
+ORACLES["x74_partition_prune"] = """
+    WITH base AS (
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                   AS day_b,
+               event_type,
+               CAST(floor(value * 1000) AS BIGINT) AS millis
+        FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(millis) AS BIGINT) AS sum_millis
+    FROM base WHERE day_b = (SELECT MIN(day_b) FROM base)
+    GROUP BY event_type
+"""
+
+
+def x75_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X75: both-sides-bucketed sort-merge join — orders and lineitem
+    saved bucketed (16) and sorted by their order key, so the fact-fact
+    join runs bucket-to-bucket with ZERO Exchange and ZERO Sort on
+    either side (plan asserted by tests/test_bucketed.py; this query is
+    the value check), then rolls up per order status.
+
+    x22 proves the dimension-lookup case; this is the FACT × FACT case
+    that dominates 100 TB joins — at scale, bucketing both tables at
+    write time converts every recurring orderkey join from two
+    full-table shuffles into a metadata proof.  Money sums use the
+    floor-cents integer trick (x63) so aggregation order can't round.
+    First build per sf writes the tables — eager by necessity,
+    whitelisted in EAGER_BUILD_OK like the other index builders; the
+    session catalog is in-memory, so each new driver session rebuilds
+    from fresh source (stale-location rmtree first, x22 pattern).
+    """
+    from ..sources.bucketed import write_bucketed
+
+    tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
+    loc = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                       "bucketdb")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS oprbuck LOCATION '{loc}'")
+    o_t, l_t = f"oprbuck.orders_{tag}", f"oprbuck.lineitem_{tag}"
+    if (not spark.catalog.tableExists(o_t)
+            or not spark.catalog.tableExists(l_t)):
+        import shutil
+
+        for t in (o_t, l_t):
+            shutil.rmtree(os.path.join(loc, t.split(".", 1)[1]),
+                          ignore_errors=True)
+        write_bucketed(
+            load_table(spark, "orders", sf_dir)
+            .select("o_orderkey", "o_orderstatus"),
+            o_t, "o_orderkey", buckets=16)
+        write_bucketed(
+            load_table(spark, "lineitem", sf_dir)
+            .select("l_orderkey", "l_quantity", "l_extendedprice"),
+            l_t, "l_orderkey", buckets=16)
+    j = (spark.table(o_t).hint("merge")
+         .join(spark.table(l_t),
+               F.col("o_orderkey") == F.col("l_orderkey")))
+    return (j.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.sum(F.floor(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).alias("sum_cents")))
+
+
+QUERIES["x75_smb_join"] = x75_smb_join
+
+ORACLES["x75_smb_join"] = """
+    SELECT o_orderstatus, COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+           CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+"""
+
+
 #: explicit read schema for the CSV/JSON roundtrip — schema-on-read,
 #: never inference (inference samples the data and can drift).
 _S18_SCHEMA = ("c_custkey bigint, c_name string, c_acctbal double, "

@@ -53,3 +53,62 @@ def test_cobucketed_join_has_no_exchange(spark, sf_dir, bucket_db):
         assert got == want and len(got) > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_x75_fact_fact_join_has_no_exchange_below_agg(spark, sf_dir):
+    """The x75 plan's SortMergeJoin must sit directly on the bucketed
+    scans: the ONLY Exchange allowed is the one above the join feeding
+    the per-status rollup, and neither side may re-sort (bucket files
+    are written sorted by the key)."""
+    from openplacereviews_db_spark.plans.sync_plans import x75_smb_join
+
+    df = x75_smb_join(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:2000]
+    join_part = plan[plan.index("SortMergeJoin"):]
+    assert "Exchange" not in join_part, (
+        "bucketed fact-fact join still shuffles below the join:\n"
+        + join_part[:2000])
+    assert plan[:plan.index("SortMergeJoin")].count("Exchange") <= 1
+
+
+def test_x74_partition_pruning_reads_one_day(spark, sf_dir):
+    """The x74 scan must prune at metadata time: the partition filter
+    appears in the plan, and inputFiles collapse to the single pruned
+    day's directory."""
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.plans.sync_plans import (
+        x74_partition_prune)
+    from openplacereviews_db_spark.sources import staging
+
+    fp = staging.source_fingerprint(sf_dir, "events")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"partgrid_{tag}")
+    df = x74_partition_prune(spark, sf_dir)
+    with open(os.path.join(root, "meta.json")) as fh:
+        min_day = json.load(fh)["min_day"]
+
+    # the partition filter (with the pinned literal) must reach the
+    # scan node — that is the metadata-time prune
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
+    assert "day_b" in pf and str(min_day) in pf, pf
+
+    # the layout really is multi-day (so the prune is non-trivial) and
+    # the filtered scan returns exactly the pinned day's rows
+    data_dir = os.path.join(root, "data")
+    day_dirs = [d for d in os.listdir(data_dir)
+                if d.startswith("day_b=")]
+    assert len(day_dirs) > 1 and f"day_b={min_day}" in day_dirs
+    one_day = (spark.read.parquet(
+        os.path.join(data_dir, f"day_b={min_day}")).count())
+    pruned = (spark.read.parquet(data_dir)
+              .where(F.col("day_b") == min_day))
+    assert pruned.count() == one_day > 0
