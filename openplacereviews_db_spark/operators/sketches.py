@@ -334,6 +334,57 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     )
 
 
+def hll_merge_rollup(df: DataFrame, group_col: str, slice_col: Column,
+                     value_col: str) -> DataFrame:
+    """:func:`hll_distinct` computed the way a 100 TB rollup actually
+    runs: per-(group, SLICE) register sets built independently (the
+    per-day sketches a streaming ingest maintains), then max-MERGED
+    across slices into the group estimate.  Returns the identical
+    columns ``(grp, n_exact, n_buckets, n_est)`` — and because HLL
+    insertion is idempotent and merge is register-wise max, the merged
+    registers equal the direct build's exactly, so the DIRECT oracle
+    (:func:`hll_distinct_sql`) doubles as the mergeability proof: hash
+    equality certifies that slicing the input never changes the
+    estimate.
+
+    Plan: the per-slice sketch is a (grp, slice, bucket) partial agg,
+    the merge is a (grp, bucket) max — both map-side-combining, each
+    carrying ≤ m rows per (group, slice) / group.  The exact count
+    rides a separate distinct branch joined back on the (small) group
+    key.
+    """
+    distinct = (df.select(F.col(group_col).alias("grp"),
+                          slice_col.alias("slc"),
+                          F.col(value_col).alias("v")).distinct())
+    h = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13),
+                16, 10).cast("bigint"))
+    rem = F.shiftright(h, HLL_P)
+    bucketed = distinct.select(
+        "grp", "slc", F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        (F.lit(HLL_RHO_MAX) - F.when(rem == 0, F.lit(0)).otherwise(
+            F.length(F.conv(rem.cast("string"), 10, 2)))).alias("rho"))
+    slice_regs = (bucketed.groupBy("grp", "slc", "bucket")
+                  .agg(F.max("rho").alias("rho_slice")))
+    merged = (slice_regs.groupBy("grp", "bucket")
+              .agg(F.max("rho_slice").alias("rho_max")))
+    scaled = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({HLL_RHO_MAX} - rho_max as int))")
+    sketch = (merged.groupBy("grp")
+              .agg(F.count(F.lit(1)).alias("n_buckets"),
+                   F.sum(scaled).alias("_sum_present")))
+    exact = (df.select(F.col(group_col).alias("grp"),
+                       F.col(value_col).alias("v")).distinct()
+             .groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact")))
+    return exact.join(sketch, on="grp").select(
+        "grp", "n_exact", "n_buckets",
+        F.round(
+            F.lit(HLL_EST_NUM)
+            / (F.col("_sum_present")
+               + (F.lit(HLL_M) - F.col("n_buckets"))
+               * F.lit(1 << (HLL_RHO_MAX - 1))), 4).alias("n_est"),
+    )
+
+
 def hll_distinct_sql(table: str, group_col: str, value_col: str) -> str:
     """DuckDB oracle for :func:`hll_distinct` — same hash, same base-2
     bitlen, same scaled-integer register sum, same single divide.

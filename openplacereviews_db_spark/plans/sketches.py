@@ -60,12 +60,23 @@ def sk_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_setops(clicks, errors, "user_id", k=64)
 
 
+def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sk_hll_distinct recomputed the rollup way: per-DAY register sets
+    max-merged into the per-type estimate.  The oracle is the direct
+    (unsliced) build — hash equality IS the mergeability proof, the
+    property that lets 100 TB distinct-count rollups pre-aggregate."""
+    ev = load_table(spark, "events", sf_dir)
+    day = (F.expr("unix_timestamp(ts) div 86400") * 86400)
+    return sketches.hll_merge_rollup(ev, "event_type", day, "user_id")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_countmin": sk_countmin,
     "sk_bottomk_quantiles": sk_bottomk_quantiles,
     "sk_hll_distinct": sk_hll_distinct,
     "sk_kmv_setops": sk_kmv_setops,
+    "sk_hll_rollup": sk_hll_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -82,4 +93,8 @@ ORACLES: dict[str, str] = {
         "(SELECT * FROM events WHERE event_type = 'click')",
         "(SELECT * FROM events WHERE event_type = 'error')",
         "user_id", k=64),
+    # deliberately the DIRECT build's SQL: slice-and-merge must land on
+    # the identical registers, so equality proves mergeability
+    "sk_hll_rollup": sketches.hll_distinct_sql(
+        "events", "event_type", "user_id"),
 }

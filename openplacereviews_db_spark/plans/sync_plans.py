@@ -736,23 +736,12 @@ ORACLES["x63_compact_roundtrip"] = """
 """
 
 
-def x74_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X74: partition-pruned scan — the events stream staged ONCE as a
-    day-partitioned parquet layout (the hive-style ``day_b=<epoch>/``
-    tree every 100 TB fact table lives in), then a single-day rollup
-    that Catalyst answers by reading ONLY that day's directory:
-    ``PartitionFilters`` prune at metadata time, before any IO
-    (tests/test_sync_infra.py asserts the plan carries the partition
-    filter and the scan's inputFiles collapse to one day).
-
-    The pruning literal (the corpus's first day) is computed at staging
-    and pinned in a sidecar next to the layout, so the query itself
-    stays a pure metadata-pruned scan — no subquery against the full
-    table; the oracle recomputes the same day with a scalar subquery.
-    Staging is write-once keyed on the source parquet's mtime+size
-    (stale-cache rule) and eager by necessity (EAGER_BUILD_OK).
-    Value sums are floor-millis integers (x63 trick).
-    """
+def _partgrid_stage(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Write-once day-partitioned events layout (hive-style
+    ``day_b=<epoch>/`` tree) + a sidecar pinning the corpus's first day;
+    keyed on the source parquet's mtime+size (stale-cache rule).
+    Returns ``(data_dir, min_day)``.  Shared by x74 (static pruning)
+    and x76 (dynamic pruning)."""
     import json
 
     fp = staging.source_fingerprint(sf_dir, "events")
@@ -773,7 +762,27 @@ def x74_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         with open(meta_path, "w") as fh:
             json.dump({"min_day": int(min_day)}, fh)
     with open(meta_path) as fh:
-        min_day = json.load(fh)["min_day"]
+        return data_dir, json.load(fh)["min_day"]
+
+
+def x74_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X74: partition-pruned scan — the events stream staged ONCE as a
+    day-partitioned parquet layout (the hive-style ``day_b=<epoch>/``
+    tree every 100 TB fact table lives in), then a single-day rollup
+    that Catalyst answers by reading ONLY that day's directory:
+    ``PartitionFilters`` prune at metadata time, before any IO
+    (tests/test_sync_infra.py asserts the plan carries the partition
+    filter and the scan's inputFiles collapse to one day).
+
+    The pruning literal (the corpus's first day) is computed at staging
+    and pinned in a sidecar next to the layout, so the query itself
+    stays a pure metadata-pruned scan — no subquery against the full
+    table; the oracle recomputes the same day with a scalar subquery.
+    Staging is write-once keyed on the source parquet's mtime+size
+    (stale-cache rule) and eager by necessity (EAGER_BUILD_OK).
+    Value sums are floor-millis integers (x63 trick).
+    """
+    data_dir, min_day = _partgrid_stage(spark, sf_dir)
     df = (spark.read.parquet(data_dir)
           .where(F.col("day_b") == F.lit(min_day)))
     return (df.groupBy("event_type")
@@ -794,6 +803,62 @@ ORACLES["x74_partition_prune"] = """
     SELECT event_type, COUNT(*) AS n,
            CAST(SUM(millis) AS BIGINT) AS sum_millis
     FROM base WHERE day_b = (SELECT MIN(day_b) FROM base)
+    GROUP BY event_type
+"""
+
+
+def x76_dynamic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X76: DYNAMIC partition pruning — x74's day-partitioned fact
+    layout joined on its partition column to a runtime-filtered day
+    dimension ("weekend" days carrying purchases), so Catalyst injects
+    a ``dynamicpruningexpression`` into the fact scan: the partitions
+    to read are decided at RUNTIME from the dim side's broadcast, not
+    from any literal in the query text (tests/test_bucketed.py asserts
+    the expression reaches the scan).  This is the star-join access
+    path every partitioned 100 TB warehouse lives on — the fact scan
+    cost tracks the dim filter's selectivity, not the table size.
+
+    The dim is derived from the same corpus (days whose epoch-day index
+    falls on a 2-of-7 cycle AND that carry purchase events) — a real
+    selective predicate, which is what the DPP planner rule requires of
+    the build side.  Output rolls up the pruned fact per event type
+    with the x63 integer-millis sums.
+    """
+    data_dir, _ = _partgrid_stage(spark, sf_dir)
+    fact = spark.read.parquet(data_dir)
+    dim = (load_table(spark, "events", sf_dir)
+           .select((F.expr("unix_timestamp(ts) div 86400") * 86400)
+                   .alias("dim_day"),
+                   "event_type")
+           .where((F.col("event_type") == "purchase")
+                  & (F.expr("(unix_timestamp(ts) div 86400) % 7") < 2))
+           .select("dim_day").distinct())
+    j = fact.join(dim, fact["day_b"] == dim["dim_day"])
+    return (j.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.countDistinct("day_b").alias("n_days"),
+                 F.sum("millis").alias("sum_millis")))
+
+
+QUERIES["x76_dynamic_prune"] = x76_dynamic_prune
+
+ORACLES["x76_dynamic_prune"] = """
+    WITH base AS (
+        SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400
+                   AS day_b,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 86400) % 7
+                   AS day_idx7,
+               event_type,
+               CAST(floor(value * 1000) AS BIGINT) AS millis
+        FROM events
+    ), dim AS (
+        SELECT DISTINCT day_b AS dim_day FROM base
+        WHERE event_type = 'purchase' AND day_idx7 < 2
+    )
+    SELECT event_type, COUNT(*) AS n,
+           COUNT(DISTINCT day_b) AS n_days,
+           CAST(SUM(millis) AS BIGINT) AS sum_millis
+    FROM base JOIN dim ON day_b = dim_day
     GROUP BY event_type
 """
 

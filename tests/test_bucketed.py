@@ -112,3 +112,17 @@ def test_x74_partition_pruning_reads_one_day(spark, sf_dir):
     pruned = (spark.read.parquet(data_dir)
               .where(F.col("day_b") == min_day))
     assert pruned.count() == one_day > 0
+
+
+def test_x76_dynamic_pruning_expression_reaches_scan(spark, sf_dir):
+    """The x76 fact scan must carry a dynamicpruningexpression — the
+    partitions to read are decided at runtime from the dim side, not
+    from a literal in the query text."""
+    from openplacereviews_db_spark.plans.sync_plans import (
+        x76_dynamic_prune)
+
+    df = x76_dynamic_prune(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
+    assert "dynamicpruning" in pf.lower(), pf

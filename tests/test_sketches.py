@@ -112,3 +112,21 @@ def test_kmv_setops_estimate_bands(spark):
     assert r["n_union_exact"] == 3 * n and r["n_inter_exact"] == n
     assert abs(r["union_est"] - 3 * n) / (3 * n) < 0.40
     assert abs(r["inter_est"] - n) / n < 0.75
+
+
+def test_hll_merge_equals_direct_build(spark):
+    """Slicing the input by day and max-merging the per-slice register
+    sets must reproduce the direct build EXACTLY (registers, bucket
+    counts, estimates) — HLL insertion is idempotent and merge is
+    register-wise max."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, "events", "/root/testdata/sf0.001")
+    day = (F.expr("unix_timestamp(ts) div 86400") * 86400)
+    direct = {r["grp"]: (r["n_exact"], r["n_buckets"], r["n_est"])
+              for r in sketches.hll_distinct(
+                  ev, "event_type", "user_id").collect()}
+    merged = {r["grp"]: (r["n_exact"], r["n_buckets"], r["n_est"])
+              for r in sketches.hll_merge_rollup(
+                  ev, "event_type", day, "user_id").collect()}
+    assert direct == merged and len(direct) > 0
