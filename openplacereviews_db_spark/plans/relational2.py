@@ -111,6 +111,39 @@ def w4_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def w5_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W (r7): the full ranking-function surface in one query —
+    row_number, rank, dense_rank, ntile(4), percent_rank, cume_dist per
+    market segment over a DELIBERATELY tie-heavy key (acctbal bucketed
+    to hundreds), because tie semantics are exactly where rank/dense
+    /percent_rank/cume_dist differ and where a missing tiebreak becomes
+    shuffle-order nondeterminism.
+
+    Two window specs, one shuffle: the tie-aware functions order by the
+    band alone (ties land identical ranks — SET-determined, safe); the
+    position-dependent functions (row_number, ntile) get the total
+    (band, c_custkey) order per the repo tiebreak rule.  percent_rank
+    and cume_dist are rational numbers computed by the same
+    integer-over-integer divide on both engines — no rounding needed.
+    """
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey", F.col("c_mktsegment").alias("seg"),
+        F.floor(F.col("c_acctbal") / 100).cast("long").alias("band"))
+    w_ties = Window.partitionBy("seg").orderBy(F.desc("band"))
+    w_total = (Window.partitionBy("seg")
+               .orderBy(F.desc("band"), "c_custkey"))
+    return base.select(
+        "c_custkey", "seg", "band",
+        F.row_number().over(w_total).alias("rn"),
+        F.rank().over(w_ties).alias("rnk"),
+        F.dense_rank().over(w_ties).alias("drnk"),
+        F.ntile(4).over(w_total).alias("quartile"),
+        F.percent_rank().over(w_ties).alias("pr"),
+        F.cume_dist().over(w_ties).alias("cd"),
+    )
+
+
 def w3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per segment (the scale path would
     swap in approx_percentile; exact keeps the oracle comparable)."""
@@ -232,6 +265,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w2_event_deltas": w2_event_deltas,
     "w3_percentiles": w3_percentiles,
     "w4_range_frame": w4_range_frame,
+    "w5_rank_kit": w5_rank_kit,
     "o4_topk_per_group": o4_topk_per_group,
     "e4_set_ops": e4_set_ops,
     "a10_array_hof": a10_array_hof,
@@ -277,6 +311,24 @@ ORACLES: dict[str, str] = {
                  - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "w5_rank_kit": """
+        WITH base AS (
+            SELECT c_custkey, c_mktsegment AS seg,
+                   CAST(floor(c_acctbal / 100) AS BIGINT) AS band
+            FROM customer
+        )
+        SELECT c_custkey, seg, band,
+               row_number() OVER w_total AS rn,
+               rank() OVER w_ties AS rnk,
+               dense_rank() OVER w_ties AS drnk,
+               ntile(4) OVER w_total AS quartile,
+               percent_rank() OVER w_ties AS pr,
+               cume_dist() OVER w_ties AS cd
+        FROM base
+        WINDOW w_ties AS (PARTITION BY seg ORDER BY band DESC),
+               w_total AS (PARTITION BY seg
+                           ORDER BY band DESC, c_custkey)
     """,
     "w4_range_frame": """
         WITH e AS (
