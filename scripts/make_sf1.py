@@ -82,7 +82,24 @@ def main() -> None:
             FROM '{src}/lineitem.parquet', unnest([{copies}]) AS t(c)
         ) TO '{dest}/lineitem.parquet' (FORMAT PARQUET)
     """)
-    for t in ("documents", "embeddings", "customer", "orders", "lineitem"):
+    n_user = con.execute(
+        f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+    n_evt = con.execute(
+        f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+    # events keep their timestamps: 10x rows over the SAME day span is
+    # the scale direction partitioned layouts face (fatter partitions,
+    # same partition count), and user offsets keep each copy
+    # join/session-closed for the per-user window workloads.
+    con.execute(f"""
+        COPY (
+            SELECT event_id + c * {n_evt} AS event_id,
+                   user_id + c * {n_user} AS user_id,
+                   * EXCLUDE (event_id, user_id)
+            FROM '{src}/events.parquet', unnest([{copies}]) AS t(c)
+        ) TO '{dest}/events.parquet' (FORMAT PARQUET)
+    """)
+    for t in ("documents", "embeddings", "customer", "orders",
+              "lineitem", "events"):
         n = con.execute(f"SELECT count(*) FROM '{dest}/{t}.parquet'").fetchone()
         print(t, n[0], "rows ->", dest / f"{t}.parquet")
 
