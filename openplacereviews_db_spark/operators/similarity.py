@@ -746,3 +746,63 @@ def random_project(embs: DataFrame, in_dim: int, out_dim: int = 8,
                   round_digits).alias(f"y{j}")
           for j in range(out_dim)],
     )
+
+
+def pq_encode(embs: DataFrame, n_sub: int = 8, n_codes: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Product quantization (X77) [Jégou et al. 2011]: split each
+    vector into ``n_sub`` subspaces and code each subvector as its
+    nearest of ``n_codes`` per-subspace codebook entries —
+    ``(id, codes, sqerr)`` with an 8-byte code replacing 256 bytes of
+    floats, the compression IVF-PQ serving tiers run at 100 TB.
+
+    Everything is INTEGER-exact so a SQL engine reproduces the argmin
+    bit-for-bit: vectors pre-quantize to floor-millis int64 (the x63
+    trick — pre-quantization before PQ is standard practice), so
+    subspace distances are exact integer sums, and the code pick
+    minimizes ``dist * n_codes + code`` — tiebreak-by-code fused into
+    one integer key, immune to float summation order (numpy pairwise
+    vs SQL sequential sums over floats WOULD split near ties).
+
+    The codebook is sample-init (subvectors of the ``n_codes``
+    lowest-id vectors — deterministic, no RNG, no Lloyd rounds; the
+    same init discipline as ``ivf_assign``), collected once (bounded:
+    ``n_codes`` rows) and broadcast; encoding streams through ONE
+    Arrow-batched numpy pass, zero shuffles.
+    """
+    import numpy as np
+
+    v_int = F.transform(as_double(F.col(vec_col)),
+                        lambda x: F.floor(x * 1000).cast("long"))
+    base = embs.select(F.col(id_col).alias("id"), v_int.alias("v"))
+    rows = base.orderBy("id").limit(n_codes).select("v").collect()
+    cb = np.array([r["v"] for r in rows], dtype=np.int64)
+    spark = embs.sparkSession
+    b_cb = spark.sparkContext.broadcast(cb)
+
+    def enc(batches):
+        import pandas as pd
+
+        c = b_cb.value
+        arange = np.arange(n_codes, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.array(list(pdf["v"]), dtype=np.int64)
+            sub = m.shape[1] // n_sub
+            codes = np.empty((len(pdf), n_sub), dtype=np.int64)
+            err = np.zeros(len(pdf), dtype=np.int64)
+            for s in range(n_sub):
+                ms = m[:, s * sub:(s + 1) * sub]
+                cs = c[:, s * sub:(s + 1) * sub]
+                d = ((ms[:, None, :] - cs[None, :, :]) ** 2).sum(axis=2)
+                kmin = (d * n_codes + arange[None, :]).min(axis=1)
+                codes[:, s] = kmin % n_codes
+                err += kmin // n_codes
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "codes": [",".join(map(str, r)) for r in codes],
+                "sqerr": err,
+            })
+
+    return base.mapInPandas(enc, schema="id long, codes string, sqerr long")

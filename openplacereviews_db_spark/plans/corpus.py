@@ -1801,3 +1801,47 @@ ORACLES["tx_outlier_trim"] = """
     FROM d JOIN band b ON b.source = d.source
     GROUP BY 1, 2, 3
 """
+
+
+def emb_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization of the embedding table: 8 subspaces x 16
+    codes, integer-exact distances (operators/similarity.py
+    ``pq_encode``) — the 32x compression stage of an IVF-PQ serving
+    index, with the total squared error alongside the codes."""
+    return similarity.pq_encode(_embs(spark, sf_dir))
+
+
+QUERIES["emb_pq_encode"] = emb_pq_encode
+
+# The oracle rebuilds the same sample-init codebook (subvectors of the
+# 16 lowest-id vectors) and replays the integer argmin: the fused key
+# d*16+code makes MIN() carry the tiebreak, so the GROUP BY picks the
+# identical code on both engines.
+ORACLES["emb_pq_encode"] = """
+    WITH e AS (
+        SELECT vec_id AS id,
+               list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+                   AS v
+        FROM embeddings
+    ), cb AS (
+        SELECT row_number() OVER (ORDER BY id) - 1 AS code, v AS cv
+        FROM e ORDER BY id LIMIT 16
+    ), pairs AS (
+        SELECT e.id, sub.s, cb.code,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(generate_series(1, 8),
+                       j -> (e.v[sub.s * 8 + j] - cb.cv[sub.s * 8 + j])
+                          * (e.v[sub.s * 8 + j] - cb.cv[sub.s * 8 + j]))),
+                   (a, b) -> a + b) AS d
+        FROM e, (SELECT unnest(generate_series(0, 7)) AS s) sub, cb
+    ), best AS (
+        SELECT id, s, MIN(d * 16 + code) AS k
+        FROM pairs GROUP BY id, s
+    )
+    SELECT id,
+           array_to_string(list(CAST(k % 16 AS VARCHAR) ORDER BY s),
+                           ',') AS codes,
+           CAST(SUM(k // 16) AS BIGINT) AS sqerr
+    FROM best GROUP BY id
+"""

@@ -151,6 +151,7 @@ EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
                   "x74_partition_prune",  # write-once partitioned
                   # layout + 1-row min-day sidecar at staging
                   "x76_dynamic_prune",  # same shared partitioned stage
+                  "emb_pq_encode",  # 16-row codebook collect at build
                   "x75_smb_join",  # write-once bucketed fact tables
                   "x65_hierarchy_flatten"}  # pointer-doubling rounds
                   # localCheckpoint per round (iterative-loop rule)

@@ -306,3 +306,22 @@ def test_random_project_jl_property(spark, sf_dir):
                   * sum((y - my) ** 2 for y in ys) ** 0.5)
     assert 6.0 <= slope <= 10.0, slope   # E[slope] = out_dim = 8
     assert corr >= 0.2, corr
+
+
+def test_pq_codebook_vectors_encode_to_zero_error(spark):
+    """The 16 lowest-id vectors ARE the codebook, so each must encode
+    to itself: sqerr == 0 and code s == its own codebook slot is not
+    required (another entry could tie at distance 0 only if subvectors
+    collide), but zero error is — and every code must be in [0, 16)."""
+    from openplacereviews_db_spark.operators.similarity import pq_encode
+    from openplacereviews_db_spark.sources.testdata import load_table
+
+    embs = load_table(spark, "embeddings", "/root/testdata/sf0.001")
+    out = pq_encode(embs).collect()
+    assert len(out) == embs.count()
+    for r in out:
+        codes = [int(c) for c in r["codes"].split(",")]
+        assert len(codes) == 8 and all(0 <= c < 16 for c in codes)
+        assert r["sqerr"] >= 0
+        if r["id"] < 16:
+            assert r["sqerr"] == 0, (r["id"], r["sqerr"])
