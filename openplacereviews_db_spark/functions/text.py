@@ -190,3 +190,41 @@ def check_names_sql(a: str, b: str) -> str:
 def tag_equal_non_empty_sql(a: str, b: str) -> str:
     return (f"({a} IS NOT NULL AND {b} IS NOT NULL AND {a} != '' "
             f"AND {a} = {b})")
+
+
+#: scheme + authority of a URL — everything before the first /, ? or #
+#: past the ``scheme://`` marker.
+URL_PREFIX_RE = "^[a-zA-Z]+://[^/?#]*"
+
+
+def url_canonicalize(url: Column) -> Column:
+    """Crawl-pipeline URL canonicalization (X78): lowercase the
+    scheme+host, strip default ports (:80/:443), drop fragments, strip
+    ``utm_*`` tracking params (keeping real ones), and trim the
+    trailing slash — the normalization pass that turns near-identical
+    crawl URLs into one dedup key.  Pure codegen regexp chain; the SQL
+    mirror is :func:`url_canonicalize_sql` (rule-for-rule identical —
+    DuckDB's regexp_replace needs an explicit 'g' flag exactly where
+    Spark's always-global behavior touches multiple matches)."""
+    prefix = F.regexp_extract(url, URL_PREFIX_RE, 0)
+    host = F.regexp_replace(F.lower(prefix), ":(80|443)$", "")
+    rest = url.substr(F.length(prefix) + F.lit(1), F.lit(4096))
+    r = F.regexp_replace(rest, "#.*", "")
+    r = F.regexp_replace(r, "&utm_[^&]*", "")
+    r = F.regexp_replace(r, "\\?utm_[^&]*&", "?")
+    r = F.regexp_replace(r, "\\?utm_[^&]*$", "")
+    r = F.regexp_replace(r, "/$", "")
+    return F.concat(host, r)
+
+
+def url_canonicalize_sql(u: str) -> str:
+    """DuckDB mirror of :func:`url_canonicalize`."""
+    prefix = f"regexp_extract({u}, '{URL_PREFIX_RE}', 0)"
+    host = f"regexp_replace(lower({prefix}), ':(80|443)$', '')"
+    rest = f"substr({u}, length({prefix}) + 1, 4096)"
+    r = f"regexp_replace({rest}, '#.*', '')"
+    r = f"regexp_replace({r}, '&utm_[^&]*', '', 'g')"
+    r = f"regexp_replace({r}, '\\?utm_[^&]*&', '?')"
+    r = f"regexp_replace({r}, '\\?utm_[^&]*$', '')"
+    r = f"regexp_replace({r}, '/$', '')"
+    return f"({host} || {r})"

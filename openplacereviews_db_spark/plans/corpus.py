@@ -1845,3 +1845,69 @@ ORACLES["emb_pq_encode"] = """
            CAST(SUM(k // 16) AS BIGINT) AS sqerr
     FROM best GROUP BY id
 """
+
+
+def tx_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X78: URL canonicalization dedup — deterministic crawl-URL
+    variants (case-shuffled host, default :80 port, #fragment, utm_*
+    tracking params, trailing slash) synthesized per document, passed
+    through the canonicalization kit (functions/text.py
+    ``url_canonicalize``), and grouped by canonical key: the
+    first-stage dedup every web-corpus pipeline runs before any content
+    hashing.  Pure codegen regexp chain, one canonical-key shuffle.
+    """
+    from ..functions import text as T
+
+    d = _docs(spark, sf_dir)
+    num = (F.col("doc_id") % 50).cast("string")
+    lower_base = F.concat(F.lit("http://www."), F.col("source"),
+                          F.lit(".example.com"))
+    upper_base = F.concat(F.lit("HTTP://WWW."), F.upper(F.col("source")),
+                          F.lit(".EXAMPLE.COM"))
+    path = F.concat(F.lit("/docs/"), num)
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(upper_base, path))
+        .when(v == 1, F.concat(lower_base, F.lit(":80"), path))
+        .when(v == 2, F.concat(lower_base, path, F.lit("#sec2")))
+        .when(v == 3, F.concat(lower_base, path,
+                               F.lit("?utm_source=feed&id="), num))
+        .when(v == 4, F.concat(lower_base, path, F.lit("/")))
+        .otherwise(F.concat(lower_base, path)))
+    withc = (d.select("doc_id", url.alias("url"))
+             .withColumn("canon", T.url_canonicalize(F.col("url"))))
+    return (withc.groupBy("canon")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("url").alias("n_urls"),
+                 F.min("doc_id").alias("first_doc")))
+
+
+QUERIES["tx_url_canon"] = tx_url_canon
+
+from ..functions.text import url_canonicalize_sql as _ucsql  # noqa: E402
+
+_U_LOWER = "'http://www.' || source || '.example.com'"
+_U_UPPER = "'HTTP://WWW.' || upper(source) || '.EXAMPLE.COM'"
+_U_PATH = "'/docs/' || CAST(doc_id % 50 AS VARCHAR)"
+
+ORACLES["tx_url_canon"] = f"""
+    WITH u AS (
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN {_U_UPPER} || {_U_PATH}
+                 WHEN 1 THEN {_U_LOWER} || ':80' || {_U_PATH}
+                 WHEN 2 THEN {_U_LOWER} || {_U_PATH} || '#sec2'
+                 WHEN 3 THEN {_U_LOWER} || {_U_PATH}
+                      || '?utm_source=feed&id='
+                      || CAST(doc_id % 50 AS VARCHAR)
+                 WHEN 4 THEN {_U_LOWER} || {_U_PATH} || '/'
+                 ELSE {_U_LOWER} || {_U_PATH}
+               END AS url
+        FROM documents
+    ), c AS (
+        SELECT doc_id, url, {_ucsql('url')} AS canon FROM u
+    )
+    SELECT canon, COUNT(*) AS n_docs,
+           COUNT(DISTINCT url) AS n_urls, MIN(doc_id) AS first_doc
+    FROM c GROUP BY canon
+"""

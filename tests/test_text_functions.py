@@ -66,3 +66,29 @@ def test_o2_label_sort_matches_java_natural_order(spark):
     # the accented initials really do land after ASCII, as in Java
     assert got.index("Amenity - Café") > got.index("Amenity - Cafe")
     assert got[-2:] == ["Amenity - Éclair shop", "Leisure - Ángel park"]
+
+
+def test_url_canonicalize_truth_table(spark):
+    """Pin the canonicalization rules on hand-built URLs — including
+    the chained-utm and utm-first-of-several cases where rule order
+    matters."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions.text import url_canonicalize
+
+    cases = [
+        ("HTTP://WWW.EX.COM/A", "http://www.ex.com/A"),
+        ("http://ex.com:80/p", "http://ex.com/p"),
+        ("https://ex.com:443/p/", "https://ex.com/p"),
+        ("http://ex.com/p#frag", "http://ex.com/p"),
+        ("http://ex.com/p?utm_s=1", "http://ex.com/p"),
+        ("http://ex.com/p?utm_s=1&id=2", "http://ex.com/p?id=2"),
+        ("http://ex.com/p?id=2&utm_s=1", "http://ex.com/p?id=2"),
+        ("http://ex.com/p?utm_a=1&utm_b=2&id=3", "http://ex.com/p?id=3"),
+        ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p"),
+        ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(url_canonicalize(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
