@@ -496,3 +496,87 @@ def countmin_freq_sql(table: str, key_col: str, depth: int = 4,
         FROM probe_cells p JOIN grid g USING (j, c)
         GROUP BY p.key, p.n_exact
     """
+
+
+def heavy_hitters(tokens: DataFrame, denom: int = 200, depth: int = 4,
+                  width: int = 1024) -> DataFrame:
+    """Sketch-gated heavy hitters: find every key with frequency >=
+    total/denom by (1) building a Count-Min grid, (2) keeping only the
+    keys whose ESTIMATE clears the threshold — CMS never underestimates,
+    so this candidate set provably contains every true heavy hitter —
+    and (3) exact-counting ONLY the candidate-filtered token stream.
+    Output ``(key, n_exact, n_est)`` with ``n_exact >= thr`` exact.
+
+    This is the two-phase shape that matters at 100 TB: the exact
+    aggregation (the expensive vocabulary-wide shuffle) runs over the
+    candidate subset the fixed-size sketch admitted, not the full key
+    space — the CMS overestimate only ever lets extra candidates
+    through (they fall to the final exact filter), never drops one.
+    ``tokens`` must expose one ``key`` row per occurrence.
+
+    The threshold is integer arithmetic (``total div denom``) from a
+    1-row total aggregate (bounded broadcast, the tx_mix_weights
+    pattern); the whole candidate logic reproduces in SQL.
+    """
+    total = tokens.agg(F.count(F.lit(1)).alias("n_total")).select(
+        F.expr(f"n_total div {denom}").alias("thr"))
+    key = F.col("key")
+    cells = tokens.select(
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _cm_col(key, j, width).alias("c"))
+            for j in range(depth)])).alias("rc"))
+    grid = (cells.groupBy(F.col("rc.j").alias("j"),
+                          F.col("rc.c").alias("c"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    vocab = tokens.select("key").distinct()
+    probe_cells = vocab.select(
+        "key",
+        F.explode(F.array(*[
+            F.struct(F.lit(j).alias("j"),
+                     _cm_col(key, j, width).alias("c"))
+            for j in range(depth)])).alias("rc"),
+    ).select("key", F.col("rc.j").alias("j"), F.col("rc.c").alias("c"))
+    est = (probe_cells.join(F.broadcast(grid), on=["j", "c"])
+           .groupBy("key").agg(F.min("cnt").alias("n_est")))
+    cand = (est.crossJoin(F.broadcast(total))
+            .where(F.col("n_est") >= F.col("thr")))
+    exact = (tokens.join(F.broadcast(cand), on="key")
+             .groupBy("key", "n_est", "thr")
+             .agg(F.count(F.lit(1)).alias("n_exact")))
+    return (exact.where(F.col("n_exact") >= F.col("thr"))
+            .select("key", "n_exact", "n_est"))
+
+
+def heavy_hitters_sql(tokens_cte: str, denom: int = 200, depth: int = 4,
+                      width: int = 1024) -> str:
+    """DuckDB oracle for :func:`heavy_hitters` — ``tokens_cte`` is a
+    complete CTE body yielding one ``key`` per occurrence; the same
+    grid, the same min-over-cells estimate, the same integer
+    threshold."""
+    cell_rows = " UNION ALL ".join(
+        f"SELECT {j} AS j, {_cm_col_sql('key', j, width)} AS c "
+        f"FROM toks" for j in range(depth))
+    probe_rows = " UNION ALL ".join(
+        f"SELECT key, {j} AS j, {_cm_col_sql('key', j, width)} AS c "
+        f"FROM vocab" for j in range(depth))
+    return f"""
+        WITH toks AS ({tokens_cte}),
+        tot AS (SELECT COUNT(*) // {denom} AS thr FROM toks),
+        cells AS ({cell_rows}),
+        grid AS (SELECT j, c, COUNT(*) AS cnt FROM cells GROUP BY j, c),
+        vocab AS (SELECT DISTINCT key FROM toks),
+        probe_cells AS ({probe_rows}),
+        est AS (
+            SELECT p.key, MIN(g.cnt) AS n_est
+            FROM probe_cells p JOIN grid g USING (j, c) GROUP BY p.key
+        ),
+        cand AS (SELECT key, n_est FROM est, tot WHERE n_est >= thr),
+        exact AS (
+            SELECT t.key, c.n_est, COUNT(*) AS n_exact
+            FROM toks t JOIN cand c USING (key)
+            GROUP BY t.key, c.n_est
+        )
+        SELECT key, n_exact, CAST(n_est AS BIGINT) AS n_est
+        FROM exact, tot WHERE n_exact >= thr
+    """

@@ -70,6 +70,31 @@ def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_merge_rollup(ev, "event_type", day, "user_id")
 
 
+def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent bigrams (collocations) at >= 1/750 of the stream, found
+    sketch-first: the Count-Min estimate gates which keys get exact
+    counting — CMS never underestimates, so no true heavy hitter can be
+    dropped, and the exact filter kills the sketch's false admits."""
+    d = load_table(spark, "documents", sf_dir)
+    ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
+    base = d.select(ws.alias("ws"))
+    n = F.size("ws")
+    bigrams = F.zip_with(
+        F.slice("ws", F.lit(1), n - 1), F.slice("ws", F.lit(2), n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b))
+    tokens = base.select(F.explode(bigrams).alias("key"))
+    return sketches.heavy_hitters(tokens, denom=750, depth=4, width=1024)
+
+
+_HH_TOKENS_CTE = """
+    SELECT unnest(ws[1:len(ws) - 1]) || ' ' || unnest(ws[2:len(ws)])
+               AS key
+    FROM (SELECT list_filter(string_split(text, ' '),
+                             w -> w <> '') AS ws
+          FROM documents)
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_distinct": sk_kmv_distinct,
     "sk_countmin": sk_countmin,
@@ -77,6 +102,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_hll_distinct": sk_hll_distinct,
     "sk_kmv_setops": sk_kmv_setops,
     "sk_hll_rollup": sk_hll_rollup,
+    "sk_heavy_hitters": sk_heavy_hitters,
 }
 
 ORACLES: dict[str, str] = {
@@ -97,4 +123,6 @@ ORACLES: dict[str, str] = {
     # the identical registers, so equality proves mergeability
     "sk_hll_rollup": sketches.hll_distinct_sql(
         "events", "event_type", "user_id"),
+    "sk_heavy_hitters": sketches.heavy_hitters_sql(
+        _HH_TOKENS_CTE, denom=750, depth=4, width=1024),
 }
