@@ -70,6 +70,7 @@ _DRIVER_PRIORITY = [
     "emb_pq_encode",  # product quantization, integer-exact (new r7)
     "tx_url_canon",  # URL canonicalization dedup kit (new r7)
     "sk_heavy_hitters",  # CMS-gated exact heavy hitters (new r7)
+    "s19_osm_datasource",  # Python DataSource connector API (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo

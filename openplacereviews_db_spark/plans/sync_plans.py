@@ -304,17 +304,12 @@ def _xml_escape(s: str) -> str:
     return escape(s, {'"': "&quot;"})
 
 
-def s1_osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1+S3: write a deterministic .osm file from the customer table
-    (write-once per sf), parse it with the streaming XML source, push
-    the S3 tag filter down, and project the entities.  The oracle reads
-    the same facts straight from the parquet — equality proves the XML
-    writer→parser→filter loop is lossless."""
-    from ..sources import osm_xml
-
-    # cache keyed on the source parquet's mtime+size (CLAUDE.md rule:
-    # driver testdata drifts between rounds; existence-only keys serve
-    # stale rows while the oracle reads fresh parquet)
+def _osm_stage_file(sf_dir: str) -> str:
+    """Write-once deterministic .osm file derived from the customer
+    table, keyed on the source parquet's mtime+size (CLAUDE.md rule:
+    driver testdata drifts between rounds; existence-only keys serve
+    stale rows while the oracle reads fresh parquet).  Shared by s1
+    (mapInPandas parse path) and s19 (DataSource connector path)."""
     tag = (os.path.basename(os.path.normpath(sf_dir))
            + "_" + staging.source_fingerprint(sf_dir, "customer"))
     path = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
@@ -343,8 +338,10 @@ def s1_osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f.write("  </node>\n")
             f.write("</osm>\n")
         os.replace(tmp, path)
-    ents = osm_xml.read_osm_xml(spark, path)
-    amen = osm_xml.filter_entities(ents, tag="amenity")
+    return path
+
+
+def _s1_projection(amen: DataFrame) -> DataFrame:
     return amen.select(
         "id",
         F.round("lat", 6).alias("lat"),
@@ -355,7 +352,37 @@ def s1_osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def s1_osm_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+S3: write a deterministic .osm file from the customer table
+    (write-once per sf), parse it with the streaming XML source, push
+    the S3 tag filter down, and project the entities.  The oracle reads
+    the same facts straight from the parquet — equality proves the XML
+    writer→parser→filter loop is lossless."""
+    from ..sources import osm_xml
+
+    path = _osm_stage_file(sf_dir)
+    ents = osm_xml.read_osm_xml(spark, path)
+    return _s1_projection(osm_xml.filter_entities(ents, tag="amenity"))
+
+
 QUERIES["s1_osm_xml_roundtrip"] = s1_osm_xml_roundtrip
+
+
+def s19_osm_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: the SAME parse as s1 through the registered ``osmxml``
+    Python DataSource (sources/osm_datasource.py) — Spark 4's
+    custom-connector API wrapping ``iter_osm_stream``, one partition
+    per file.  The oracle is s1's: the connector and the mapInPandas
+    path must agree byte-for-byte on every projected value."""
+    from ..sources import osm_datasource, osm_xml
+
+    path = _osm_stage_file(sf_dir)
+    osm_datasource.register(spark)
+    ents = spark.read.format("osmxml").option("path", path).load()
+    return _s1_projection(osm_xml.filter_entities(ents, tag="amenity"))
+
+
+QUERIES["s19_osm_datasource"] = s19_osm_datasource
 
 
 def s2_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -535,6 +562,10 @@ ORACLES["s1_osm_xml_roundtrip"] = """
            CAST(1 + c_custkey % 5 AS INT) AS version
     FROM customer WHERE c_custkey % 2 = 0
 """
+
+# the connector path must land on the identical values as the
+# mapInPandas path — same oracle, deliberately
+ORACLES["s19_osm_datasource"] = ORACLES["s1_osm_xml_roundtrip"]
 
 
 def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
