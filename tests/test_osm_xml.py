@@ -116,3 +116,43 @@ def test_entity_centers(spark, tmp_path):
     assert got[("relation", 20)] == (1.0, 1.5)     # mean(way center, node 3)
     assert got[("relation", 21)] == (1.0, 1.5)     # second-level recursion
     assert got[("relation", 22)] == (None, None)   # dangling member
+
+
+def test_osmxml_datasource_reads_gzip_and_plain_identically(spark, tmp_path):
+    """The connector must parse .osm and .osm.gz to identical rows, and
+    carry diff-mode action/section context like the mapInPandas path."""
+    import gzip
+
+    from openplacereviews_db_spark.sources import osm_datasource
+
+    xml = (
+        '<?xml version="1.0"?><osm>'
+        '<action type="modify"><old>'
+        '<node id="1" lat="1.5" lon="2.5" version="1">'
+        '<tag k="name" v="a"/></node></old><new>'
+        '<node id="1" lat="1.5" lon="2.75" version="2">'
+        '<tag k="name" v="b"/></node></new></action>'
+        '<node id="2" lat="3.0" lon="4.0" version="1"/>'
+        "</osm>"
+    )
+    plain = tmp_path / "t.osm"
+    plain.write_text(xml)
+    gz = tmp_path / "t.osm.gz"
+    gz.write_bytes(gzip.compress(xml.encode()))
+
+    osm_datasource.register(spark)
+
+    def rows(p):
+        return sorted(
+            (r["id"], r["action"], r["section"], r["lon"], r["version"],
+             dict(r["tags"]))
+            for r in spark.read.format("osmxml").option("path", str(p))
+            .load().collect())
+
+    a, b = rows(plain), rows(gz)
+    assert a == b
+    assert a == [
+        (1, "modify", "new", 2.75, 2, {"name": "b"}),
+        (1, "modify", "old", 2.5, 1, {"name": "a"}),
+        (2, None, None, 4.0, 1, {}),
+    ]
