@@ -71,6 +71,7 @@ _DRIVER_PRIORITY = [
     "tx_url_canon",  # URL canonicalization dedup kit (new r7)
     "sk_heavy_hitters",  # CMS-gated exact heavy hitters (new r7)
     "s19_osm_datasource",  # Python DataSource connector API (new r7)
+    "sk_bottomk_rollup",  # sliced-and-merged bottom-k == direct (r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo
@@ -82,8 +83,10 @@ _DRIVER_PRIORITY = [
     "a5_merge_counters", "a7_first_last_wins",
     "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
     "e2_config_delta", "e4_set_ops",
-    # 50-slot budget spent here (36 in (a)+(b) above + 14 of the r4
-    # cohort); the rest rolls to r8
+    # 50-slot budget: 9 in (a) + 31 in (b) + s1/s2/s5 = 43, so only the
+    # first ~7 of the r4 cohort below get sampled this round — new
+    # queries need FIRST driver evidence more than r4-green ones need a
+    # refresh; the rest of the cohort rolls to r8
     "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles",
     "g4_simplify_ways", "g5_way_stats",

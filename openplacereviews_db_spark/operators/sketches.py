@@ -580,3 +580,39 @@ def heavy_hitters_sql(tokens_cte: str, denom: int = 200, depth: int = 4,
         SELECT key, n_exact, CAST(n_est AS BIGINT) AS n_est
         FROM exact, tot WHERE n_exact >= thr
     """
+
+
+def bottomk_quantile_rollup(df: DataFrame, group_col: str,
+                            slice_col: Column, key_col: str,
+                            value_col: str, k: int = 256,
+                            q: float = 0.5) -> DataFrame:
+    """:func:`bottomk_quantile` computed the rollup way: per-(group,
+    SLICE) bottom-k samples taken independently, unioned, and re-ranked
+    into the group's bottom-k — the bottom-k of a union IS the bottom-k
+    of the parts' bottom-ks, so the DIRECT oracle
+    (:func:`bottomk_quantile_sql`) doubles as the mergeability proof
+    (the sk_hll_rollup pattern, for the sampling sketch).
+
+    The exact quantile still reads every row (it must); only the
+    sample path goes through the slice-and-merge. Plan: slice ranks
+    partition on (grp, slc) — strictly more parallel than the direct
+    build — then the survivors (≤ k per slice) re-rank per group.
+    """
+    grp = F.col(group_col)
+    hashed = df.select(
+        grp.alias("grp"), slice_col.alias("slc"),
+        F.col(key_col).alias("key"), F.col(value_col).alias("val"),
+    ).withColumn("frac", hash_frac(F.col("key")))
+    slice_rk = F.row_number().over(
+        Window.partitionBy("grp", "slc").orderBy("frac", "key"))
+    survivors = (hashed.withColumn("srk", slice_rk)
+                 .where(F.col("srk") <= k))
+    merge_rk = F.row_number().over(
+        Window.partitionBy("grp").orderBy("frac", "key"))
+    merged = survivors.withColumn("rk", merge_rk)
+    exact = hashed.groupBy("grp").agg(
+        F.round(F.percentile("val", F.lit(q)), 4).alias("p_exact"))
+    est = merged.groupBy("grp").agg(
+        F.round(F.percentile(F.when(F.col("rk") <= k, F.col("val")),
+                             F.lit(q)), 4).alias("p_est"))
+    return exact.join(est, on="grp").select("grp", "p_exact", "p_est")

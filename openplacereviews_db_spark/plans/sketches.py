@@ -70,6 +70,17 @@ def sk_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.hll_merge_rollup(ev, "event_type", day, "user_id")
 
 
+def sk_bottomk_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sk_bottomk_quantiles recomputed the rollup way: per-nation
+    bottom-256 samples merged into the per-segment sample.  The oracle
+    is the direct (unsliced) build — hash equality proves the bottom-k
+    of a union is the bottom-k of the parts (sample mergeability)."""
+    c = load_table(spark, "customer", sf_dir)
+    return sketches.bottomk_quantile_rollup(
+        c, "c_mktsegment", F.col("c_nationkey"), "c_custkey",
+        "c_acctbal", k=256, q=0.5)
+
+
 def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequent bigrams (collocations) at >= 1/750 of the stream, found
     sketch-first: the Count-Min estimate gates which keys get exact
@@ -103,6 +114,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sk_kmv_setops": sk_kmv_setops,
     "sk_hll_rollup": sk_hll_rollup,
     "sk_heavy_hitters": sk_heavy_hitters,
+    "sk_bottomk_rollup": sk_bottomk_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -125,4 +137,8 @@ ORACLES: dict[str, str] = {
         "events", "event_type", "user_id"),
     "sk_heavy_hitters": sketches.heavy_hitters_sql(
         _HH_TOKENS_CTE, denom=750, depth=4, width=1024),
+    # deliberately the DIRECT build's SQL (the sk_hll_rollup pattern)
+    "sk_bottomk_rollup": sketches.bottomk_quantile_sql(
+        "customer", "c_mktsegment", "c_custkey", "c_acctbal",
+        k=256, q=0.5),
 }
