@@ -144,6 +144,36 @@ def w5_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def a13_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (r7): the modern aggregate-function surface in one rollup —
+    ``count_if``, ``bool_and``/``bool_or`` (emitted as ints; top-level
+    booleans are avoided by repo convention), and ``min_by``/``max_by``
+    with a DETERMINISTIC ordering: the selector is the fused integer
+    key ``cents * 10^7 + o_orderkey`` (exact floor-cents, unique
+    tiebreak), because ``max_by`` on a raw price picks a
+    shuffle-order-dependent row among price ties — the same
+    nondeterminism class the CLAUDE.md tiebreak rule bans.  (DuckDB's
+    ``arg_max`` can't order by a struct, so the fused key is also what
+    keeps the two engines' picks identical.)  One partial-aggregating
+    shuffle on the 5-value priority key.
+    """
+    o = _t(spark, sf_dir, "orders")
+    key = (F.floor(F.col("o_totalprice") * 100).cast("long")
+           * F.lit(10_000_000) + F.col("o_orderkey"))
+    base = o.select("o_orderpriority", "o_custkey", "o_totalprice",
+                    "o_orderstatus", key.alias("sel"))
+    return (base.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.count_if(F.col("o_totalprice") > 150000)
+                 .alias("n_big"),
+                 F.bool_and(F.col("o_totalprice") > 0).cast("int")
+                 .alias("all_pos"),
+                 F.bool_or(F.col("o_orderstatus") == "F").cast("int")
+                 .alias("any_f"),
+                 F.max_by("o_custkey", F.col("sel")).alias("top_cust"),
+                 F.min_by("o_custkey", F.col("sel")).alias("low_cust")))
+
+
 def w3_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles per segment (the scale path would
     swap in approx_percentile; exact keeps the oracle comparable)."""
@@ -266,6 +296,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w3_percentiles": w3_percentiles,
     "w4_range_frame": w4_range_frame,
     "w5_rank_kit": w5_rank_kit,
+    "a13_agg_kit": a13_agg_kit,
     "o4_topk_per_group": o4_topk_per_group,
     "e4_set_ops": e4_set_ops,
     "a10_array_hof": a10_array_hof,
@@ -311,6 +342,22 @@ ORACLES: dict[str, str] = {
                  - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "a13_agg_kit": """
+        WITH base AS (
+            SELECT o_orderpriority, o_custkey, o_totalprice,
+                   o_orderstatus,
+                   CAST(floor(o_totalprice * 100) AS BIGINT) * 10000000
+                       + o_orderkey AS sel
+            FROM orders
+        )
+        SELECT o_orderpriority, COUNT(*) AS n,
+               COUNT(*) FILTER (o_totalprice > 150000) AS n_big,
+               CAST(bool_and(o_totalprice > 0) AS INT) AS all_pos,
+               CAST(bool_or(o_orderstatus = 'F') AS INT) AS any_f,
+               arg_max(o_custkey, sel) AS top_cust,
+               arg_min(o_custkey, sel) AS low_cust
+        FROM base GROUP BY o_orderpriority
     """,
     "w5_rank_kit": """
         WITH base AS (
