@@ -1911,3 +1911,79 @@ ORACLES["tx_url_canon"] = f"""
            COUNT(DISTINCT url) AS n_urls, MIN(doc_id) AS first_doc
     FROM c GROUP BY canon
 """
+
+
+def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X80: incremental near-dup — the daily-ingest path.  The existing
+    corpus (doc_id % 10 != 0) has its MinHash band keys staged ONCE as
+    a persistent parquet index (write-once, mtime+size-keyed); each new
+    batch (doc_id % 10 == 0) computes bands for ITS documents only,
+    equi-joins the staged index, and exact-Jaccard-verifies the
+    candidates.  Same hash family/params as ``dd_minhash_lsh``, so the
+    oracle reuses those CTEs restricted to new × old pairs.
+
+    The 100 TB point: ingesting a batch re-bands only the batch — the
+    corpus-side work is a pre-built index scan on the (band) join key,
+    not a re-shingle of history; verify re-reads only candidate docs.
+    (``st_neardup_pairs`` is this operator's streaming twin; this is
+    the batch form with the index as an explicit artifact.)
+    """
+    import os
+    import tempfile
+
+    from ..operators import dedup as dd
+    from ..sources import staging
+
+    d = _docs(spark, sf_dir)
+    is_new = F.col("doc_id") % 10 == 0
+    fp = staging.source_fingerprint(sf_dir, "documents")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    idx_dir = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                           f"ndindex_{tag}")
+    if not os.path.isfile(os.path.join(idx_dir, "_SUCCESS")):
+        (dd.minhash_band_keys(d.where(~is_new), shingle_words=2,
+                              num_hashes=16, bands=8)
+         .write.mode("overwrite").parquet(idx_dir))
+    old_bands = (spark.read.parquet(idx_dir)
+                 .select(F.col("id").alias("id_old"), "band"))
+    new_bands = (dd.minhash_band_keys(d.where(is_new), shingle_words=2,
+                                      num_hashes=16, bands=8)
+                 .select(F.col("id").alias("id_new"), "band"))
+    cand = (new_bands.join(old_bands, on="band")
+            .select("id_new", "id_old").dropDuplicates())
+    sh = (dd.exploded_shingles(d, "text", "doc_id", 2, distinct=False)
+          .groupBy("id").agg(F.collect_set("s").alias("sh")))
+    return (
+        cand.join(sh.select(F.col("id").alias("id_new"),
+                            F.col("sh").alias("sh_n")), on="id_new")
+        .join(sh.select(F.col("id").alias("id_old"),
+                        F.col("sh").alias("sh_o")), on="id_old")
+        .withColumn("jaccard",
+                    F.round(H.jaccard(F.col("sh_n"), F.col("sh_o")), 6))
+        .where(F.col("jaccard") >= 0.1)
+        .select("id_new", "id_old", "jaccard")
+    )
+
+
+QUERIES["dd_incremental"] = dd_incremental
+
+ORACLES["dd_incremental"] = f"""
+    WITH sh AS (
+        SELECT doc_id, {_SHINGLES2} AS shingles
+        FROM documents WHERE length(text) > 0),
+    {_MINHASH_MINS_BANDS},
+    cand AS (
+        SELECT DISTINCT n.doc_id AS id_new, o.doc_id AS id_old
+        FROM bands n JOIN bands o USING (band)
+        WHERE n.doc_id % 10 = 0 AND o.doc_id % 10 <> 0)
+    SELECT id_new, id_old,
+           round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                 / len(list_distinct(sa.shingles || sb.shingles)), 6)
+               AS jaccard
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_new
+    JOIN sh sb ON sb.doc_id = id_old
+    WHERE round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+                / len(list_distinct(sa.shingles || sb.shingles)), 6)
+          >= 0.1
+"""
