@@ -275,12 +275,65 @@ def x71_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def x81_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X81: the SCD2 dimension USED — every event looks up the version
+    active at its timestamp (the classic fact × type-2-dimension as-of
+    join) and the active version's value must equal the event's own
+    value, because x71's versions derive from these very events:
+    ``n_mismatch`` is pinned 0 by the oracle, which makes the driver
+    hash a boundary-semantics proof (an event AT ``eff_from`` belongs
+    to the NEW version — one off-by-one in the frame and thousands of
+    rows flip).
+
+    Plan: the j11 union-and-window as-of form, not a range join —
+    version starts (the lag-change rows) union with the fact rows, ONE
+    user_id shuffle, and ``last(..., ignorenulls)`` carries the active
+    value forward; at equal (ts, event_id) the start sorts before its
+    own event's lookup (src tiebreak), which IS the eff_from-inclusive
+    boundary rule.
+    """
+    ev = _events(spark, sf_dir)
+    rows = ev.select("user_id", "event_id", "event_type",
+                     F.unix_micros("ts").alias("ts_us"))
+    w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    prev = F.lag("event_type").over(w_ord)
+    starts = (rows.withColumn(
+        "chg", F.when(prev.isNull() | (prev != F.col("event_type")),
+                      F.lit(1)).otherwise(F.lit(0)))
+        .where(F.col("chg") == 1)
+        .select("user_id", "ts_us", "event_id", F.lit(0).alias("src"),
+                F.col("event_type").alias("ver_value"),
+                F.lit(None).cast("string").alias("event_type")))
+    facts = rows.select("user_id", "ts_us", "event_id",
+                        F.lit(1).alias("src"),
+                        F.lit(None).cast("string").alias("ver_value"),
+                        "event_type")
+    u = starts.unionByName(facts)
+    w = (Window.partitionBy("user_id").orderBy("ts_us", "event_id", "src")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = u.select(
+        "user_id", "src", "event_type",
+        F.last("ver_value", ignorenulls=True).over(w).alias("active"))
+    looked = carried.where(F.col("src") == 1)
+    return (looked.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_if(F.col("active") == F.col("event_type"))
+                 .alias("n_match"),
+                 F.count_if((F.col("active") != F.col("event_type"))
+                            | F.col("active").isNull())
+                 .alias("n_mismatch"))
+            .join(starts.groupBy("user_id")
+                  .agg(F.count(F.lit(1)).alias("n_versions")),
+                  on="user_id"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "j11_asof_join": j11_asof_join,
     "j12_range_join": j12_range_join,
     "j13_interval_join": j13_interval_join,
     "d5_multires_rollup": d5_multires_rollup,
     "x71_scd2_build": x71_scd2_build,
+    "x81_scd2_asof": x81_scd2_asof,
 }
 
 # DuckDB has a native ASOF JOIN — the oracle uses it directly, so the
@@ -384,5 +437,24 @@ ORACLES: dict[str, str] = {
                         PARTITION BY user_id ORDER BY version) IS NULL
                     THEN 1 ELSE 0 END AS is_current
         FROM grouped
+    """,
+
+    # the invariant IS the oracle: versions derive from the events, so
+    # every event must match its active version; n_versions recomputed
+    # independently from the lag change-flags
+    "x81_scd2_asof": """
+        WITH ordered AS (
+            SELECT user_id, event_id, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id
+                       ORDER BY epoch_us(ts), event_id) AS prev
+            FROM events
+        )
+        SELECT user_id, COUNT(*) AS n_events,
+               COUNT(*) AS n_match,
+               CAST(0 AS BIGINT) AS n_mismatch,
+               CAST(SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_versions
+        FROM ordered GROUP BY user_id
     """,
 }
