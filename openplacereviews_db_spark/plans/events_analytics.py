@@ -514,3 +514,88 @@ ORACLES["x72_gapfill_locf"] = """
     FROM grid g LEFT JOIN daily d
       ON d.user_id = g.user_id AND d.day_b = g.day_b
 """
+
+
+def x82_bitmap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X82: bitmap-index set algebra — each user's activity days packed
+    into ONE 64-bit mask (day index relative to the corpus's first day;
+    the span is ~31 days, bit_or is the aggregate), with a second mask
+    per event class, so audience questions ("active days", "days with
+    clicks AND errors", "days with either") become bit_count over
+    AND/OR of two BIGINTs — the roaring-bitmap access pattern an OLAP
+    engine uses for segment membership, in its word-sized special case.
+
+    Everything is integer bit arithmetic (shift, or, and, popcount) —
+    bit-identical on any engine; the corpus min-day is a 1-row bounded
+    broadcast (the tx_mix_weights pattern).  One partial-aggregating
+    shuffle on user_id; masks pack server-side, so the exchange carries
+    three BIGINTs per (user, task) no matter how many events.
+    """
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "user_id", "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"))
+    min_day = base.agg(F.min("day").alias("min_day"))
+    idx = (base.crossJoin(F.broadcast(min_day))
+           .select("user_id", "event_type",
+                   (F.col("day") - F.col("min_day")).alias("idx"))
+           .where(F.col("idx") < 64))
+    bit = F.expr("shiftleft(cast(1 as bigint), cast(idx as int))")
+    masks = (idx.groupBy("user_id")
+             .agg(F.bit_or(bit).alias("mask_all"),
+                  F.bit_or(F.when(F.col("event_type") == "click", bit))
+                  .alias("mask_click"),
+                  F.bit_or(F.when(F.col("event_type") == "error", bit))
+                  .alias("mask_error")))
+    m_click = F.coalesce("mask_click", F.lit(0).cast("long"))
+    m_error = F.coalesce("mask_error", F.lit(0).cast("long"))
+    return masks.select(
+        "user_id", "mask_all",
+        F.bit_count("mask_all").cast("int").alias("n_days"),
+        F.bit_count(m_click).cast("int").alias("n_click_days"),
+        F.bit_count(m_error).cast("int").alias("n_error_days"),
+        F.bit_count(m_click.bitwiseAND(m_error)).cast("int")
+        .alias("n_both_days"),
+        F.bit_count(m_click.bitwiseOR(m_error)).cast("int")
+        .alias("n_either_days"),
+    )
+
+
+QUERIES["x82_bitmap_days"] = x82_bitmap_days
+
+ORACLES["x82_bitmap_days"] = """
+    WITH base AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events
+    ), rel AS (
+        SELECT user_id, event_type,
+               day - (SELECT MIN(day) FROM base) AS idx
+        FROM base
+    ), masks AS (
+        SELECT user_id,
+               bit_or(CAST(1 AS BIGINT) << CAST(idx AS INT))
+                   AS mask_all,
+               bit_or(CASE WHEN event_type = 'click'
+                      THEN CAST(1 AS BIGINT) << CAST(idx AS INT) END)
+                   AS mask_click,
+               bit_or(CASE WHEN event_type = 'error'
+                      THEN CAST(1 AS BIGINT) << CAST(idx AS INT) END)
+                   AS mask_error
+        FROM rel WHERE idx < 64
+        GROUP BY user_id
+    )
+    SELECT user_id, mask_all,
+           CAST(bit_count(mask_all) AS INT) AS n_days,
+           CAST(bit_count(COALESCE(mask_click, 0)) AS INT)
+               AS n_click_days,
+           CAST(bit_count(COALESCE(mask_error, 0)) AS INT)
+               AS n_error_days,
+           CAST(bit_count(COALESCE(mask_click, 0)
+                          & COALESCE(mask_error, 0)) AS INT)
+               AS n_both_days,
+           CAST(bit_count(COALESCE(mask_click, 0)
+                          | COALESCE(mask_error, 0)) AS INT)
+               AS n_either_days
+    FROM masks
+"""

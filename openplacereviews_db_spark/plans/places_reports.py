@@ -547,3 +547,89 @@ ORACLES["p10_name_tags"] = f"""
            name AS name_value
     FROM places
 """
+
+
+#: pointy-top hex geometry constants — single Python floats embedded in
+#: BOTH engines' expressions so the axial math is bit-identical.
+_HEX_A = 3 ** 0.5 / 3       # sqrt(3)/3
+_HEX_13 = 1.0 / 3.0
+_HEX_23 = 2.0 / 3.0
+_HEX_SIZE = 2.0             # hex circumradius, degrees
+
+
+def g13_hex_bin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13: hexagonal spatial binning (the H3/axial-grid family, next
+    to the OLC tiles, mercator tiles and Z-order keys the repo already
+    has): points land in pointy-top hexes via the standard axial
+    transform + cube rounding, and the query reports per-hex density.
+    Hex grids are the aggregation layout mobility/geo pipelines prefer
+    over squares (uniform neighbor distance); the bin key is two small
+    ints — a clean shuffle/partition key at 100 TB.
+
+    Cube rounding is float arithmetic, so every constant is ONE Python
+    float embedded in both engines' expressions, rounds are
+    ``floor(t + 0.5)`` (the cross-engine discipline), and the
+    largest-residual fix compares the identical doubles — the pick
+    cannot split between engines.  Coordinates are the synthetic
+    closed-form lat/lon over c_custkey (the s1/geo convention, SQL
+    mirror below).
+    """
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    lat = P.synthetic_lat(F.col("c_custkey"))
+    lon = P.synthetic_lon(F.col("c_custkey"))
+    q = (F.lit(_HEX_A) * lon - F.lit(_HEX_13) * lat) / F.lit(_HEX_SIZE)
+    r = (F.lit(_HEX_23) * lat) / F.lit(_HEX_SIZE)
+    base = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select(F.col("c_custkey").alias("key"),
+                    q.alias("q"), r.alias("r")))
+    x, z = F.col("q"), F.col("r")
+    y = -x - z
+    rx = F.floor(x + 0.5)
+    ry = F.floor(y + 0.5)
+    rz = F.floor(z + 0.5)
+    dx = F.abs(rx - x)
+    dy = F.abs(ry - y)
+    dz = F.abs(rz - z)
+    hq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    hr = F.when((dx > dy) & (dx > dz), rz).otherwise(
+        F.when(dy > dz, rz).otherwise(-rx - ry))
+    return (base.select("key", hq.cast("long").alias("hq"),
+                        hr.cast("long").alias("hr"))
+            .groupBy("hq", "hr")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("key").alias("first_key")))
+
+
+QUERIES["g13_hex_bin"] = g13_hex_bin
+
+_HEX_LAT = "((c_custkey * 7919) % 16000 / 100.0 - 80.0)"
+_HEX_LON = "((c_custkey * 104729) % 36000 / 100.0 - 180.0)"
+
+ORACLES["g13_hex_bin"] = f"""
+    WITH qr AS (
+        SELECT c_custkey AS key,
+               ({_HEX_A!r} * {_HEX_LON} - {_HEX_13!r} * {_HEX_LAT})
+                   / {_HEX_SIZE!r} AS q,
+               ({_HEX_23!r} * {_HEX_LAT}) / {_HEX_SIZE!r} AS r
+        FROM customer
+    ), cube AS (
+        SELECT key, q, r, -q - r AS y,
+               floor(q + 0.5) AS rx, floor(-q - r + 0.5) AS ry,
+               floor(r + 0.5) AS rz
+        FROM qr
+    ), fixed AS (
+        SELECT key,
+               CASE WHEN abs(rx - q) > abs(ry - y)
+                         AND abs(rx - q) > abs(rz - r)
+                    THEN -ry - rz ELSE rx END AS hq,
+               CASE WHEN abs(rx - q) > abs(ry - y)
+                         AND abs(rx - q) > abs(rz - r)
+                    THEN rz
+                    WHEN abs(ry - y) > abs(rz - r) THEN rz
+                    ELSE -rx - ry END AS hr
+        FROM cube
+    )
+    SELECT CAST(hq AS BIGINT) AS hq, CAST(hr AS BIGINT) AS hr,
+           COUNT(*) AS n, MIN(key) AS first_key
+    FROM fixed GROUP BY 1, 2
+"""

@@ -45,6 +45,7 @@ BOUNDED_JOIN_OK = {
     "tx_mix_weights",       # 1-row normalizing total (documented)
     "sk_heavy_hitters",     # 1-row threshold total cross-joined into
                             # the candidate gate (documented)
+    "x82_bitmap_days",      # 1-row corpus min-day broadcast (documented)
     "tx_tfidf_topk",        # 1-row corpus-size aggregate (documented)
     "tx_bigram_lm",         # 1-row vocabulary-size aggregate (documented)
     "tx_bm25",              # 1-row (sum_dl, n_docs) aggregate (documented)
