@@ -99,6 +99,7 @@ def _mini_sf_dir(tmp_path, keys):
     pq.write_table(pa.table({
         "c_custkey": pa.array(keys, pa.int64()),
         "c_name": [f"Customer#{k}" for k in keys],
+        "c_acctbal": pa.array([k * 10.25 for k in keys], pa.float64()),
         "c_mktsegment": ["BUILDING" for _ in keys],
     }), str(tmp_path / "customer.parquet"))
     pq.write_table(pa.table({
@@ -107,7 +108,17 @@ def _mini_sf_dir(tmp_path, keys):
         "user_id": pa.array(keys, pa.int64()),
         "ts": pa.array([1_600_000_000_000_000 + k for k in keys],
                        pa.timestamp("us")),
+        "value": pa.array([k * 1.5 for k in keys], pa.float64()),
     }), str(tmp_path / "events.parquet"))
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 11] + [10 * k for k in keys], pa.int64()),
+        "text": (["alpha beta gamma delta"] * 2
+                 + [f"alpha beta gamma delta" if k == keys[0]
+                    else f"zeta eta theta iota k{k}" for k in keys]),
+        "lang": ["en"] * (2 + len(keys)),
+        "source": ["s"] * (2 + len(keys)),
+        "n_chars": pa.array([20] * (2 + len(keys)), pa.int64()),
+    }), str(tmp_path / "documents.parquet"))
     return str(tmp_path)
 
 
@@ -158,3 +169,35 @@ def test_compact_dir_reduces_files_losslessly(spark, tmp_path):
     a = sorted(map(tuple, spark.read.parquet(src).collect()))
     b = sorted(map(tuple, spark.read.parquet(dest).collect()))
     assert a == b
+
+
+def test_r7_staging_caches_rebuild_on_refresh(spark, tmp_path):
+    """The stale-cache rule applied to the round-7 write-once stages:
+    the CSV/JSON roundtrip (s18), the day-partitioned layout + sidecar
+    (x74), and the near-dup band index (dd_incremental) must all
+    rebuild when their source parquet changes."""
+    import os
+    import time
+
+    from openplacereviews_db_spark.plans.corpus import dd_incremental
+    from openplacereviews_db_spark.plans.sync_plans import (
+        s18_format_roundtrip, x74_partition_prune)
+
+    sf = _mini_sf_dir(tmp_path, [2, 4, 6])
+    assert s18_format_roundtrip(spark, sf).collect()[0]["n"] == 3
+    assert x74_partition_prune(spark, sf).collect()[0]["n"] == 3
+    # new doc 20 (= 10*first key) duplicates old docs 1 and 11
+    pairs = {(r["id_new"], r["id_old"])
+             for r in dd_incremental(spark, sf).collect()}
+    assert pairs == {(20, 1), (20, 11)}
+
+    time.sleep(0.01)
+    _mini_sf_dir(tmp_path, [8, 10, 12, 14])
+    for t in ("customer", "events", "documents"):
+        os.utime(str(tmp_path / f"{t}.parquet"))
+
+    assert s18_format_roundtrip(spark, sf).collect()[0]["n"] == 4
+    assert x74_partition_prune(spark, sf).collect()[0]["n"] == 4
+    pairs = {(r["id_new"], r["id_old"])
+             for r in dd_incremental(spark, sf).collect()}
+    assert pairs == {(80, 1), (80, 11)}
