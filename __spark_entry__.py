@@ -77,6 +77,7 @@ _DRIVER_PRIORITY = [
     "x81_scd2_asof",  # fact x SCD2 as-of lookup, invariant (new r7)
     "x82_bitmap_days",  # 64-bit bitmap-index set algebra (new r7)
     "g13_hex_bin",  # axial hex-grid spatial binning (new r7)
+    "st_hll_distinct",  # streaming HLL register maintenance (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
     # (c) last sampled r4, oldest evidence in the repo

@@ -385,6 +385,42 @@ def hll_merge_rollup(df: DataFrame, group_col: str, slice_col: Column,
     )
 
 
+def hll_bucket_rho(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """``(grp, bucket, rho)`` rows of :func:`hll_distinct`'s hash
+    decomposition — the insert-side primitive shared by the batch
+    builds and the streaming register maintenance."""
+    distinct = (df.select(F.col(group_col).alias("grp"),
+                          F.col(value_col).alias("v")).distinct())
+    h = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13),
+                16, 10).cast("bigint"))
+    rem = F.shiftright(h, HLL_P)
+    return distinct.select(
+        "grp", F.pmod(h, F.lit(HLL_M)).alias("bucket"),
+        (F.lit(HLL_RHO_MAX) - F.when(rem == 0, F.lit(0)).otherwise(
+            F.length(F.conv(rem.cast("string"), 10, 2)))).alias("rho"))
+
+
+def hll_finalize(regs: DataFrame) -> DataFrame:
+    """Fold a ``(grp, bucket, rho_max)`` register frame into
+    ``(grp, n_buckets, n_est)`` — the estimate arithmetic of
+    :func:`hll_distinct`, shared by the streaming path (which has no
+    exact count: ids are not retained, only registers)."""
+    scaled = F.expr(
+        f"shiftleft(cast(1 as bigint), cast({HLL_RHO_MAX} - rho_max as int))")
+    return (regs.groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_buckets"),
+                 F.sum(scaled).alias("_sum_present"))
+            .select(
+                "grp", "n_buckets",
+                F.round(
+                    F.lit(HLL_EST_NUM)
+                    / (F.col("_sum_present")
+                       + (F.lit(HLL_M) - F.col("n_buckets"))
+                       * F.lit(1 << (HLL_RHO_MAX - 1))), 4)
+                .alias("n_est")))
+
+
 def hll_distinct_sql(table: str, group_col: str, value_col: str) -> str:
     """DuckDB oracle for :func:`hll_distinct` — same hash, same base-2
     bitlen, same scaled-integer register sum, same single divide.

@@ -130,6 +130,19 @@ def st_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sp.exact_dedup_once(spark, sf_dir)
 
 
+
+
+def st_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 streaming HyperLogLog distinct users per event type: per
+    micro-batch register maintenance, estimate folded from the register
+    union (streaming/pipelines.py hll_stream_once); the oracle is the
+    DIRECT batch SQL, so hash equality proves the stream lands on the
+    identical registers whatever the batch boundaries."""
+    from ..streaming import pipelines as sp
+
+    return sp.hll_stream_once(spark, sf_dir)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tx_stratified_sample": tx_stratified_sample,
     "tx_mix_weights": tx_mix_weights,
@@ -142,6 +155,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "st_user_totals": st_user_totals,
     "st_neardup_pairs": st_neardup_pairs,
     "st_exact_dedup": st_exact_dedup,
+    "st_hll_distinct": st_hll_distinct,
 }
 
 _U = curation.hash_uniform_sql("doc_id")
@@ -363,3 +377,15 @@ ORACLES["st_enrich_join"] = """
     FROM events e JOIN customer c ON c.c_custkey = e.user_id
     GROUP BY 1, 2
 """
+
+
+from ..operators import sketches as _SK  # noqa: E402
+
+# the stream must land on the direct batch build's registers — same
+# oracle as sk_hll_distinct minus the exact count (register-only state
+# deliberately cannot produce one)
+ORACLES["st_hll_distinct"] = (
+    "SELECT grp, n_buckets, n_est FROM ("
+    + _SK.hll_distinct_sql("events", "event_type", "user_id")
+    + ") t"
+)

@@ -645,3 +645,56 @@ def enrich_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(F.floor(F.col("value") * 1000).cast("bigint"))
                 .alias("sum_millis")))
     return _run_to_memory(agg, "complete")
+
+
+def hll_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X83 run to completion as a driver-checkable query: distinct
+    users per event type maintained as STREAMING HyperLogLog registers
+    — each micro-batch writes its (grp, bucket, rho_max) partial
+    registers to an epoch partition, and the final estimate folds the
+    register union.  Because HLL insertion is idempotent and merge is
+    register-wise max, the stream lands on the IDENTICAL registers as
+    the batch build whatever the batch boundaries — the oracle is the
+    direct batch SQL (sk_hll_rollup's proof, now across micro-batches
+    and restarts), minus the exact count the register-only state
+    deliberately cannot produce.
+
+    Retry safety is the exact_dedup_stream discipline: epoch-keyed
+    overwrite partitions, committed epochs skipped outright — and max
+    is insensitive to replayed registers anyway (the sketch property
+    that makes it the STATE format of choice for streaming distinct
+    counts: tiny, mergeable, at-least-once-proof).
+    """
+    import os
+    import shutil
+
+    from ..operators import sketches as SK
+
+    root, src = _stage_events_split(sf_dir, "hllstream")
+    regs_dir = os.path.join(root, "regs")
+    chk_dir = os.path.join(root, "chk")
+    for d in (regs_dir, chk_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    schema = spark.read.parquet(src).schema
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        part = os.path.join(regs_dir, f"epoch={epoch}")
+        if os.path.isfile(os.path.join(part, "_SUCCESS")):
+            return  # committed epoch replayed: no-op
+        (SK.hll_bucket_rho(batch, "event_type", "user_id")
+         .groupBy("grp", "bucket").agg(F.max("rho").alias("rho_max"))
+         .coalesce(2).write.mode("overwrite").parquet(part))
+
+    ev = (spark.readStream.format("parquet").schema(schema)
+          .option("maxFilesPerTrigger", 1).load(src))
+    q = (ev.writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", chk_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+
+    merged = (spark.read.parquet(regs_dir)
+              .groupBy("grp", "bucket")
+              .agg(F.max("rho_max").alias("rho_max")))
+    return SK.hll_finalize(merged)
