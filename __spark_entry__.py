@@ -89,10 +89,11 @@ _DRIVER_PRIORITY = [
     "a5_merge_counters", "a7_first_last_wins",
     "a8_rollup_status_priority", "a9_cube_flags", "a10_array_hof",
     "e2_config_delta", "e4_set_ops",
-    # 50-slot budget: 9 in (a) + 31 in (b) + s1/s2/s5 = 43, so only the
-    # first ~7 of the r4 cohort below get sampled this round — new
-    # queries need FIRST driver evidence more than r4-green ones need a
-    # refresh; the rest of the cohort rolls to r8
+    # 50-slot budget EXACTLY spent: 9 in (a) + 38 in (b) + s1/s2/s5
+    # (changed staging keys, need re-sampling) = 50.  The whole r4-green
+    # cohort below rolls to r8 — new queries need FIRST driver evidence
+    # more than r4-green ones need a refresh; r8 should lead with this
+    # cohort plus any of this round's additions that missed the window
     "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles",
     "g4_simplify_ways", "g5_way_stats",
