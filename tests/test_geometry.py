@@ -148,3 +148,39 @@ def test_g8_cover_prunes_and_loses_nothing(spark, sf_dir):
     out = PR.g8_zcell_scan(spark, sf_dir)
     n = out.agg(F.sum("n")).collect()[0][0]
     assert n and n > 0                       # the bbox is populated
+
+
+def test_hex_bin_centers_are_fixed_points(spark):
+    """A hex center must bin to its own hex: run the g13 axial
+    transform on exact center coordinates of a grid of (hq, hr) cells
+    and assert each maps back to itself (the cube-rounding fix cannot
+    move a center)."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.plans.places_reports import (
+        _HEX_13, _HEX_23, _HEX_A, _HEX_SIZE)
+
+    s3 = 3 ** 0.5
+    rows = []
+    for hq in range(-5, 6):
+        for hr in range(-5, 6):
+            lon = _HEX_SIZE * (s3 * hq + s3 / 2 * hr)
+            lat = _HEX_SIZE * 1.5 * hr
+            rows.append((hq, hr, lat, lon))
+    df = spark.createDataFrame(rows, "hq long, hr long, lat double, "
+                                     "lon double")
+    q = (F.lit(_HEX_A) * F.col("lon")
+         - F.lit(_HEX_13) * F.col("lat")) / F.lit(_HEX_SIZE)
+    r = (F.lit(_HEX_23) * F.col("lat")) / F.lit(_HEX_SIZE)
+    x, z = q, r
+    y = -x - z
+    rx, ry, rz = F.floor(x + 0.5), F.floor(y + 0.5), F.floor(z + 0.5)
+    dx, dy, dz = F.abs(rx - x), F.abs(ry - y), F.abs(rz - z)
+    gq = F.when((dx > dy) & (dx > dz), -ry - rz).otherwise(rx)
+    gr = F.when((dx > dy) & (dx > dz), rz).otherwise(
+        F.when(dy > dz, rz).otherwise(-rx - ry))
+    bad = (df.select("hq", "hr", gq.cast("long").alias("gq"),
+                     gr.cast("long").alias("gr"))
+           .where((F.col("hq") != F.col("gq"))
+                  | (F.col("hr") != F.col("gr"))).collect())
+    assert not bad, bad[:5]

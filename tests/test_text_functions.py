@@ -92,3 +92,29 @@ def test_url_canonicalize_truth_table(spark):
     got = [r[0] for r in
            df.select(url_canonicalize(F.col("url"))).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_url_canonicalize_is_idempotent(spark):
+    """canon(canon(u)) == canon(u) — a canonical form must be a fixed
+    point, over a generated mix of scheme/host case, default and
+    explicit ports, fragments, utm and real params, trailing slashes."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions.text import url_canonicalize
+
+    urls = []
+    for i in range(400):
+        scheme = ["http", "HTTP", "https"][i % 3]
+        host = ["ex.com", "WWW.Ex.COM", "a.b.ex.com"][i % 3] + \
+            ["", ":80", ":443", ":8080"][i % 4]
+        path = ["/", "/p", "/p/q", "/p/"][i % 4]
+        q = ["", "?utm_a=1", "?utm_a=1&id=2", "?id=2&utm_b=3",
+             "?utm_a=1&utm_b=2&id=3"][i % 5]
+        frag = ["", "#x"][i % 2]
+        urls.append((f"{scheme}://{host}{path}{q}{frag}",))
+    df = spark.createDataFrame(urls, "url string")
+    once = df.select(url_canonicalize(F.col("url")).alias("c1"))
+    twice = once.select(F.col("c1"),
+                        url_canonicalize(F.col("c1")).alias("c2"))
+    bad = twice.where(F.col("c1") != F.col("c2")).collect()
+    assert not bad, bad[:5]
