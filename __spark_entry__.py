@@ -80,6 +80,9 @@ _DRIVER_PRIORITY = [
     "st_hll_distinct",  # streaming HLL register maintenance (new r7)
     "s1_osm_xml_roundtrip", "s5_staged_scan",  # staging re-keyed on
     "s2_diff_roundtrip",                       # source mtime+size
+    # --- 50-slot cut line: everything below rolls to r8, lead with
+    # these (local-parity-green only, no driver row yet) ---
+    "x84_twap",  # integer-trapezoid time-weighted average (new r7)
     # (c) last sampled r4, oldest evidence in the repo
     "m9_apply_changelog", "m5_merge_ops", "m7_migrate_ids",
     "s14_pack_ops", "s15_merge_upsert", "s13_geojson_features",

@@ -599,3 +599,75 @@ ORACLES["x82_bitmap_days"] = """
                AS n_either_days
     FROM masks
 """
+
+
+def x84_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X84: time-weighted average (TWAP) per user — the financial/
+    sensor-series aggregate where each value counts for how LONG it
+    held, not how often it was sampled: trapezoidal integration between
+    consecutive events divided by the observed span.
+
+    Integer-exact end to end: values quantize to floor-millis, gaps to
+    whole seconds, each trapezoid is ``(vm_i + vm_{i+1}) * dt`` in
+    BIGINT, and the final division is the rounded-quotient identity
+    ``(2p + q) div 2q`` (the CLAUDE.md decimal-trap discipline) — no
+    float ever enters, so summation order cannot exist as a concept.
+    Same-second runs contribute zero-width trapezoids (deterministic
+    under the (sec, event_id) total order); zero-span users fall back
+    to their first value.  One user_id shuffle serves the lead window
+    and the aggregate.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    base = ev.select(
+        "user_id", "event_id",
+        F.expr("unix_timestamp(ts)").alias("sec"),
+        F.floor(F.col("value") * 1000).cast("long").alias("vm"))
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    nxt_vm = F.lead("vm").over(w)
+    nxt_sec = F.lead("sec").over(w)
+    trap = (F.col("vm") + nxt_vm) * (nxt_sec - F.col("sec"))
+    agg = (base.withColumn("trap", trap)
+           .groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.sum("trap").alias("sum_trap"),
+                (F.max("sec") - F.min("sec")).alias("span_s"),
+                F.min_by("vm", F.struct("sec", "event_id"))
+                .alias("first_vm")))
+    return agg.select(
+        "user_id", "n_events", "span_s",
+        F.when(F.col("span_s") > 0,
+               F.expr("(2 * sum_trap + 2 * span_s) div (4 * span_s)"))
+        .otherwise(F.col("first_vm")).alias("twap_milli"))
+
+
+QUERIES["x84_twap"] = x84_twap
+
+ORACLES["x84_twap"] = """
+    WITH base AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(floor(value * 1000) AS BIGINT) AS vm
+        FROM events
+    ), stepped AS (
+        SELECT user_id, event_id, sec, vm,
+               (vm + lead(vm) OVER w) * (lead(sec) OVER w - sec) AS trap
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ), agg AS (
+        -- first_vm only matters for span_s = 0 groups, where every sec
+        -- is equal — there min-event_id IS the (sec, event_id) min, so
+        -- this matches Spark's min_by(vm, struct(sec, event_id))
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(trap) AS BIGINT) AS sum_trap,
+               MAX(sec) - MIN(sec) AS span_s,
+               arg_min(vm, event_id) AS first_vm
+        FROM stepped GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_s,
+           CASE WHEN span_s > 0
+                THEN (2 * sum_trap + 2 * span_s) // (4 * span_s)
+                ELSE first_vm END AS twap_milli
+    FROM agg
+"""
