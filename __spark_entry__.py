@@ -83,6 +83,7 @@ _DRIVER_PRIORITY = [
     # --- 50-slot cut line: everything below rolls to r8, lead with
     # these (local-parity-green only, no driver row yet) ---
     "x84_twap",  # integer-trapezoid time-weighted average (new r7)
+    "o6_skyline",  # Pareto front via two-phase prefix max (new r7)
     # (c) last sampled r4, oldest evidence in the repo
     "m9_apply_changelog", "m5_merge_ops", "m7_migrate_ids",
     "s14_pack_ops", "s15_merge_upsert", "s13_geojson_features",

@@ -82,3 +82,40 @@ def global_row_index(df: DataFrame, order_cols: list, out_col: str,
     out = global_cumsum(tagged, "_one", order_cols, out_col,
                         num_partitions)
     return out.withColumn(out_col, F.col(out_col) - 1).drop("_one")
+
+
+def global_running_prefix_max(df: DataFrame, value_col: str,
+                              order_cols: list, out_col: str,
+                              num_partitions: int | None = None,
+                              ascending: list[bool] | None = None,
+                              strict: bool = True) -> DataFrame:
+    """``out_col`` = max of ``value_col`` over all rows STRICTLY before
+    (``strict=True``) or up to the current row in the total order —
+    the two-phase decomposition of ``max() OVER (ORDER BY ... ROWS
+    UNBOUNDED PRECEDING [AND 1 PRECEDING])`` (max commutes exactly like
+    the sums above; same range-exchange + per-partition window +
+    broadcast-offset shape, no single-task window).  NULL when no
+    preceding row exists."""
+    asc = ascending or [True] * len(order_cols)
+    sort_exprs = [F.col(c) if a else F.col(c).desc()
+                  for c, a in zip(order_cols, asc)]
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    df = df.localCheckpoint()
+    ranged = df.repartitionByRange(n, *sort_exprs).withColumn(
+        "_pid", F.spark_partition_id())
+    end = -1 if strict else 0
+    w = Window.partitionBy("_pid").orderBy(*sort_exprs) \
+        .rowsBetween(Window.unboundedPreceding, end)
+    local = ranged.withColumn("_local", F.max(value_col).over(w))
+    totals = ranged.groupBy("_pid").agg(
+        F.max(value_col).alias("_ptotal"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_offset", F.max("_ptotal").over(woff))
+    return (
+        local.join(F.broadcast(offsets.select("_pid", "_offset")),
+                   on="_pid")
+        .withColumn(out_col, F.greatest("_local", "_offset"))
+        .drop("_pid", "_local", "_offset")
+    )

@@ -144,6 +144,41 @@ def w5_rank_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def o6_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O (r7): 2-D SKYLINE (Pareto front) — customers not dominated on
+    (richer, more senior): keep a row iff no other row is >= on both
+    integer dimensions and strictly better on one.  The skyline
+    operator [Börzsönyi et al. 2001] the research OLAP engines ship;
+    naive evaluation is the O(n²) self-join Catalyst would pick for
+    the EXISTS form.
+
+    Plan: collapse to one row per x (partial-agg groupBy computing the
+    per-x best y), then "best y among strictly greater x" is a PREFIX
+    max over the x-descending total order — computed with the repo's
+    two-phase decomposition (`ordered.global_running_prefix_max`:
+    range-exchange, per-partition window, broadcast partition offsets),
+    NEVER a single-task global window; join the marks back and filter.
+    O(n log n), no self-join, no row amplification, and every frame is
+    value-determined so shuffle order cannot matter.
+    """
+    from ..operators.ordered import global_running_prefix_max
+
+    c = _t(spark, sf_dir, "customer")
+    base = c.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+        (-F.col("c_custkey")).alias("sen"))
+    groups = base.groupBy("cents").agg(F.max("sen").alias("g_max"))
+    marks = global_running_prefix_max(
+        groups, "g_max", ["cents"], "best_richer",
+        ascending=[False], strict=True)
+    return (base.join(marks, on="cents")
+            .where((F.col("best_richer").isNull()
+                    | (F.col("best_richer") < F.col("sen")))
+                   & (F.col("g_max") <= F.col("sen")))
+            .select("c_custkey", "cents"))
+
+
 def a13_agg_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A13 (r7): the modern aggregate-function surface in one rollup —
     ``count_if``, ``bool_and``/``bool_or`` (emitted as ints; top-level
@@ -297,6 +332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "w4_range_frame": w4_range_frame,
     "w5_rank_kit": w5_rank_kit,
     "a13_agg_kit": a13_agg_kit,
+    "o6_skyline": o6_skyline,
     "o4_topk_per_group": o4_topk_per_group,
     "e4_set_ops": e4_set_ops,
     "a10_array_hof": a10_array_hof,
@@ -342,6 +378,24 @@ ORACLES: dict[str, str] = {
                  - CAST(floor(epoch(LAG(ts) OVER w)) AS BIGINT) AS gap_s
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    # the oracle is the EXISTS/anti-join dominance definition itself —
+    # an independent formulation, so equality proves the prefix-max
+    # decomposition implements true Pareto dominance
+    "o6_skyline": """
+        WITH pts AS (
+            SELECT c_custkey,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS cents,
+                   -c_custkey AS sen
+            FROM customer
+        )
+        SELECT a.c_custkey, a.cents
+        FROM pts a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts b
+            WHERE b.cents >= a.cents AND b.sen >= a.sen
+              AND (b.cents > a.cents OR b.sen > a.sen)
+        )
     """,
     "a13_agg_kit": """
         WITH base AS (

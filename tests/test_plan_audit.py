@@ -156,6 +156,8 @@ EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
                   "x76_dynamic_prune",  # same shared partitioned stage
                   "emb_pq_encode",  # 16-row codebook collect at build
                   "dd_incremental",  # write-once band-index stage
+                  "o6_skyline",  # two-phase prefix max localCheckpoint
+                  # (ordered.py total-order-operator rule)
                   "x75_smb_join",  # write-once bucketed fact tables
                   "x65_hierarchy_flatten"}  # pointer-doubling rounds
                   # localCheckpoint per round (iterative-loop rule)

@@ -201,3 +201,30 @@ def test_r7_staging_caches_rebuild_on_refresh(spark, tmp_path):
     pairs = {(r["id_new"], r["id_old"])
              for r in dd_incremental(spark, sf).collect()}
     assert pairs == {(80, 1), (80, 11)}
+
+
+def test_global_prefix_max_matches_single_window(spark):
+    """ordered.global_running_prefix_max must be value-identical to the
+    single-task window form, strict and inclusive, asc and desc."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from openplacereviews_db_spark.operators.ordered import (
+        global_running_prefix_max)
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 101) for i in range(500)], "k long, v long")
+    for asc in (True, False):
+        for strict in (True, False):
+            order = F.col("k") if asc else F.col("k").desc()
+            end = -1 if strict else 0
+            w = Window.orderBy(order).rowsBetween(
+                Window.unboundedPreceding, end)
+            want = {r["k"]: r["m"] for r in
+                    df.select("k", F.max("v").over(w).alias("m"))
+                    .collect()}
+            got = {r["k"]: r["pm"] for r in
+                   global_running_prefix_max(
+                       df, "v", ["k"], "pm", num_partitions=7,
+                       ascending=[asc], strict=strict).collect()}
+            assert got == want, (asc, strict)
