@@ -671,3 +671,48 @@ ORACLES["x84_twap"] = """
                 ELSE first_vm END AS twap_milli
     FROM agg
 """
+
+
+def x85_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X85: user-journey PATH mining — the 25 most common 3-step event
+    sequences across all users (x68's transition matrix extended from
+    bigrams to path n-grams, the "what do users do next-next" question
+    funnels are built from).
+
+    One user_id shuffle feeds both lead windows (same (ts_us, event_id)
+    total order as every event window in the repo); paths crossing a
+    user boundary are discarded by the leads' NULLs.  Top-k is ORDER BY
+    (n DESC, path) LIMIT — TakeOrderedAndProject with a deterministic
+    tiebreak, not a global sort.
+    """
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("user_id").orderBy(
+        F.unix_micros("ts"), "event_id")
+    e2 = F.lead("event_type", 1).over(w)
+    e3 = F.lead("event_type", 2).over(w)
+    paths = (ev.select(
+        F.when(e2.isNotNull() & e3.isNotNull(),
+               F.concat_ws(">", "event_type", e2, e3)).alias("path"))
+        .where(F.col("path").isNotNull()))
+    return (paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), "path").limit(25))
+
+
+QUERIES["x85_event_paths"] = x85_event_paths
+
+ORACLES["x85_event_paths"] = """
+    WITH stepped AS (
+        SELECT event_type,
+               lead(event_type, 1) OVER w AS e2,
+               lead(event_type, 2) OVER w AS e3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           COUNT(*) AS n
+    FROM stepped WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1 ORDER BY n DESC, path LIMIT 25
+"""
