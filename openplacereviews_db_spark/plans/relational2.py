@@ -1232,3 +1232,92 @@ def _x64_oracle() -> str:
 
 
 ORACLES["x64_bloom_prune"] = _x64_oracle()
+
+
+def x86_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X86: anti-entropy reconciliation by hash ranges (the Merkle-
+    tree comparison replicated stores run before shipping data — the
+    scale answer to "which parts of these two big tables differ?"):
+    both table versions fold into 64 per-bucket digest sums, and only
+    buckets whose sums differ need row-level exchange.  Here the
+    second version is a deterministic simulated divergence (every
+    1000th order's price bumped), and the report shows per bucket the
+    digest of each side, whether they differ, and the true changed-row
+    count — detected by comparing 64 numbers, not by a full diff.
+
+    The reference's sync bots do exactly this dance against Overpass
+    (count probes before fetches, diff mode per range —
+    ``OsmSyncBot.java`` S4/S5); this is the relational form.  Digest =
+    40-bit md5 prefix per row, bucket = key mod 64, fold = exact
+    BIGINT sum (order-insensitive, partial-aggregating, no overflow
+    headroom issues at the tested scales; DuckDB's HUGEINT sum casts
+    back).  One scan per side, two 64-row aggregates.
+    """
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    copy = base.withColumn(
+        "cents",
+        F.when(F.col("o_orderkey") % 1000 == 0,
+               F.col("cents") + 100).otherwise(F.col("cents")))
+
+    def digest_sum(df: DataFrame, out: str) -> DataFrame:
+        dig = F.pmod(
+            F.conv(F.substring(
+                F.md5(F.concat_ws(":", "o_orderkey", "cents")), 1, 13),
+                16, 10).cast("bigint"),
+            F.lit(1 << 40))
+        return (df.groupBy(F.pmod("o_orderkey", F.lit(64)).alias("bucket"))
+                .agg(F.count(F.lit(1)).alias(f"n_{out}"),
+                     F.sum(dig).alias(f"hash_{out}")))
+
+    a = digest_sum(base, "base")
+    b = digest_sum(copy, "copy")
+    changed = (base.where(F.col("o_orderkey") % 1000 == 0)
+               .groupBy(F.pmod("o_orderkey", F.lit(64)).alias("bucket"))
+               .agg(F.count(F.lit(1)).alias("n_changed")))
+    return (a.join(b, on="bucket")
+            .join(changed, on="bucket", how="left")
+            .select("bucket", F.col("n_base").alias("n_rows"),
+                    "hash_base", "hash_copy",
+                    F.when(F.col("hash_base") != F.col("hash_copy"),
+                           F.lit(1)).otherwise(F.lit(0)).alias("differs"),
+                    F.coalesce("n_changed", F.lit(0).cast("long"))
+                    .alias("n_changed")))
+
+
+QUERIES["x86_merkle_diff"] = x86_merkle_diff
+
+_MK_DIG = ("CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':' "
+           "|| CAST(cents AS VARCHAR)), 1, 13)) AS BIGINT) "
+           "% 1099511627776")
+
+ORACLES["x86_merkle_diff"] = f"""
+    WITH base AS (
+        SELECT o_orderkey,
+               CAST(floor(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ), copy AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 1000 = 0 THEN cents + 100
+                    ELSE cents END AS cents
+        FROM base
+    ), a AS (
+        SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_rows,
+               CAST(SUM({_MK_DIG}) AS BIGINT) AS hash_base
+        FROM base GROUP BY 1
+    ), b AS (
+        SELECT o_orderkey % 64 AS bucket,
+               CAST(SUM({_MK_DIG}) AS BIGINT) AS hash_copy
+        FROM copy GROUP BY 1
+    ), ch AS (
+        SELECT o_orderkey % 64 AS bucket, COUNT(*) AS n_changed
+        FROM base WHERE o_orderkey % 1000 = 0 GROUP BY 1
+    )
+    SELECT a.bucket, a.n_rows, a.hash_base, b.hash_copy,
+           CASE WHEN a.hash_base <> b.hash_copy THEN 1 ELSE 0 END
+               AS differs,
+           COALESCE(ch.n_changed, 0) AS n_changed
+    FROM a JOIN b USING (bucket) LEFT JOIN ch USING (bucket)
+"""
