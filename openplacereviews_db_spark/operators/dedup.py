@@ -671,3 +671,52 @@ def apply_span_dedup(df: DataFrame, text_col: str = "text",
                 (F.coalesce("n_words", z) - F.coalesce("n_kept", z))
                 .alias("n_removed"),
                 F.coalesce("text_kept", F.lit("")).alias("text_kept")))
+
+
+def chained_window_dedup(df: DataFrame, key_cols: list,
+                         ts_col: str, id_col: str,
+                         window_us: int) -> DataFrame:
+    """Watermark-style CHAINED dedup (the batch analog of Structured
+    Streaming's ``dropDuplicatesWithinWatermark`` state expiry): per
+    key, keep a row iff it is at least ``window_us`` after the last
+    KEPT row — not after the last row (that is sessionization's gap
+    rule; under a steady drip the two diverge: the chain re-admits one
+    row per window, the gap rule collapses everything).
+
+    The kept-set is defined by a sequential recurrence, which no window
+    function expresses — this is exactly the shape the repo's Python-
+    kernel rule exists for: hash-repartition on the key, ONE pandas
+    pass per partition (batches concatenated, groupby inside — never
+    per-row, never per-tiny-group), emitting kept rows only.  The
+    recurrence is O(rows) per key with O(1) state; at 100 TB the only
+    shuffle is the key repartition.
+    """
+    import pandas as pd
+
+    spark_cols = key_cols + [ts_col, id_col]
+    src = df.select(*spark_cols).repartition(
+        df.sparkSession.sparkContext.defaultParallelism, *key_cols)
+
+    def run(batches):
+        parts = [pdf for pdf in batches if len(pdf)]
+        if not parts:
+            return
+        full = pd.concat(parts, ignore_index=True)
+        full = full.sort_values(key_cols + [ts_col, id_col])
+        out_rows = []
+        for _, g in full.groupby(key_cols, sort=False):
+            last_kept = None
+            keep_mask = []
+            for t in g[ts_col]:
+                if last_kept is None or t >= last_kept + window_us:
+                    keep_mask.append(True)
+                    last_kept = t
+                else:
+                    keep_mask.append(False)
+            out_rows.append(g[pd.Series(keep_mask, index=g.index)])
+        yield pd.concat(out_rows, ignore_index=True)
+
+    ddl = ", ".join(f"{c} {t}" for c, t in
+                    zip(spark_cols,
+                        [dict(src.dtypes)[c] for c in spark_cols]))
+    return src.mapInPandas(run, schema=ddl)

@@ -716,3 +716,54 @@ ORACLES["x85_event_paths"] = """
     FROM stepped WHERE e2 IS NOT NULL AND e3 IS NOT NULL
     GROUP BY 1 ORDER BY n DESC, path LIMIT 25
 """
+
+
+def x87_window_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X87: watermark-expiry dedup in batch — per (user, event_type),
+    keep an event iff it is >= 10 minutes after the last KEPT event
+    (operators/dedup.py ``chained_window_dedup``; the batch analog of
+    ``dropDuplicatesWithinWatermark``'s state expiry, and a different
+    semantic from sessionization's gap rule, which this corpus's steady
+    drip would collapse entirely).
+
+    The kept-set is a sequential recurrence no window function
+    expresses; the ORACLE is DuckDB's recursive CTE walking the same
+    recurrence row by row — an independent implementation (the
+    x65/WITH RECURSIVE pattern), so hash equality proves the
+    Arrow-batched kernel's chain semantics exactly.
+    """
+    from ..operators.dedup import chained_window_dedup
+
+    ev = load_table(spark, "events", sf_dir).select(
+        "user_id", "event_type", F.unix_micros("ts").alias("ts_us"),
+        "event_id")
+    return chained_window_dedup(
+        ev, ["user_id", "event_type"], "ts_us", "event_id",
+        window_us=600_000_000)
+
+
+QUERIES["x87_window_dedup"] = x87_window_dedup
+
+ORACLES["x87_window_dedup"] = """
+    WITH RECURSIVE ordered AS (
+        SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY epoch_us(ts), event_id)
+                   AS rn
+        FROM events
+    ), walk(user_id, event_type, rn, ts_us, event_id, last_kept,
+            kept) AS (
+        SELECT user_id, event_type, rn, ts_us, event_id, ts_us, TRUE
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.user_id, o.event_type, o.rn, o.ts_us, o.event_id,
+               CASE WHEN o.ts_us >= w.last_kept + 600000000
+                    THEN o.ts_us ELSE w.last_kept END,
+               o.ts_us >= w.last_kept + 600000000
+        FROM walk w JOIN ordered o
+          ON o.user_id = w.user_id AND o.event_type = w.event_type
+         AND o.rn = w.rn + 1
+    )
+    SELECT user_id, event_type, ts_us, event_id
+    FROM walk WHERE kept
+"""

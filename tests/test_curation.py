@@ -211,3 +211,22 @@ def test_chunk_windows_overlap_and_coverage(spark):
     assert len(w2) == 80 - 2 * _CHUNK_S                             # tail chunk
     covered = set(w0) | set(w1) | set(w2)
     assert covered == {f"w{i}" for i in range(80)}                  # coverage
+
+
+def test_chained_window_dedup_readmits_under_steady_drip(spark):
+    """The chain rule must re-admit one row per window under a steady
+    drip (where sessionization's gap rule would collapse everything):
+    events every 4 min with a 10-min window keep t0, t12, t24, ... —
+    and an exact-boundary event (last kept + exactly W) is kept."""
+    from openplacereviews_db_spark.operators.dedup import (
+        chained_window_dedup)
+
+    m = 60_000_000  # one minute in us
+    rows = [(1, "click", i * 4 * m, i) for i in range(10)]  # 0,4,..36
+    rows += [(2, "click", 0, 100), (2, "click", 10 * m, 101)]  # = W
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long, event_id long")
+    out = chained_window_dedup(df, ["user_id", "event_type"],
+                               "ts_us", "event_id", window_us=10 * m)
+    got = {(r["user_id"], r["ts_us"] // m) for r in out.collect()}
+    assert got == {(1, 0), (1, 12), (1, 24), (1, 36), (2, 0), (2, 10)}
