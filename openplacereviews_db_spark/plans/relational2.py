@@ -1321,3 +1321,37 @@ ORACLES["x86_merkle_diff"] = f"""
            COALESCE(ch.n_changed, 0) AS n_changed
     FROM a JOIN b USING (bucket) LEFT JOIN ch USING (bucket)
 """
+
+
+def x88_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X88: first-significant-digit distribution audit (the Benford
+    screen fraud/data-quality pipelines run over money columns):
+    per leading digit of o_totalprice, the count and the integer
+    permille share — all integer arithmetic (string head of the
+    floored value; permille via `div`), so there is nothing to round
+    and nothing engine-specific.  One partial-aggregating shuffle over
+    nine digit keys plus the 1-row total (bounded broadcast).
+    """
+    o = _t(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1)
+    counts = o.groupBy(digit.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("digit", "n",
+                    F.expr("(n * 1000) div total").alias("permille")))
+
+
+QUERIES["x88_benford"] = x88_benford
+
+ORACLES["x88_benford"] = """
+    WITH counts AS (
+        SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                           AS VARCHAR), 1, 1) AS digit,
+               COUNT(*) AS n
+        FROM orders GROUP BY 1
+    ), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM counts)
+    SELECT digit, n, (n * 1000) // total AS permille
+    FROM counts, tot
+"""

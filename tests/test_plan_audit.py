@@ -46,6 +46,7 @@ BOUNDED_JOIN_OK = {
     "sk_heavy_hitters",     # 1-row threshold total cross-joined into
                             # the candidate gate (documented)
     "x82_bitmap_days",      # 1-row corpus min-day broadcast (documented)
+    "x88_benford",          # 1-row digit-count total broadcast
     "tx_tfidf_topk",        # 1-row corpus-size aggregate (documented)
     "tx_bigram_lm",         # 1-row vocabulary-size aggregate (documented)
     "tx_bm25",              # 1-row (sum_dl, n_docs) aggregate (documented)
