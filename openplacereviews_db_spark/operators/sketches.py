@@ -306,13 +306,9 @@ def hll_distinct(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     """
     distinct = (df.select(F.col(group_col).alias("grp"),
                           F.col(value_col).alias("v")).distinct())
-    h = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13),
-                16, 10).cast("bigint"))
-    rem = F.shiftright(h, HLL_P)
+    bucket, rho = _hll_cols()
     bucketed = distinct.select(
-        "grp", F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-        (F.lit(HLL_RHO_MAX) - F.when(rem == 0, F.lit(0)).otherwise(
-            F.length(F.conv(rem.cast("string"), 10, 2)))).alias("rho"))
+        "grp", bucket.alias("bucket"), rho.alias("rho"))
     regs = (bucketed.groupBy("grp", "bucket")
             .agg(F.count(F.lit(1)).alias("n_v"),
                  F.max("rho").alias("rho_max")))
@@ -356,33 +352,31 @@ def hll_merge_rollup(df: DataFrame, group_col: str, slice_col: Column,
     distinct = (df.select(F.col(group_col).alias("grp"),
                           slice_col.alias("slc"),
                           F.col(value_col).alias("v")).distinct())
-    h = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13),
-                16, 10).cast("bigint"))
-    rem = F.shiftright(h, HLL_P)
+    bucket, rho = _hll_cols()
     bucketed = distinct.select(
-        "grp", "slc", F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-        (F.lit(HLL_RHO_MAX) - F.when(rem == 0, F.lit(0)).otherwise(
-            F.length(F.conv(rem.cast("string"), 10, 2)))).alias("rho"))
+        "grp", "slc", bucket.alias("bucket"), rho.alias("rho"))
     slice_regs = (bucketed.groupBy("grp", "slc", "bucket")
                   .agg(F.max("rho").alias("rho_slice")))
     merged = (slice_regs.groupBy("grp", "bucket")
               .agg(F.max("rho_slice").alias("rho_max")))
-    scaled = F.expr(
-        f"shiftleft(cast(1 as bigint), cast({HLL_RHO_MAX} - rho_max as int))")
-    sketch = (merged.groupBy("grp")
-              .agg(F.count(F.lit(1)).alias("n_buckets"),
-                   F.sum(scaled).alias("_sum_present")))
     exact = (df.select(F.col(group_col).alias("grp"),
                        F.col(value_col).alias("v")).distinct()
              .groupBy("grp").agg(F.count(F.lit(1)).alias("n_exact")))
-    return exact.join(sketch, on="grp").select(
-        "grp", "n_exact", "n_buckets",
-        F.round(
-            F.lit(HLL_EST_NUM)
-            / (F.col("_sum_present")
-               + (F.lit(HLL_M) - F.col("n_buckets"))
-               * F.lit(1 << (HLL_RHO_MAX - 1))), 4).alias("n_est"),
-    )
+    return (exact.join(hll_finalize(merged), on="grp")
+            .select("grp", "n_exact", "n_buckets", "n_est"))
+
+
+def _hll_cols() -> tuple:
+    """(bucket, rho) column expressions over an input column ``v`` —
+    the single source of the hash decomposition shared by every HLL
+    build (batch, rollup, streaming)."""
+    h = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13),
+                16, 10).cast("bigint"))
+    rem = F.shiftright(h, HLL_P)
+    bucket = F.pmod(h, F.lit(HLL_M))
+    rho = (F.lit(HLL_RHO_MAX) - F.when(rem == 0, F.lit(0)).otherwise(
+        F.length(F.conv(rem.cast("string"), 10, 2))))
+    return bucket, rho
 
 
 def hll_bucket_rho(df: DataFrame, group_col: str,
@@ -392,13 +386,9 @@ def hll_bucket_rho(df: DataFrame, group_col: str,
     builds and the streaming register maintenance."""
     distinct = (df.select(F.col(group_col).alias("grp"),
                           F.col(value_col).alias("v")).distinct())
-    h = (F.conv(F.substring(F.md5(F.col("v").cast("string")), 1, 13),
-                16, 10).cast("bigint"))
-    rem = F.shiftright(h, HLL_P)
+    bucket, rho = _hll_cols()
     return distinct.select(
-        "grp", F.pmod(h, F.lit(HLL_M)).alias("bucket"),
-        (F.lit(HLL_RHO_MAX) - F.when(rem == 0, F.lit(0)).otherwise(
-            F.length(F.conv(rem.cast("string"), 10, 2)))).alias("rho"))
+        "grp", bucket.alias("bucket"), rho.alias("rho"))
 
 
 def hll_finalize(regs: DataFrame) -> DataFrame:
