@@ -88,6 +88,7 @@ _DRIVER_PRIORITY = [
     "x86_merkle_diff",  # hash-range anti-entropy reconcile (new r7)
     "x87_window_dedup",  # watermark-expiry chained dedup (new r7)
     "x88_benford",  # first-digit distribution audit (new r7)
+    "udtf_bigram_expand",  # Python UDTF + LATERAL surface (new r7)
     # (c) last sampled r4, oldest evidence in the repo
     "m9_apply_changelog", "m5_merge_ops", "m7_migrate_ids",
     "s14_pack_ops", "s15_merge_upsert", "s13_geojson_features",

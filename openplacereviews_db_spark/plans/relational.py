@@ -817,3 +817,54 @@ ORACLES["x69_ri_audit"] = """
            (SELECT COUNT(*) FROM nation n WHERE NOT EXISTS
                (SELECT 1 FROM customer c WHERE c.c_nationkey = n.n_nationkey))
 """
+
+
+def udtf_bigram_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89: the Python TABLE function surface (§2.12's last box —
+    scalar SQL functions, Arrow-batched pandas UDFs, and the DataSource
+    connector are already pinned): a ``@udtf`` class registered on the
+    session and invoked through SQL ``LATERAL``, expanding each
+    document into its word-bigram rows, rolled up per language.
+
+    Honest positioning: UDTF rows cross the Python bridge one at a
+    time, so the production path for THIS expansion is the codegen
+    explode (``tx_chunk_windows`` / the sk_heavy_hitters token CTE) —
+    the query pins the registration/LATERAL/schema plumbing and the
+    exact row semantics (empty-word filtering, short-doc behavior)
+    against the same oracle the codegen path would satisfy.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="pos int, gram string")
+    class Bigrams:
+        def eval(self, text):
+            ws = [w for w in (text or "").split(" ") if w]
+            for i in range(len(ws) - 1):
+                yield i, ws[i] + " " + ws[i + 1]
+
+    spark.udtf.register("opr_bigrams", Bigrams)
+    docs = load_table(spark, "documents", sf_dir)
+    docs.createOrReplaceTempView("docs_udtf_src")
+    return spark.sql("""
+        SELECT d.lang, COUNT(*) AS n_grams,
+               COUNT(DISTINCT t.gram) AS n_distinct
+        FROM docs_udtf_src d, LATERAL opr_bigrams(d.text) t
+        GROUP BY d.lang
+    """)
+
+
+QUERIES["udtf_bigram_expand"] = udtf_bigram_expand
+
+ORACLES["udtf_bigram_expand"] = """
+    WITH grams AS (
+        SELECT lang,
+               unnest(ws[1:len(ws) - 1]) || ' ' || unnest(ws[2:len(ws)])
+                   AS gram
+        FROM (SELECT lang, list_filter(string_split(text, ' '),
+                                       w -> w <> '') AS ws
+              FROM documents)
+    )
+    SELECT lang, COUNT(*) AS n_grams,
+           COUNT(DISTINCT gram) AS n_distinct
+    FROM grams GROUP BY lang
+"""
