@@ -207,7 +207,12 @@ def url_canonicalize(url: Column) -> Column:
     DuckDB's regexp_replace needs an explicit 'g' flag exactly where
     Spark's always-global behavior touches multiple matches)."""
     prefix = F.regexp_extract(url, URL_PREFIX_RE, 0)
-    host = F.regexp_replace(F.lower(prefix), ":(80|443)$", "")
+    # Default-port strip is scheme-aware: :80 is only the default for
+    # http and :443 only for https — https://host:80 is a distinct
+    # origin and must NOT collapse into https://host.
+    host = F.regexp_replace(F.lower(prefix),
+                            "^(http://[^/?#]*):80$", "$1")
+    host = F.regexp_replace(host, "^(https://[^/?#]*):443$", "$1")
     rest = url.substr(F.length(prefix) + F.lit(1), F.lit(4096))
     r = F.regexp_replace(rest, "#.*", "")
     r = F.regexp_replace(r, "&utm_[^&]*", "")
@@ -220,7 +225,9 @@ def url_canonicalize(url: Column) -> Column:
 def url_canonicalize_sql(u: str) -> str:
     """DuckDB mirror of :func:`url_canonicalize`."""
     prefix = f"regexp_extract({u}, '{URL_PREFIX_RE}', 0)"
-    host = f"regexp_replace(lower({prefix}), ':(80|443)$', '')"
+    host = (f"regexp_replace(lower({prefix}), "
+            f"'^(http://[^/?#]*):80$', '\\1')")
+    host = f"regexp_replace({host}, '^(https://[^/?#]*):443$', '\\1')"
     rest = f"substr({u}, length({prefix}) + 1, 4096)"
     r = f"regexp_replace({rest}, '#.*', '')"
     r = f"regexp_replace({r}, '&utm_[^&]*', '', 'g')"

@@ -702,9 +702,13 @@ def chained_window_dedup(df: DataFrame, key_cols: list,
         if not parts:
             return
         full = pd.concat(parts, ignore_index=True)
-        full = full.sort_values(key_cols + [ts_col, id_col])
+        # na_position='last' matches DuckDB's ASC NULLS LAST default;
+        # dropna=False keeps NULL-keyed rows as a group the way SQL
+        # PARTITION BY does (pandas' default silently drops them).
+        full = full.sort_values(key_cols + [ts_col, id_col],
+                                na_position="last")
         out_rows = []
-        for _, g in full.groupby(key_cols, sort=False):
+        for _, g in full.groupby(key_cols, sort=False, dropna=False):
             last_kept = None
             keep_mask = []
             for t in g[ts_col]:

@@ -635,10 +635,15 @@ def x84_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.max("sec") - F.min("sec")).alias("span_s"),
                 F.min_by("vm", F.struct("sec", "event_id"))
                 .alias("first_vm")))
+    # Sign-safe rounded quotient: (2|p|+q) div 2q is round-half-up only
+    # for p >= 0, so apply it to abs(sum_trap) and restore the sign —
+    # correct for signed measures, identical to the unsigned form on
+    # today's value >= 0 data.
+    rounded = ("(CASE WHEN sum_trap < 0 THEN -1 ELSE 1 END)"
+               " * ((2 * abs(sum_trap) + 2 * span_s) div (4 * span_s))")
     return agg.select(
         "user_id", "n_events", "span_s",
-        F.when(F.col("span_s") > 0,
-               F.expr("(2 * sum_trap + 2 * span_s) div (4 * span_s)"))
+        F.when(F.col("span_s") > 0, F.expr(rounded))
         .otherwise(F.col("first_vm")).alias("twap_milli"))
 
 
@@ -667,7 +672,8 @@ ORACLES["x84_twap"] = """
     )
     SELECT user_id, n_events, span_s,
            CASE WHEN span_s > 0
-                THEN (2 * sum_trap + 2 * span_s) // (4 * span_s)
+                THEN (CASE WHEN sum_trap < 0 THEN -1 ELSE 1 END)
+                     * ((2 * abs(sum_trap) + 2 * span_s) // (4 * span_s))
                 ELSE first_vm END AS twap_milli
     FROM agg
 """

@@ -88,7 +88,10 @@ def sk_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped, and the exact filter kills the sketch's false admits."""
     d = load_table(spark, "documents", sf_dir)
     ws = F.filter(F.split(F.col("text"), " "), lambda w: w != F.lit(""))
-    base = d.select(ws.alias("ws"))
+    # A zero-word doc makes the slice length -1 (runtime error); such a
+    # doc contributes no bigrams either way, so dropping it is exact and
+    # matches the oracle's empty-list slice, which yields zero rows.
+    base = d.select(ws.alias("ws")).where(F.size("ws") >= 1)
     n = F.size("ws")
     bigrams = F.zip_with(
         F.slice("ws", F.lit(1), n - 1), F.slice("ws", F.lit(2), n - 1),

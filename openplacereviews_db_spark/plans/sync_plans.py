@@ -1012,11 +1012,14 @@ def s18_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
          .join(_tagged(json_rt, "js"), on="c_custkey", how="left"))
 
     def _bad(t: str) -> Column:
+        # eqNullSafe on every field: a plain != against a NULL roundtrip
+        # value evaluates to NULL and the OR would collapse to the
+        # "clean" branch — exactly the corruption this counter exists
+        # to pin (a lost row also surfaces here: all three are NULL).
         return F.when(
-            F.col(f"{t}_name").isNull()
-            | (F.col(f"{t}_name") != F.col("c_name"))
-            | (F.col(f"{t}_acctbal") != F.col("c_acctbal"))
-            | (F.col(f"{t}_seg") != F.col("c_mktsegment")),
+            ~F.col(f"{t}_name").eqNullSafe(F.col("c_name"))
+            | ~F.col(f"{t}_acctbal").eqNullSafe(F.col("c_acctbal"))
+            | ~F.col(f"{t}_seg").eqNullSafe(F.col("c_mktsegment")),
             F.lit(1)).otherwise(F.lit(0))
 
     return (

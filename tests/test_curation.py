@@ -230,3 +230,21 @@ def test_chained_window_dedup_readmits_under_steady_drip(spark):
                                "ts_us", "event_id", window_us=10 * m)
     got = {(r["user_id"], r["ts_us"] // m) for r in out.collect()}
     assert got == {(1, 0), (1, 12), (1, 24), (1, 36), (2, 0), (2, 10)}
+
+
+def test_chained_window_dedup_keeps_null_key_group(spark):
+    """SQL PARTITION BY keeps NULL keys as a group; the pandas kernel
+    must too (groupby dropna=False) — a NULL event_type chain dedups
+    within itself instead of being silently dropped."""
+    from openplacereviews_db_spark.operators.dedup import (
+        chained_window_dedup)
+
+    m = 60_000_000
+    rows = [(1, None, 0, 1), (1, None, 4 * m, 2), (1, None, 12 * m, 3),
+            (1, "click", 0, 4)]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts_us long, event_id long")
+    out = chained_window_dedup(df, ["user_id", "event_type"],
+                               "ts_us", "event_id", window_us=10 * m)
+    got = {(r["event_type"], r["event_id"]) for r in out.collect()}
+    assert got == {(None, 1), (None, 3), ("click", 4)}

@@ -130,3 +130,25 @@ def test_hll_merge_equals_direct_build(spark):
               for r in sketches.hll_merge_rollup(
                   ev, "event_type", day, "user_id").collect()}
     assert direct == merged and len(direct) > 0
+
+
+def test_heavy_hitters_bigrams_survive_empty_docs(spark, tmp_path):
+    """A doc whose text splits to zero words must not crash the bigram
+    slice (slice length -1 is a Spark runtime error) — the plan filters
+    size(ws) >= 1, which is exact because such docs contribute no
+    bigrams anyway."""
+    import os
+
+    from openplacereviews_db_spark.plans.sketches import sk_heavy_hitters
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b a b a b a b"), (4, "solo")],
+        "doc_id long, text string")
+    sf_dir = str(tmp_path)
+    docs.write.parquet(os.path.join(sf_dir, "documents.parquet"))
+    got = {r["key"]: r["n_exact"]
+           for r in sk_heavy_hitters(spark, sf_dir).collect()}
+    # 4 rows -> threshold ceil-ish of 4/750 admits every bigram; the
+    # empty and whitespace-only docs contribute nothing, "solo" has no
+    # bigram, "a b" repeats
+    assert got["a b"] == 4 and got["b a"] == 3

@@ -87,6 +87,9 @@ def test_url_canonicalize_truth_table(spark):
         ("http://ex.com/p?utm_a=1&utm_b=2&id=3", "http://ex.com/p?id=3"),
         ("http://ex.com/p?utm_a=1&utm_b=2", "http://ex.com/p"),
         ("http://ex.com:8080/p", "http://ex.com:8080/p"),
+        # cross-scheme defaults are NOT default ports: distinct origins
+        ("https://ex.com:80/p", "https://ex.com:80/p"),
+        ("http://ex.com:443/p", "http://ex.com:443/p"),
     ]
     df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
     got = [r[0] for r in
