@@ -392,3 +392,109 @@ ORACLES["s14_pack_ops"] = """
         FROM events
     )
 """
+
+
+# ---------------------------------------------------------------------------
+# M12: the reference's OWN merge corpora through the cascade
+# ---------------------------------------------------------------------------
+
+def _cascade_cols_sql(c_name: str, a_name: str, c_wd: str, a_wd: str,
+                      c_web: str, a_web: str, c_alt: str,
+                      a_alt: str) -> str:
+    """:func:`_cascade_sql` over explicit column names (no table
+    aliases), for corpora that arrive as flat pair rows."""
+    c_empty = f"({c_name} IS NULL OR trim({c_name}) = '')"
+    a_empty = f"({a_name} IS NULL OR trim({a_name}) = '')"
+    tier1 = (f"(NOT {c_empty} AND NOT {a_empty} AND "
+             f"{TX.check_names_sql(c_name, a_name)})")
+    tier2 = (f"({TX.tag_equal_non_empty_sql(c_wd, a_wd)}"
+             f" OR {TX.tag_equal_non_empty_sql(c_web, a_web)})")
+    tier3 = (f"(len(list_filter({c_alt}, cn -> len(list_filter("
+             f"{a_alt}, an -> {TX.check_names_sql('cn', 'an')})) > 0))"
+             f" > 0)")
+    return (f"(CASE WHEN {tier1} THEN 1 WHEN {tier2} THEN 2 "
+            f"WHEN {tier3} THEN 3 WHEN {c_empty} THEN 4 END)")
+
+
+def m12_fixture_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: the reference's executable merge ground truth
+    (``merge/places.json`` MUST-merge pairs and
+    ``merge/places_not_merge.json`` negatives,
+    ``MergePlaceBotTest.java:39-72``) replayed through the real cascade
+    (``operators/place_merge.py:match_type_col``), per pair:
+
+    - ``match_type`` — the cascade verdict on the full alt-name lists
+      (``getOtherPlaceName`` includes ``old_name``,
+      MergeUtil.java:127-135);
+    - ``match_type_core`` — the verdict with ``old_name`` excluded from
+      tier 3, isolating the negatives' deliberate old_name collision
+      (both negative pairs share old_name 'La Gauchita': tier 3 with it,
+      NO_MATCH without — the executable behavior
+      ``testNotMergeByName`` pins);
+    - ``false_merge`` / ``missed_merge`` — violation counters the
+      ORACLE pins at literal zero: a negative pair must never
+      NAME_MATCH (tier 1), a positive pair must never fall through the
+      whole cascade.
+
+    The corpus is 12 rows of driver-side data (reference test
+    resources), so the plan is a pure local projection; the oracle
+    recomputes every verdict through the independent SQL mirror of the
+    cascade over the identical VALUES rows — Levenshtein tiers, token
+    normalization and all.
+    """
+    from ..sources import ref_fixtures as RF
+
+    df = spark.createDataFrame(RF.merge_pair_rows(), RF.PAIR_SCHEMA)
+    mt = place_merge.match_type_col(
+        F.col("c_name"), F.col("a_name"),
+        F.col("c_wikidata"), F.col("a_wikidata"),
+        F.col("c_website"), F.col("a_website"),
+        F.col("c_alt"), F.col("a_alt"))
+    mt_core = place_merge.match_type_col(
+        F.col("c_name"), F.col("a_name"),
+        F.col("c_wikidata"), F.col("a_wikidata"),
+        F.col("c_website"), F.col("a_website"),
+        F.col("c_alt_core"), F.col("a_alt_core"))
+    out = df.select("fixture", "idx", "c_name", "a_name",
+                    mt.alias("match_type"), mt_core.alias("match_type_core"))
+    return out.select(
+        "*",
+        F.when((F.col("fixture") == "not_merge")
+               & (F.col("match_type") == place_merge.MATCH_NAME),
+               F.lit(1)).otherwise(F.lit(0)).alias("false_merge"),
+        F.when((F.col("fixture") == "merge")
+               & F.col("match_type").isNull(),
+               F.lit(1)).otherwise(F.lit(0)).alias("missed_merge"))
+
+
+def _m12_oracle() -> str:
+    from ..sources import ref_fixtures as RF
+
+    full = _cascade_cols_sql(
+        "c_name", "a_name", "c_wikidata", "a_wikidata",
+        "c_website", "a_website", "c_alt", "a_alt")
+    core = _cascade_cols_sql(
+        "c_name", "a_name", "c_wikidata", "a_wikidata",
+        "c_website", "a_website", "c_alt_core", "a_alt_core")
+    # false_merge / missed_merge are LITERAL zero on the oracle side:
+    # the reference's ground truth, not a recomputation — a cascade
+    # regression that merges a negative or misses a positive
+    # hash-fails even if both engines regress identically.
+    return f"""
+        WITH {RF.pairs_values_cte()}
+        SELECT fixture, idx, c_name, a_name,
+               {full} AS match_type,
+               {core} AS match_type_core,
+               0 AS false_merge, 0 AS missed_merge
+        FROM pairs
+    """
+
+
+try:  # reference checkout optional: the engine stays self-contained
+    from ..sources import ref_fixtures as _RF
+
+    if _RF.fixtures_available():
+        QUERIES["m12_fixture_verdicts"] = m12_fixture_verdicts
+        ORACLES["m12_fixture_verdicts"] = _m12_oracle()
+except Exception:  # pragma: no cover - missing/corrupt fixture files
+    pass
