@@ -26,6 +26,11 @@ def main() -> None:
     from openplacereviews_db_spark.session import get_spark
     import __spark_entry__ as entrymod
 
+    # Co-tenant load context (CLAUDE.md rule: no single-run timing is
+    # trustworthy without it — loadavg 9-13 with zero local JVMs has
+    # been observed here, swinging heavy queries 2-3x run to run).
+    load_before = [round(x, 2) for x in os.getloadavg()]
+
     spark = get_spark("bench")
     # The driver machine-parses stdout: keep it to EXACTLY one JSON
     # line.  Progress goes to a log file, Spark WARN chatter is
@@ -123,15 +128,15 @@ def main() -> None:
     # (same rationale as the codegen warmup above), so heavy queries are
     # re-run once and the better time recorded — bounded extra cost, and
     # the number reported is the reproducible steady-state one.
-    retimed = 0
+    retimes: dict[str, list[float]] = {}
     for name, first in sorted(timings.items(), key=lambda kv: -kv[1]):
-        if first < 2.0 or retimed >= 20:
+        if first < 2.0 or len(retimes) >= 20:
             break
         t0 = time.time()
         len(entrymod.queries()[name](spark, sf_dir).collect())
         dt = time.time() - t0
         drop_retained_blocks()
-        retimed += 1
+        retimes[name] = [first, round(dt, 3)]
         if dt < first:
             timings[name] = round(dt, 3)
         print(f"# retime {name}: {first:.3f}s -> {dt:.3f}s", file=progress)
@@ -145,7 +150,13 @@ def main() -> None:
         "queries": timings,
         "n_queries": len(timings),
         "mean_query_seconds": round(total / max(1, len(timings)), 3),
-        "retimed": retimed,
+        # both samples per retimed query: the recorded time is min();
+        # the spread is the co-tenant noise band a reader needs to judge
+        # any apparent cross-round regression
+        "retimed": len(retimes),
+        "retimes": retimes,
+        "load_before": load_before,
+        "load_after": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,
     })
     spark.stop()  # before the print: the JSON must be the LAST line

@@ -271,7 +271,9 @@ def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
 
     src_parquet = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(src_parquet)
-    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+    # _v2: layout version (sequence-prefixed split names) — keys any
+    # cached dir with the old unprefixed names out of reuse
+    tag = (f"v2_{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{int(st.st_mtime)}_{st.st_size}")
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"{prefix}_{tag}")
@@ -283,8 +285,12 @@ def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         t = pq.read_table(src_parquet)
         os.makedirs(src, exist_ok=True)
         even = pc.equal(pc.bit_wise_and(t["doc_id"], 1), 0)
-        a = os.path.join(src, "batch_a.parquet")
-        b = os.path.join(src, "batch_b.parquet")
+        # Sortable sequence prefix makes the intended batch order
+        # structural (lexicographic = ingest order), independent of the
+        # mtime pinning below (FileStreamSource itself orders by mtime;
+        # the name is the belt, the pinned mtimes are the braces).
+        a = os.path.join(src, "00000_batch_a.parquet")
+        b = os.path.join(src, "00001_batch_b.parquet")
         pq.write_table(t.filter(even), a)
         pq.write_table(t.filter(pc.invert(even)), b)
         _pin_batch_order(a, b)
@@ -552,7 +558,7 @@ def _stage_events_split(sf_dir: str, prefix: str) -> tuple[str, str]:
 
     src_parquet = os.path.join(sf_dir, "events.parquet")
     st = os.stat(src_parquet)
-    tag = (f"{os.path.basename(os.path.normpath(sf_dir))}"
+    tag = (f"v2_{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{int(st.st_mtime)}_{st.st_size}")
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"{prefix}_{tag}")
@@ -564,8 +570,8 @@ def _stage_events_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         t = pq.read_table(src_parquet)
         os.makedirs(src, exist_ok=True)
         even = pc.equal(pc.bit_wise_and(t["event_id"], 1), 0)
-        a = os.path.join(src, "batch_a.parquet")
-        b = os.path.join(src, "batch_b.parquet")
+        a = os.path.join(src, "00000_batch_a.parquet")
+        b = os.path.join(src, "00001_batch_b.parquet")
         pq.write_table(t.filter(even), a)
         pq.write_table(t.filter(pc.invert(even)), b)
         _pin_batch_order(a, b)

@@ -341,6 +341,16 @@ def test_exact_dedup_batch_retry_is_idempotent(spark, tmp_path):
     on_batch(b1, 1)
     assert state() == committed
 
+    # partial commit: only ONE sink's marker survived the tear — the
+    # commit test is the AND of both markers, so the replay must
+    # rewrite BOTH epoch partitions (overwrite, not append) and land
+    # on the identical state again
+    os.remove(os.path.join(idx, "epoch=1", "_SUCCESS"))
+    assert os.path.isfile(os.path.join(cnt, "epoch=1", "_SUCCESS"))
+    on_batch(b1, 1)
+    assert state() == committed
+    assert os.path.isfile(os.path.join(idx, "epoch=1", "_SUCCESS"))
+
 
 def test_stream_join_crosses_batches(spark, tmp_path):
     """X62 crafted feed: views arrive in batch 1, clicks in batch 2 —
@@ -384,3 +394,64 @@ def test_stream_join_crosses_batches(spark, tmp_path):
         joined.select("v_user", "view_id", "click_id"), "append")
     rows = sorted(tuple(r) for r in out.collect())
     assert rows == [(1, 100, 101)], rows
+
+
+def test_parity_split_order_survives_equal_mtimes(spark, tmp_path, monkeypatch):
+    """The staged split's ingest order must be structural: file names
+    carry a sortable sequence prefix AND _pin_batch_order spaces the
+    mtimes 1 s apart in that same order — so even a coarse-mtime
+    filesystem (where both writes land on the same second) cannot
+    reorder micro-batches.  Stage fresh, force-collide the mtimes, and
+    assert the pinning helper restores strict name-order = time-order;
+    then assert a real FileStreamSource run ingests batch_a first."""
+    import os
+    import shutil
+
+    import pandas as pd
+
+    from openplacereviews_db_spark.streaming import pipelines as SP
+
+    # fresh sf_dir copy so staging can't reuse a shared /tmp dir
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pd.DataFrame({
+        "doc_id": range(8),
+        "text": [f"doc {i} text" for i in range(8)],
+    }).to_parquet(sf / "documents.parquet")
+    monkeypatch.setattr(
+        "tempfile.gettempdir", lambda: str(tmp_path / "stage"))
+
+    root, src = SP._stage_parity_split(str(sf), "ordercheck")
+    names = sorted(os.listdir(src))
+    assert names == ["00000_batch_a.parquet", "00001_batch_b.parquet"]
+    mtimes = [os.stat(os.path.join(src, n)).st_mtime for n in names]
+    assert mtimes[1] >= mtimes[0] + 1.0
+
+    # coarse-clock collision: equal mtimes — re-pinning must re-space
+    # them in name order (the staging writer always pins after writing)
+    paths = [os.path.join(src, n) for n in names]
+    t0 = os.stat(paths[0]).st_mtime
+    for p in paths:
+        os.utime(p, (t0, t0))
+    SP._pin_batch_order(*paths)
+    mtimes = [os.stat(p).st_mtime for p in paths]
+    assert mtimes[1] >= mtimes[0] + 1.0
+
+    # end to end: one file per micro-batch, batch 0 must be the evens
+    seen: list[tuple[int, set]] = []
+    schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.format("parquet").schema(schema)
+              .option("maxFilesPerTrigger", 1).load(src))
+
+    def on_batch(df, epoch):
+        seen.append((epoch, {r["doc_id"] for r in df.collect()}))
+
+    chk = str(tmp_path / "chk")
+    q = (stream.writeStream.foreachBatch(on_batch)
+         .option("checkpointLocation", chk)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    shutil.rmtree(root, ignore_errors=True)
+    batches = {e: ids for e, ids in seen if ids}
+    assert batches[min(batches)] == {0, 2, 4, 6}
+    assert batches[max(batches)] == {1, 3, 5, 7}
