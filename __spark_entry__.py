@@ -69,8 +69,10 @@ _DRIVER_PRIORITY = [
     "tx_stratified_sample", "tx_tfidf_topk",
     # (c) r8 plan change with new crash-path behavior
     "sk_heavy_hitters",  # zero-word-doc guard (r8)
-    # --- 50-slot cut line: 8 + 41 + 1 = 50.  r9 leads with the two
-    # r8-changed queries below (check_sf-green at sf0.01 this round).
+    # --- 50-slot cut line: 8 + 41 + 1 = 50.  r9 leads with the block
+    # below: the r8 additions/changes that missed the window (each
+    # check_sf-green at sf0.01 this round, the driver's own comparison).
+    "st_scd2_upsert",  # streaming SCD2 MERGE == batch build (new r8)
     "s18_format_roundtrip",  # null-safe mismatch counters (r8)
     "tx_url_canon",  # scheme-aware default-port strip (r8)
     # r7-green block (sampled r7, freshest evidence — yield their slots)

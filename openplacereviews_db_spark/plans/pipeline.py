@@ -389,3 +389,18 @@ ORACLES["st_hll_distinct"] = (
     + _SK.hll_distinct_sql("events", "event_type", "user_id")
     + ") t"
 )
+
+def st_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 — incremental SCD2 dimension maintenance (foreachBatch MERGE
+    with snapshot swap + epoch watermark), two time-ordered
+    micro-batches; final dimension == the x71 batch build, whose SQL is
+    the oracle (the streaming analog of the sketch mergeability proofs:
+    incremental upserts land on the identical versioned history)."""
+    return sp.scd2_upsert_once(spark, sf_dir)
+
+
+QUERIES["st_scd2_upsert"] = st_scd2_upsert
+
+from .temporal import ORACLES as _TEMPORAL_ORACLES  # noqa: E402
+
+ORACLES["st_scd2_upsert"] = _TEMPORAL_ORACLES["x71_scd2_build"]

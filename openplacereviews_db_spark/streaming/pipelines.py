@@ -89,6 +89,26 @@ def apply_changelog_stream(ops_stream: DataFrame, snapshot_dir: str,
         import shutil
 
         spark = ops.sparkSession
+        tmp = snapshot_dir.rstrip("/") + f".epoch-{epoch_id}"
+        old = snapshot_dir.rstrip("/") + ".old"
+        if not os.path.exists(snapshot_dir):
+            # torn swap recovery (see scd2_upsert_batch): the _epoch
+            # file lands only after the staged write completes, so a
+            # missing snapshot either has a fully-staged tmp (finish
+            # the swap and return) or a preserved .old (restore and
+            # re-fold) — never rebuild from empty.
+            if os.path.isfile(os.path.join(tmp, "_epoch")):
+                os.rename(tmp, snapshot_dir)
+                shutil.rmtree(old, ignore_errors=True)
+                return
+            if os.path.isdir(old):
+                os.rename(old, snapshot_dir)
+        marker = os.path.join(snapshot_dir, "_epoch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= int(epoch_id):
+                    return  # committed retry: the fold is NOT
+                    # idempotent (appendmany), so it must not re-run
         try:
             docs = spark.read.parquet(snapshot_dir)
         except Exception:
@@ -96,11 +116,11 @@ def apply_changelog_stream(ops_stream: DataFrame, snapshot_dir: str,
         # Never overwrite the directory being read: stage the new
         # snapshot, then swap (on an object store / Delta this would be
         # a transactional MERGE instead).
-        tmp = snapshot_dir.rstrip("/") + f".epoch-{epoch_id}"
         apply_operations(docs, ops).write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_epoch"), "w") as fh:
+            fh.write(str(int(epoch_id)))
         if on_batch is not None:
             on_batch(ops.select("obj_id").distinct(), epoch_id)
-        old = snapshot_dir.rstrip("/") + ".old"
         if os.path.exists(snapshot_dir):
             shutil.rmtree(old, ignore_errors=True)
             os.rename(snapshot_dir, old)
@@ -704,3 +724,204 @@ def hll_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("grp", "bucket")
               .agg(F.max("rho_max").alias("rho_max")))
     return SK.hll_finalize(merged)
+
+
+def _stage_time_split(sf_dir: str, prefix: str) -> tuple[str, str]:
+    """Write-once staging of the EVENTS table as two parquet files split
+    at the TIME midpoint (batch_a strictly before, batch_b at/after) —
+    the CDC-shaped feed for dimension maintenance: micro-batches arrive
+    in event-time order, so every version open at the cut must be
+    extended or closed by the later batch (the cross-batch MERGE path).
+
+    ``ts`` is pre-normalized to epoch-micros BIGINT (``ts_us``) at
+    staging so the streaming schema is immune to the driver's
+    NANOS/MICROS drift.  Cache keyed on source mtime+size; sequence-
+    prefixed names + pinned mtimes per the split-order discipline."""
+    import os
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_parquet)
+    tag = (f"v2_{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{int(st.st_mtime)}_{st.st_size}")
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"{prefix}_{tag}")
+    src = os.path.join(root, "src")
+    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src_parquet, columns=[
+            "event_id", "user_id", "event_type", "ts"])
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        t = t.drop_columns(["ts"]).append_column("ts_us", ts_us)
+        lo = pc.min(t["ts_us"]).as_py()
+        hi = pc.max(t["ts_us"]).as_py()
+        mid = (lo + hi) // 2
+        os.makedirs(src, exist_ok=True)
+        early = pc.less(t["ts_us"], mid)
+        a = os.path.join(src, "00000_batch_a.parquet")
+        b = os.path.join(src, "00001_batch_b.parquet")
+        pq.write_table(t.filter(early), a)
+        pq.write_table(t.filter(pc.invert(early)), b)
+        _pin_batch_order(a, b)
+    return root, src
+
+
+_SCD2_DDL = ("user_id long, version long, event_type string, "
+             "eff_from_us long, eff_to_us long, n_events long, "
+             "is_current int")
+
+
+def scd2_upsert_batch(snapshot_dir: str):
+    """foreachBatch MERGE for incremental SCD2 maintenance (the
+    streaming twin of ``plans/temporal.py:x71_scd2_build``): each
+    micro-batch of events upserts the versioned dimension at
+    ``snapshot_dir`` —
+
+    - closed versions (``is_current = 0``) pass through untouched;
+    - each user's OPEN version re-enters the collapse as a pseudo-run,
+      so it EXTENDS (same value: n_events accumulates, eff_from keeps)
+      or CLOSES (value changed: eff_to set to the new run's start) —
+      the two MERGE arms of warehouse dimension maintenance;
+    - the batch's own rows collapse into runs with the identical
+      (ts_us, event_id)-ordered lag logic as the batch build.
+
+    Correct for ANY time-ordered feed (each batch's rows at/after the
+    previous batches'), which the staged time split guarantees; under
+    that contract the final snapshot equals the batch build EXACTLY —
+    the driver oracle for ``st_scd2_upsert`` IS x71's direct-build SQL.
+
+    Retry-safe the snapshot-swap way (``apply_changelog_stream``):
+    output staged to an epoch-suffixed dir then renamed, with the
+    applied-epoch watermark INSIDE the snapshot (``_epoch`` file, an
+    underscore name Spark's reader ignores) — a committed-epoch retry
+    is a no-op, a torn swap rebuilds from the still-intact previous
+    snapshot.  At scale this is one user_id-hash shuffle per batch over
+    (open versions ∪ batch rows); closed-version history never
+    reshuffles (on a lakehouse the pass-through union becomes a MERGE
+    that leaves untouched files alone).
+    """
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    def on_batch(batch: DataFrame, epoch_id: int) -> None:
+        epoch = int(epoch_id)
+        spark = batch.sparkSession
+        tmp = snapshot_dir.rstrip("/") + f".epoch-{epoch}"
+        old = snapshot_dir.rstrip("/") + ".old"
+        if not os.path.exists(snapshot_dir):
+            # torn swap recovery: the _epoch file is written only after
+            # the staged parquet completes, and the snapshot is renamed
+            # away only after that — so a missing snapshot means either
+            # (a) tmp is fully staged: finish the swap, epoch is
+            # committed; or (b) tmp never completed but the snapshot
+            # was preserved in .old: restore it and re-apply.  Without
+            # this, a replay would rebuild from EMPTY and silently drop
+            # all closed history.
+            if os.path.isfile(os.path.join(tmp, "_epoch")):
+                os.rename(tmp, snapshot_dir)
+                shutil.rmtree(old, ignore_errors=True)
+                return
+            if os.path.isdir(old):
+                os.rename(old, snapshot_dir)
+        marker = os.path.join(snapshot_dir, "_epoch")
+        if os.path.isfile(marker):
+            with open(marker) as fh:
+                if int(fh.read().strip()) >= epoch:
+                    return  # committed retry: exact no-op
+        try:
+            prev = spark.read.parquet(snapshot_dir)
+        except Exception:
+            prev = spark.createDataFrame([], _SCD2_DDL)
+        closed = prev.where(F.col("is_current") == 0)
+        open_v = prev.where(F.col("is_current") == 1)
+
+        w_ord = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+        prev_type = F.lag("event_type").over(w_ord)
+        chg = F.when(prev_type.isNull()
+                     | (prev_type != F.col("event_type")),
+                     F.lit(1)).otherwise(F.lit(0))
+        runs_new = (batch
+                    .withColumn("run", F.sum(chg).over(
+                        w_ord.rowsBetween(Window.unboundedPreceding,
+                                          Window.currentRow)))
+                    .groupBy("user_id", "run", "event_type")
+                    .agg(F.min("ts_us").alias("eff_from_us"),
+                         F.count(F.lit(1)).alias("n_events"))
+                    .select("user_id", "event_type", "eff_from_us",
+                            "n_events", F.lit(1).alias("src")))
+        open_runs = open_v.select(
+            "user_id", "event_type", "eff_from_us", "n_events",
+            F.lit(0).alias("src"))
+        base = open_v.select(
+            "user_id", (F.col("version") - 1).alias("base"))
+
+        u = open_runs.unionByName(runs_new)
+        w_seg = Window.partitionBy("user_id").orderBy("eff_from_us", "src")
+        prev_val = F.lag("event_type").over(w_seg)
+        seg_chg = F.when(prev_val.isNull()
+                         | (prev_val != F.col("event_type")),
+                         F.lit(1)).otherwise(F.lit(0))
+        merged = (u.withColumn("seg", F.sum(seg_chg).over(
+                      w_seg.rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)))
+                  .groupBy("user_id", "seg", "event_type")
+                  .agg(F.min("eff_from_us").alias("eff_from_us"),
+                       F.sum("n_events").alias("n_events")))
+        w_v = Window.partitionBy("user_id").orderBy("seg")
+        nxt = F.lead("eff_from_us").over(w_v)
+        versions = (merged.join(base, "user_id", "left")
+                    .select(
+                        "user_id",
+                        (F.coalesce("base", F.lit(0).cast("long"))
+                         + F.col("seg")).alias("version"),
+                        "event_type", "eff_from_us",
+                        nxt.alias("eff_to_us"), "n_events",
+                        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
+                        .alias("is_current")))
+        out = closed.unionByName(versions)
+
+        out.write.mode("overwrite").parquet(tmp)
+        with open(os.path.join(tmp, "_epoch"), "w") as fh:
+            fh.write(str(epoch))
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(old, ignore_errors=True)
+            os.rename(snapshot_dir, old)
+        os.rename(tmp, snapshot_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return on_batch
+
+
+def scd2_upsert_once(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X89 run to completion as a driver-checkable query: the events
+    table streams in TWO time-ordered micro-batches through
+    ``scd2_upsert_batch``, and the final maintained dimension is read
+    back — provably equal to ``x71_scd2_build``'s one-shot batch build
+    (that query's DuckDB SQL is the oracle), because every version
+    open at the time cut exercises the extend-or-close MERGE arm.
+    Working dirs are wiped per call so reruns are reproducible."""
+    import os
+    import shutil
+
+    root, src = _stage_time_split(sf_dir, "scd2")
+    snap_dir = os.path.join(root, "snapshot")
+    chk_dir = os.path.join(root, "chk")
+    for d in (snap_dir, chk_dir):
+        shutil.rmtree(d, ignore_errors=True)
+
+    events = (spark.readStream.format("parquet")
+              .schema("event_id long, user_id long, event_type string, "
+                      "ts_us long")
+              .option("maxFilesPerTrigger", 1).load(src))
+    q = (events.writeStream.foreachBatch(scd2_upsert_batch(snap_dir))
+         .option("checkpointLocation", chk_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.read.parquet(snap_dir)
+            .select("user_id", "version", "event_type", "eff_from_us",
+                    "eff_to_us", "n_events", "is_current"))

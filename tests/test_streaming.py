@@ -455,3 +455,72 @@ def test_parity_split_order_survives_equal_mtimes(spark, tmp_path, monkeypatch):
     batches = {e: ids for e, ids in seen if ids}
     assert batches[min(batches)] == {0, 2, 4, 6}
     assert batches[max(batches)] == {1, 3, 5, 7}
+
+
+def _scd2_state(spark, snap):
+    return sorted(
+        (r["user_id"], r["version"], r["event_type"], r["eff_from_us"],
+         r["eff_to_us"], r["n_events"], r["is_current"])
+        for r in spark.read.parquet(snap).collect())
+
+
+def test_scd2_upsert_merge_arms_and_recovery(spark, tmp_path):
+    """Crafted two-batch feed pinning both MERGE arms — user 1's open
+    version EXTENDS (same value resumes: n_events accumulates, eff_from
+    keeps) then CLOSES (value change: eff_to = the new run's start);
+    user 2 is untouched by batch 1 (open version passes through);
+    user 3 is born in batch 1 — plus every retry/recovery branch of the
+    snapshot swap: committed no-op, finish-the-swap, restore-from-old."""
+    import os
+    import shutil
+
+    from openplacereviews_db_spark.streaming.pipelines import (
+        scd2_upsert_batch)
+
+    snap = str(tmp_path / "snap")
+    on_batch = scd2_upsert_batch(snap)
+    ddl = "event_id long, user_id long, event_type string, ts_us long"
+    b0 = spark.createDataFrame(
+        [(1, 1, "A", 100), (2, 1, "A", 200), (3, 1, "B", 300),
+         (4, 2, "X", 100)], ddl)
+    b1 = spark.createDataFrame(
+        [(5, 1, "B", 400), (6, 1, "C", 500), (7, 3, "Z", 450)], ddl)
+    on_batch(b0, 0)
+    after0 = _scd2_state(spark, snap)
+    assert after0 == [
+        (1, 1, "A", 100, 300, 2, 0), (1, 2, "B", 300, None, 1, 1),
+        (2, 1, "X", 100, None, 1, 1)]
+    on_batch(b1, 1)
+    committed = _scd2_state(spark, snap)
+    assert committed == [
+        (1, 1, "A", 100, 300, 2, 0),
+        (1, 2, "B", 300, 500, 2, 0),   # extended (1+1 events), closed
+        (1, 3, "C", 500, None, 1, 1),
+        (2, 1, "X", 100, None, 1, 1),  # untouched pass-through
+        (3, 1, "Z", 450, None, 1, 1)]
+
+    # committed retry: exact no-op
+    on_batch(b1, 1)
+    assert _scd2_state(spark, snap) == committed
+
+    # torn swap, window A: crash between the two renames — snapshot is
+    # gone, tmp for the epoch is fully staged.  Replay finishes the swap.
+    tmp_dir, old_dir = snap + ".epoch-1", snap + ".old"
+    os.rename(snap, old_dir)        # simulate: snapshot renamed away
+    shutil.copytree(old_dir, tmp_dir)  # ...and tmp fully staged
+    on_batch(b1, 1)
+    assert _scd2_state(spark, snap) == committed
+    assert not os.path.exists(old_dir) and not os.path.exists(tmp_dir)
+
+    # torn swap, window B: tmp never completed (no _epoch), snapshot
+    # preserved in .old — restore and re-apply, same final state.
+    os.rename(snap, old_dir)
+    os.makedirs(tmp_dir)            # an incomplete staging dir
+    # .old holds the PRE-batch state for a replay of epoch 1
+    shutil.rmtree(old_dir)
+    on_batch(b0, 0)                 # rebuild pre-batch state fresh
+    assert _scd2_state(spark, snap) != committed
+    shutil.rmtree(tmp_dir)
+    os.rename(snap, old_dir)
+    on_batch(b1, 1)
+    assert _scd2_state(spark, snap) == committed
