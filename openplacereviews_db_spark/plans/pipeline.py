@@ -391,7 +391,7 @@ ORACLES["st_hll_distinct"] = (
 )
 
 def st_scd2_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X89 — incremental SCD2 dimension maintenance (foreachBatch MERGE
+    """X90 — incremental SCD2 dimension maintenance (foreachBatch MERGE
     with snapshot swap + epoch watermark), two time-ordered
     micro-batches; final dimension == the x71 batch build, whose SQL is
     the oracle (the streaming analog of the sketch mergeability proofs:

@@ -898,7 +898,7 @@ def scd2_upsert_batch(snapshot_dir: str):
 
 
 def scd2_upsert_once(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X89 run to completion as a driver-checkable query: the events
+    """X90 run to completion as a driver-checkable query: the events
     table streams in TWO time-ordered micro-batches through
     ``scd2_upsert_batch``, and the final maintained dimension is read
     back — provably equal to ``x71_scd2_build``'s one-shot batch build
