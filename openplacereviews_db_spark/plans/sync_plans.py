@@ -1045,3 +1045,54 @@ ORACLES["s18_format_roundtrip"] = """
            CAST(0 AS BIGINT) AS n_json_mismatch
     FROM customer GROUP BY c_mktsegment
 """
+
+
+def s20_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: columnar-format roundtrip — s18's discipline applied to ORC,
+    the other lakehouse-standard columnar format Spark writes natively.
+    The customer projection stages once as ORC (write-once, keyed on the
+    source parquet's mtime+size), reads back through an explicit schema,
+    joins the parquet original on the key, and emits the per-segment
+    rollup of the ORC copy plus a zero-pinned null-safe mismatch counter
+    — proving Spark's ORC writer/reader is a lossless citizen next to
+    parquet (vectorized JVM path end to end; doubles survive because ORC
+    stores IEEE bits, not text).
+
+    Plan shape: co-partitioned sort-merge join on the 8-byte key into
+    one partial-aggregating rollup, same as s18.
+    """
+    fp = staging.source_fingerprint(sf_dir, "customer")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    orc_dir = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                           f"orc_{tag}")
+    cust = load_table(spark, "customer", sf_dir).select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    if not os.path.isfile(os.path.join(orc_dir, "_SUCCESS")):
+        cust.write.mode("overwrite").orc(orc_dir)
+    orc_rt = (spark.read.schema(_S18_SCHEMA).orc(orc_dir)
+              .select("c_custkey",
+                      F.col("c_name").alias("o_name"),
+                      F.col("c_acctbal").alias("o_acctbal"),
+                      F.col("c_mktsegment").alias("o_seg")))
+    j = cust.join(orc_rt, on="c_custkey", how="left")
+    bad = F.when(
+        ~F.col("o_name").eqNullSafe(F.col("c_name"))
+        | ~F.col("o_acctbal").eqNullSafe(F.col("c_acctbal"))
+        | ~F.col("o_seg").eqNullSafe(F.col("c_mktsegment")),
+        F.lit(1)).otherwise(F.lit(0))
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("o_acctbal") * 100).cast("bigint"))
+                 .alias("sum_cents"),
+                 F.sum(bad).alias("n_orc_mismatch")))
+
+
+QUERIES["s20_orc_roundtrip"] = s20_orc_roundtrip
+
+ORACLES["s20_orc_roundtrip"] = """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(0 AS BIGINT) AS n_orc_mismatch
+    FROM customer GROUP BY c_mktsegment
+"""
