@@ -114,7 +114,10 @@ def greedy_proximity_groups(df: DataFrame, dist_m: float = 150.0,
             return
         pdf = pd.concat(pdfs, ignore_index=True) if len(pdfs) > 1 else pdfs[0]
         out: list[dict] = []
-        for _, g in pdf.groupby(tile_col, sort=False):
+        # dropna=False: a NULL tile key must form a group like SQL
+        # PARTITION BY would, not silently vanish (tiles are non-null
+        # on this corpus; structural guard per the x87 lesson)
+        for _, g in pdf.groupby(tile_col, sort=False, dropna=False):
             out.extend(greedy_group_rows(g.to_dict("records"), dist_m))
         yield (pd.DataFrame(out)[cols] if out
                else pd.DataFrame(columns=cols))

@@ -853,15 +853,19 @@ def scd2_upsert_batch(snapshot_dir: str):
                     .agg(F.min("ts_us").alias("eff_from_us"),
                          F.count(F.lit(1)).alias("n_events"))
                     .select("user_id", "event_type", "eff_from_us",
-                            "n_events", F.lit(1).alias("src")))
+                            "n_events", F.lit(1).alias("src"), "run"))
         open_runs = open_v.select(
             "user_id", "event_type", "eff_from_us", "n_events",
-            F.lit(0).alias("src"))
+            F.lit(0).alias("src"), F.lit(0).cast("long").alias("run"))
         base = open_v.select(
             "user_id", (F.col("version") - 1).alias("base"))
 
         u = open_runs.unionByName(runs_new)
-        w_seg = Window.partitionBy("user_id").orderBy("eff_from_us", "src")
+        # ordered by (src, run) — the true sequence — NOT by eff_from:
+        # two adjacent runs can share eff_from_us (equal-timestamp rows
+        # with alternating values split on event_id), and a tie in the
+        # collapse window would make lag() shuffle-order-dependent
+        w_seg = Window.partitionBy("user_id").orderBy("src", "run")
         prev_val = F.lag("event_type").over(w_seg)
         seg_chg = F.when(prev_val.isNull()
                          | (prev_val != F.col("event_type")),

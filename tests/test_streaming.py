@@ -524,3 +524,24 @@ def test_scd2_upsert_merge_arms_and_recovery(spark, tmp_path):
     os.rename(snap, old_dir)
     on_batch(b1, 1)
     assert _scd2_state(spark, snap) == committed
+
+
+def test_scd2_upsert_equal_ts_alternating_values(spark, tmp_path):
+    """Equal-timestamp rows with alternating values split on event_id
+    into adjacent runs SHARING eff_from_us — the collapse must order by
+    the run sequence, not eff_from (a tie there would make lag()
+    shuffle-order-dependent).  Must match x71 batch semantics: three
+    zero-width-boundary versions, then the open one extends."""
+    from openplacereviews_db_spark.streaming.pipelines import (
+        scd2_upsert_batch)
+
+    snap = str(tmp_path / "snap")
+    on_batch = scd2_upsert_batch(snap)
+    ddl = "event_id long, user_id long, event_type string, ts_us long"
+    on_batch(spark.createDataFrame(
+        [(1, 1, "A", 100), (2, 1, "B", 100), (3, 1, "A", 100)], ddl), 0)
+    on_batch(spark.createDataFrame([(4, 1, "A", 200)], ddl), 1)
+    assert _scd2_state(spark, snap) == [
+        (1, 1, "A", 100, 100, 1, 0),
+        (1, 2, "B", 100, 100, 1, 0),
+        (1, 3, "A", 100, None, 2, 1)]
