@@ -791,17 +791,43 @@ def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dd_dup_groups"] = dd_dup_groups
 
 
+def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-once materialization of the dup-group mapping
+    (node, canonical_id, group_size) — the production layout: the
+    LSH + connected-components clustering runs ONCE per corpus version
+    and every consumer (survivor selection, leakage-proof splits,
+    keep-best policies) JOINS the mapping instead of recomputing the
+    iterative contraction.  Keyed on the documents parquet's mtime+size
+    (the stale-cache rule); ``dd_dup_groups`` itself stays a live CC
+    run, so the contraction loop remains driver-checked every round."""
+    import os
+    import tempfile
+
+    from ..operators.components import dedup_groups
+    from ..sources import staging
+
+    cid = (f"dupgroups_{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{staging.source_fingerprint(sf_dir, 'documents')}")
+
+    def build() -> DataFrame:
+        pairs = dedup.minhash_lsh_pairs(
+            _docs(spark, sf_dir), shingle_words=2, num_hashes=16,
+            bands=8, min_jaccard=0.1)  # same knobs as dd_dup_groups
+        return dedup_groups(pairs)
+
+    return staging.stage_raw(
+        spark, build,
+        os.path.join(tempfile.gettempdir(), "opr_spark_stage"), cid)
+
+
 def dd_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The dedup pipeline's END action: one row per document with its
     canonical id, duplicate-group size, and whether a keep-one-per-group
     pass retains it — pairs → groups → survivor flags, the frame a
-    curation pipeline actually filters on."""
-    from ..operators.components import dedup_groups
-
+    curation pipeline actually filters on.  Consumes the staged
+    dup-group mapping (see ``_staged_dup_groups``)."""
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, shingle_words=2, num_hashes=16, bands=8, min_jaccard=0.1)
-    groups = dedup_groups(pairs)
+    groups = _staged_dup_groups(spark, sf_dir)
     base = docs.select(F.col("doc_id").alias("id"))
     return (
         base.join(groups, base["id"] == groups["node"], "left")
@@ -961,15 +987,13 @@ def tx_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     can never straddle the train/eval boundary — the contamination mode
     that n-gram decontamination misses once paraphrase-level rewrites
     enter the corpus.  90/5/5 by hash_uniform(canonical); singletons
-    hash their own id.  Eager by necessity (the CC contraction loop
-    runs at build — EAGER_BUILD_OK)."""
-    from ..operators.components import dedup_groups
+    hash their own id.  Consumes the staged dup-group mapping; the
+    first build per corpus version runs the CC loop at plan build
+    (EAGER_BUILD_OK)."""
     from ..operators.curation import hash_uniform
 
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, shingle_words=2, num_hashes=16, bands=8, min_jaccard=0.1)
-    groups = dedup_groups(pairs)
+    groups = _staged_dup_groups(spark, sf_dir)
     base = docs.select(F.col("doc_id").alias("id"))
     j = base.join(groups, base["id"] == groups["node"], "left")
     canon = F.coalesce("canonical_id", F.col("id"))
@@ -1635,18 +1659,15 @@ def dd_apply_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     policy that keeps the cleanest copy of a near-dup cluster rather
     than an arbitrary one.
 
-    Scale shape: groups come from the same banded LSH + connected
-    components; the survivor pick is a rank window partitioned on the
-    canonical id — bounded by near-dup cluster size, never corpus-wide.
+    Scale shape: groups come from the staged dup-group mapping (the
+    banded LSH + CC clustering materialized once per corpus version);
+    the survivor pick is a rank window partitioned on the canonical id
+    — bounded by near-dup cluster size, never corpus-wide.
     """
     from pyspark.sql.window import Window
 
-    from ..operators.components import dedup_groups
-
     docs = _docs(spark, sf_dir)
-    pairs = dedup.minhash_lsh_pairs(
-        docs, shingle_words=2, num_hashes=16, bands=8, min_jaccard=0.1)
-    groups = dedup_groups(pairs)
+    groups = _staged_dup_groups(spark, sf_dir)
     quality = textstats.quality_score(docs).select(
         "id", F.col("quality_score").alias("score"))
     base = docs.select(F.col("doc_id").alias("id"))

@@ -137,11 +137,16 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 #:   localCheckpoints its input so range-sampling + exchange compute
 #:   the upstream pipeline once (operators/ordered.py — measured 2-4x
 #:   cheaper than lazy persist on first execution).
-EAGER_BUILD_OK = {"dd_dup_groups", "dd_apply", "dd_apply_best",
+EAGER_BUILD_OK = {"dd_dup_groups",  # live CC loop (the contraction demo)
+                  "dd_apply", "dd_apply_best", "tx_group_split",
+                  # ^ consumers of the write-once staged dup-group
+                  # mapping (corpus._staged_dup_groups): first build
+                  # per corpus version runs LSH+CC at plan build,
+                  # steady state is a parquet read + join
                   "ann_ivf_topk",
                   "curate_corpus", "s14_pack_ops", "tx_pack_sequences",
                   "tx_shard_manifest",  # same two-phase cumsum as packing
-                  "tx_group_split", "emb_semdedup",  # CC loops
+                  "emb_semdedup",  # CC loop (embedding pairs)
                   "x22_bucketed_lookup",  # write-once bucketed tables
                   "g9_pagerank",  # edges/deg checkpointed once, reused 4x/iter
                   "emb_kmeans",  # quantized input checkpointed once;
