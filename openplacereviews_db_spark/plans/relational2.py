@@ -1355,3 +1355,53 @@ ORACLES["x88_benford"] = """
     SELECT digit, n, (n * 1000) // total AS permille
     FROM counts, tot
 """
+
+
+def x77_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X77: the SALTED hot-key join as a driver-checked query — the
+    skew answer for the cases AQE cannot fix (operators/skew.py).
+
+    events ⨝ type-dim on event_type is the canonical power-law shape:
+    5 distinct keys over the whole fact table, so a plain shuffle join
+    puts ~1/5 of 100 TB in ONE task.  ``salted_join`` scatters each hot
+    key across 8 sub-keys (big side salted by row hash, small side
+    replicated per salt) and the shuffle-hash hint keeps the join a
+    real exchange (a broadcast would hide the salt).  The oracle is the
+    PLAIN join + rollup — hash equality proves the decomposition is
+    result-invisible, the property that makes salting safe to apply
+    mechanically.  Integer cents keep the sum order-proof.
+    """
+    from ..operators.skew import salted_join
+    from ..sources.testdata import load_table as _lt
+
+    ev = (_lt(spark, "events", sf_dir)
+          .select("event_id", "event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    dim = (ev.select("event_type").distinct()
+           .select("event_type",
+                   F.length("event_type").alias("type_len"))
+           .hint("shuffle_hash"))
+    j = salted_join(ev, dim, "event_type", salt_factor=8)
+    return (j.groupBy("event_type", "type_len")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("cents").alias("sum_cents")))
+
+
+QUERIES["x77_salted_join"] = x77_salted_join
+
+ORACLES["x77_salted_join"] = """
+    WITH ev AS (
+        SELECT event_type,
+               CAST(floor(value * 100) AS BIGINT) AS cents
+        FROM events
+    ), dim AS (
+        SELECT DISTINCT event_type, length(event_type) AS type_len
+        FROM ev
+    )
+    SELECT e.event_type, d.type_len,
+           COUNT(*) AS n,
+           CAST(SUM(e.cents) AS BIGINT) AS sum_cents
+    FROM ev e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type, d.type_len
+"""

@@ -72,3 +72,34 @@ def test_aqe_splits_skewed_partition(spark):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def test_x77_salted_join_is_a_real_exchange(spark, sf_dir):
+    """The driver query's salt must not be theater: the executed plan
+    joins on (event_type, _salt) through a ShuffledHashJoin — no
+    broadcast (which would hide the salt) — and the hot key's rows
+    really land in multiple shuffle partitions."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.plans.relational2 import x77_salted_join
+
+    df = x77_salted_join(spark, sf_dir)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan, plan[:2000]
+    assert "BroadcastHashJoin" not in plan, plan[:2000]
+    assert "_salt" in plan
+
+    # the salt really spreads one hot key over multiple partitions:
+    # reproduce the salted big side and count distinct shuffle targets
+    from openplacereviews_db_spark.sources.testdata import load_table
+    ev = (load_table(spark, "events", sf_dir)
+          .select("event_id", "event_type",
+                  F.floor(F.col("value") * 100).cast("long")
+                  .alias("cents")))
+    salted = ev.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in ev.columns]),
+                        F.lit(8)).cast("int"))
+    n_salts = (salted.where(F.col("event_type") == "click")
+               .select("_salt").distinct().count())
+    assert n_salts == 8, n_salts
