@@ -1405,3 +1405,52 @@ ORACLES["x77_salted_join"] = """
     FROM ev e JOIN dim d ON e.event_type = d.event_type
     GROUP BY e.event_type, d.type_len
 """
+
+
+def p13_variant_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13*: the Spark 4 VARIANT type as the semi-structured fast path
+    (the successor to p11's string-JSON kit): heterogeneous event
+    documents are assembled as JSON text, ingested ONCE via
+    ``parse_json`` into a VARIANT column (binary-encoded, so repeated
+    path extraction skips re-tokenizing the text — the at-scale win
+    over get_json_object chains), then typed projections come out via
+    ``variant_get`` — string, nested int, and double paths — plus a
+    ``try_variant_get`` on a missing path (NULL, pinned by the zero
+    counter).
+
+    The ORACLE aggregates from the RAW columns, never touching JSON:
+    hash equality therefore proves the build → parse_json →
+    variant_get roundtrip is value-exact (doubles included — JSON
+    shortest-repr text parses back to the identical IEEE value, so
+    the integer-cents sum cannot drift).
+    """
+    ev = load_table(spark, "events", sf_dir)
+    doc = F.to_json(F.struct(
+        F.col("event_id"), F.col("event_type"), F.col("value"),
+        F.struct(F.get_json_object("props", "$.k").cast("int")
+                 .alias("k")).alias("meta")))
+    v = F.parse_json(doc)
+    rows = ev.select(
+        F.variant_get(v, "$.event_type", "string").alias("etype"),
+        F.variant_get(v, "$.meta.k", "int").alias("k"),
+        F.variant_get(v, "$.value", "double").alias("val"),
+        F.try_variant_get(v, "$.missing.path", "string").alias("miss"))
+    return (rows.groupBy("etype")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("k").cast("long").alias("sum_k"),
+                 F.sum(F.floor(F.col("val") * 100).cast("long"))
+                 .alias("sum_cents"),
+                 F.count("miss").alias("n_missing")))
+
+
+QUERIES["p13_variant_kit"] = p13_variant_kit
+
+ORACLES["p13_variant_kit"] = """
+    SELECT event_type AS etype, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k,
+           CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(0 AS BIGINT) AS n_missing
+    FROM events GROUP BY event_type
+"""
