@@ -1096,3 +1096,71 @@ ORACLES["s20_orc_roundtrip"] = """
            CAST(0 AS BIGINT) AS n_orc_mismatch
     FROM customer GROUP BY c_mktsegment
 """
+
+
+def s21_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21: malformed-record quarantine on JSONL ingest — the
+    data-quality gate every at-scale text ingest needs: customer rows
+    staged as JSON lines with every key%10==0 line deterministically
+    corrupted (brace mangled), read back in PERMISSIVE mode with an
+    explicit ``_corrupt_record`` column, and rolled up per segment —
+    corrupted rows land in the NULL-segment quarantine bucket with
+    their raw text preserved (``n_quarantined``), parsed rows keep
+    value-exact fields (integer-cents sum).
+
+    The oracle reproduces both populations from the parquet original
+    (key%10 != 0 parsed per segment, key%10 == 0 in the NULL bucket),
+    so hash equality pins Spark's permissive-mode semantics: corrupt
+    rows NULL every data field, populate only the raw-record column,
+    and are never silently dropped — the quarantine contract.
+    (FAILFAST/DROPMALFORMED are the documented alternatives; PERMISSIVE
+    + quarantine is the 100 TB default because a bad shard must not
+    kill or silently shrink the job.)  Staging is write-once, keyed on
+    source mtime+size; plan stays the vectorized JVM JSON reader.
+    """
+    import json as _json
+
+    fp = staging.source_fingerprint(sf_dir, "customer")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    path = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"badjson_{tag}", "rows.jsonl")
+    if not os.path.isfile(path):
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_acctbal", "c_mktsegment"])
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            for r in t.to_pylist():
+                line = _json.dumps(r, ensure_ascii=False)
+                if r["c_custkey"] % 10 == 0:
+                    line = "{X" + line[1:]  # unparseable, text preserved
+                fh.write(line + "\n")
+        os.replace(tmp, path)
+    schema = (_S18_SCHEMA + ", _corrupt_record string")
+    rows = (spark.read.schema(schema)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", "_corrupt_record")
+            .json(os.path.dirname(path)))
+    return (rows.groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.floor(F.col("c_acctbal") * 100).cast("bigint"))
+                 .alias("sum_cents"),
+                 F.count("_corrupt_record").alias("n_quarantined")))
+
+
+QUERIES["s21_corrupt_quarantine"] = s21_corrupt_quarantine
+
+ORACLES["s21_corrupt_quarantine"] = """
+    SELECT c_mktsegment, COUNT(*) AS n,
+           CAST(SUM(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents,
+           CAST(0 AS BIGINT) AS n_quarantined
+    FROM customer WHERE c_custkey % 10 <> 0
+    GROUP BY c_mktsegment
+    UNION ALL
+    SELECT NULL, COUNT(*), NULL, COUNT(*)
+    FROM customer WHERE c_custkey % 10 = 0
+"""
