@@ -1454,3 +1454,108 @@ ORACLES["p13_variant_kit"] = """
            CAST(0 AS BIGINT) AS n_missing
     FROM events GROUP BY event_type
 """
+
+
+def g15_border_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G15: the BORDER-ZONE spatial query — the analytic intent of the
+    reference's abandoned ``BorderSyncBot``
+    (``osm/service/BorderSyncBot.java:13-48``, a ``// TODO generate
+    borders area???`` stub that only lists region files): for every
+    region polygon, the places within ``D`` degrees of its BORDER
+    (min clamped point-to-segment distance over the ring's edges ≤ D,
+    either side) — the work queue a border-area sync bot would process.
+
+    Regions are g10's 25 synthetic triangles; the candidate join is the
+    same grid blocking with the bbox EXPANDED by D (so no within-D point
+    can escape its polygon's cell set), then the exact distance is the
+    o5 clamped-projection kernel per edge, pure column arithmetic.  The
+    ORACLE is the brute-force cross join with textually-mirrored
+    arithmetic — hash equality proves the expanded blocking loses no
+    border pair.  At 100 TB: one shuffle of the points on the cell key,
+    polygons broadcast-scale.
+    """
+    from ..functions import geometry as GM
+    from ..sources import places as P
+
+    G, D = 30.0, 2.0
+    nat = _t(spark, sf_dir, "nation")
+    k = F.col("n_nationkey")
+    clat = ((k * 7 % 140).cast("double") - 70.0 + 0.5)
+    clon = ((k * 37 % 340).cast("double") - 170.0 + 0.5)
+    s = (k % 3).cast("double") * 5.0 + 10.0
+    tri = nat.select(
+        "n_nationkey",
+        clat.alias("alat"), clon.alias("alon"),
+        (clat + s).alias("blat"), (clon + s * 0.5).alias("blon"),
+        (clat - s * 0.5).alias("clat2"), (clon + s).alias("clon2"),
+    )
+    cells = (tri
+             .withColumn("cy", F.explode(F.sequence(
+                 F.floor((F.least("alat", "blat", "clat2") - D + 90.0) / G),
+                 F.floor((F.greatest("alat", "blat", "clat2") + D + 90.0) / G))))
+             .withColumn("cx", F.explode(F.sequence(
+                 F.floor((F.least("alon", "blon", "clon2") - D + 180.0) / G),
+                 F.floor((F.greatest("alon", "blon", "clon2") + D + 180.0) / G)))))
+    pts = P.synthetic_active_flat(spark, sf_dir).select(
+        "id", "lat", "lon",
+        F.floor((F.col("lat") + 90.0) / G).alias("cy"),
+        F.floor((F.col("lon") + 180.0) / G).alias("cx"))
+
+    def edge(ax, ay, bx, by):
+        return GM.orthogonal_distance_deg(
+            F.col("lat"), F.col("lon"),
+            F.col(ax), F.col(ay), F.col(bx), F.col(by))
+
+    d_min = F.least(edge("alat", "alon", "blat", "blon"),
+                    edge("blat", "blon", "clat2", "clon2"),
+                    edge("clat2", "clon2", "alat", "alon"))
+    return (pts.join(cells, ["cy", "cx"])
+            .where(d_min <= D)
+            .select("id", "n_nationkey",
+                    F.round(d_min, 6).alias("border_dist")))
+
+
+QUERIES["g15_border_zone"] = g15_border_zone
+
+
+def _oseg_sql(px, py, ax, ay, bx, by):
+    """DuckDB mirror of geometry.orthogonal_distance_deg — identical
+    expression order, power(x, 2) for Spark's ``** 2`` (the o5-proven
+    pairing)."""
+    denom = f"(power({bx} - {ax}, 2) + power({by} - {ay}, 2))"
+    dot = (f"(({px} - {ax}) * ({bx} - {ax})"
+           f" + ({py} - {ay}) * ({by} - {ay}))")
+    t = (f"least(CAST(1.0 AS DOUBLE), greatest(CAST(0.0 AS DOUBLE), "
+         f"CASE WHEN {denom} = 0 THEN CAST(0.0 AS DOUBLE) "
+         f"ELSE {dot} / {denom} END))")
+    cx = f"({ax} + {t} * ({bx} - {ax}))"
+    cy = f"({ay} + {t} * ({by} - {ay}))"
+    return f"sqrt(power({px} - {cx}, 2) + power({py} - {cy}, 2))"
+
+
+_G15_DMIN = "least({}, {}, {})".format(
+    _oseg_sql("p.lat", "p.lon", "t.alat", "t.alon", "t.blat", "t.blon"),
+    _oseg_sql("p.lat", "p.lon", "t.blat", "t.blon", "t.clat2", "t.clon2"),
+    _oseg_sql("p.lat", "p.lon", "t.clat2", "t.clon2", "t.alat", "t.alon"))
+
+ORACLES["g15_border_zone"] = f"""
+    WITH {{FLAT}},
+    tri AS (
+        SELECT n_nationkey,
+               CAST((n_nationkey * 7) % 140 AS DOUBLE)
+                   - CAST(70.0 AS DOUBLE) + CAST(0.5 AS DOUBLE) AS alat,
+               CAST((n_nationkey * 37) % 340 AS DOUBLE)
+                   - CAST(170.0 AS DOUBLE) + CAST(0.5 AS DOUBLE) AS alon,
+               CAST((n_nationkey % 3) * 5 + 10 AS DOUBLE) AS s
+        FROM nation
+    ), tri2 AS (
+        SELECT n_nationkey, alat, alon,
+               alat + s AS blat, alon + s * CAST(0.5 AS DOUBLE) AS blon,
+               alat - s * CAST(0.5 AS DOUBLE) AS clat2, alon + s AS clon2
+        FROM tri
+    )
+    SELECT p.id, t.n_nationkey,
+           round({_G15_DMIN}, 6) AS border_dist
+    FROM active p, tri2 t
+    WHERE {_G15_DMIN} <= CAST(2.0 AS DOUBLE)
+""".replace("{FLAT}", _fc2())
