@@ -232,3 +232,72 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
         rows.append((i, kind, f"{kind}/x-test", 64 + i % 32, 48 + i % 24,
                      float(i % 30), bytearray(payload)))
     return spark.createDataFrame(rows, MEDIA_DDL)
+
+
+def _phash64_py(content: str) -> int:
+    """Python twin of ``functions.hashing.simhash64`` / the
+    ``dedup.simhash_table`` codegen plan (same norm → distinct tokens →
+    md5 nibble votes → sign-bit weights), for fingerprints that must be
+    computed INSIDE a payload-decode kernel.  A real image pHash slots
+    in here unchanged (DCT over the decoded bitmap instead of token
+    votes); the contract — 64-bit locality-sensitive code per payload —
+    is what downstream blocking consumes."""
+    import hashlib
+    import re
+
+    norm = re.sub(r"\s+", " ", content).strip().lower()
+    toks = {t for t in norm.split(" ") if t}
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for w in toks:
+        h = hashlib.md5(w.encode("utf-8")).hexdigest()
+        for n in range(16):
+            nib = int(h[n], 16)
+            for j in range(4):
+                votes[n * 4 + j] += 1 if (nib >> (3 - j)) & 1 else -1
+    v = 0
+    for b in range(64):
+        if votes[b] > 0:
+            v |= 1 << (63 - b)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+def perceptual_hashes(df: DataFrame) -> DataFrame:
+    """(media_id, phash) per media row — the payload crosses the Arrow
+    boundary ONCE, the 64-bit code comes back; everything after (the
+    blocked self-join) stays JVM-side."""
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "phash": [
+                    _phash64_py((p or b"").decode("utf-8", "replace"))
+                    for p in pdf["payload"]],
+            })
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, phash long")
+
+
+def phash_pairs(df: DataFrame, max_hamming: int = 10,
+                block_bits: int = 16) -> DataFrame:
+    """Near-duplicate media pairs: Hamming(phash) <= max_hamming under
+    the top-``block_bits`` prefix blocking (equi-join, never quadratic —
+    the ``dedup.simhash_pairs`` discipline applied to media)."""
+    from pyspark.sql import functions as F
+
+    from ..functions import hashing as H
+
+    t = perceptual_hashes(df).withColumn(
+        "blk", F.shiftright(F.col("phash"), 64 - block_bits))
+    a, b = t.alias("a"), t.alias("b")
+    return (a.join(b, F.col("a.blk") == F.col("b.blk"))
+            .where(F.col("a.media_id") < F.col("b.media_id"))
+            .withColumn("hamming",
+                        H.hamming64(F.col("a.phash"), F.col("b.phash")))
+            .where(F.col("hamming") <= max_hamming)
+            .select(F.col("a.media_id").alias("id_a"),
+                    F.col("b.media_id").alias("id_b"), "hamming"))

@@ -2008,3 +2008,32 @@ ORACLES["dd_incremental"] = f"""
                 / len(list_distinct(sa.shingles || sb.shingles)), 6)
           >= 0.1
 """
+
+
+def mm_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X91: multimodal near-dup — the image-dedup pipeline shape:
+    payloads cross the Arrow boundary once into a perceptual-hash
+    kernel (stub pHash = the simhash64 semantics over the decoded
+    content; a real DCT pHash slots into ``_phash64_py`` unchanged),
+    then the 64-bit codes dedup JVM-side via the top-16-bit-prefix
+    blocked Hamming equi-join — never a quadratic payload comparison.
+
+    The ORACLE is ``dd_simhash_pairs``'s SQL mirror: a fully
+    independent implementation of the same fingerprint (DuckDB md5
+    nibble votes vs the Python kernel), so the hash pins the kernel
+    bit-for-bit, not just the join."""
+    from ..operators import multimodal as MM
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"))
+    return MM.phash_pairs(media, max_hamming=10, block_bits=16)
+
+
+QUERIES["mm_phash_dedup"] = mm_phash_dedup
+
+# deliberately dd_simhash_pairs' oracle: the Python payload kernel and
+# the DuckDB nibble-vote SQL are independent implementations of the
+# same 64-bit code — equality pins the kernel bit-for-bit
+ORACLES["mm_phash_dedup"] = ORACLES["dd_simhash_pairs"]
