@@ -545,3 +545,71 @@ def test_scd2_upsert_equal_ts_alternating_values(spark, tmp_path):
         (1, 1, "A", 100, 100, 1, 0),
         (1, 2, "B", 100, 100, 1, 0),
         (1, 3, "A", 100, None, 2, 1)]
+
+
+def _scd2_python_reference(events):
+    """Straight single-threaded SCD2 build over (event_id, user_id,
+    event_type, ts_us) rows — an independent formulation (global sort +
+    linear scan), no Spark, no SQL."""
+    out = []
+    by_user = {}
+    for eid, uid, etype, ts in sorted(events, key=lambda r: (r[1], r[3], r[0])):
+        by_user.setdefault(uid, []).append((ts, eid, etype))
+    for uid, rows in by_user.items():
+        versions = []
+        for ts, eid, etype in rows:
+            if versions and versions[-1][1] == etype:
+                versions[-1][2] += 1
+            else:
+                versions.append([ts, etype, 1])
+        for i, (eff_from, etype, n) in enumerate(versions):
+            eff_to = versions[i + 1][0] if i + 1 < len(versions) else None
+            out.append((uid, i + 1, etype, eff_from, eff_to, n,
+                        1 if eff_to is None else 0))
+    return sorted(out)
+
+
+def test_scd2_upsert_randomized_equivalence(spark, tmp_path):
+    """Seeded random event streams, split into 1-4 time-ordered
+    micro-batches at random cut points, folded through the incremental
+    MERGE — the final dimension must equal an independent Python
+    reference build every time (dup timestamps, singleton users, long
+    same-value runs and batch-boundary splits all arise by volume)."""
+    import random
+
+    from openplacereviews_db_spark.streaming.pipelines import (
+        scd2_upsert_batch)
+
+    ddl = "event_id long, user_id long, event_type string, ts_us long"
+    for seed in range(5):
+        rng = random.Random(seed)
+        n = rng.randint(5, 40)
+        events = [(i, rng.randint(1, 4), rng.choice("abc"),
+                   rng.randint(0, 15)) for i in range(n)]
+        events.sort(key=lambda r: (r[3], r[0]))  # time-ordered feed
+        n_batches = rng.randint(1, 4)
+        cuts = sorted(rng.sample(range(n + 1), min(n_batches - 1, n)))
+        chunks = []
+        lo = 0
+        for c in cuts + [n]:
+            chunks.append(events[lo:c])
+            lo = c
+        # a time-ordered feed means no ts value spans two batches
+        # (the staged split's strict-< contract): merge chunks that
+        # would tear an equal-ts run apart
+        merged = []
+        for ch in chunks:
+            if merged and ch and merged[-1] and ch[0][3] == merged[-1][-1][3]:
+                merged[-1].extend(ch)
+            else:
+                merged.append(ch)
+        snap = str(tmp_path / f"snap{seed}")
+        on_batch = scd2_upsert_batch(snap)
+        epoch = 0
+        for ch in merged:
+            if not ch:
+                continue
+            on_batch(spark.createDataFrame(ch, ddl), epoch)
+            epoch += 1
+        assert _scd2_state(spark, snap) == _scd2_python_reference(events), \
+            (seed, merged)
