@@ -996,8 +996,14 @@ def s18_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.write.mode("overwrite").option("header", True).csv(csv_dir)
     if not os.path.isfile(os.path.join(json_dir, "_SUCCESS")):
         cust.write.mode("overwrite").json(json_dir)
+    # multiLine: a quoted field carrying a NEWLINE is torn into two
+    # corrupt records by the default line-splitting reader (pinned by
+    # tests/test_sync_infra.py hostile-content roundtrip).  Cost: a
+    # multiLine CSV file is not split within a file — the staged dir's
+    # file count carries the parallelism, and newline-bearing text at
+    # real scale should ship as JSON/parquet anyway.
     csv_rt = (spark.read.schema(_S18_SCHEMA).option("header", True)
-              .csv(csv_dir))
+              .option("multiLine", True).csv(csv_dir))
     json_rt = spark.read.schema(_S18_SCHEMA).json(json_dir)
 
     def _tagged(df: DataFrame, t: str) -> DataFrame:

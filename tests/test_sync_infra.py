@@ -228,3 +228,39 @@ def test_global_prefix_max_matches_single_window(spark):
                        df, "v", ["k"], "pm", num_partitions=7,
                        ascending=[asc], strict=strict).collect()}
             assert got == want, (asc, strict)
+
+
+def test_text_format_roundtrips_survive_hostile_strings(spark, tmp_path):
+    """Quote-in-field, delimiter-in-field, NEWLINE-in-field and
+    non-ASCII must survive every staged text/columnar roundtrip with
+    the exact reader options the s18/s20 plans use — the newline case
+    is the one the default CSV reader TEARS into two corrupt records
+    (multiLine=true is load-bearing, not a nicety)."""
+    rows = [(1, "plain", 1.5, "SEG"),
+            (2, 'quote " inside', -2.25, "SEG"),
+            (3, "comma, semi; pipe|", 0.0, "SEG"),
+            (4, "new\nline", 3.5, "SEG"),
+            (5, "uni ✓ é", 9.75, "SEG")]
+    ddl = ("c_custkey bigint, c_name string, c_acctbal double, "
+           "c_mktsegment string")
+    df = spark.createDataFrame(rows, ddl)
+    want = sorted(rows)
+
+    csv_dir = str(tmp_path / "csv")
+    df.write.mode("overwrite").option("header", True).csv(csv_dir)
+    got_csv = sorted(tuple(r) for r in
+                     spark.read.schema(ddl).option("header", True)
+                     .option("multiLine", True).csv(csv_dir).collect())
+    assert got_csv == want
+
+    json_dir = str(tmp_path / "json")
+    df.write.mode("overwrite").json(json_dir)
+    got_json = sorted(tuple(r) for r in
+                      spark.read.schema(ddl).json(json_dir).collect())
+    assert got_json == want
+
+    orc_dir = str(tmp_path / "orc")
+    df.write.mode("overwrite").orc(orc_dir)
+    got_orc = sorted(tuple(r) for r in
+                     spark.read.schema(ddl).orc(orc_dir).collect())
+    assert got_orc == want
