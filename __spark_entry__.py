@@ -79,6 +79,7 @@ _DRIVER_PRIORITY = [
     "s21_corrupt_quarantine",  # PERMISSIVE bad-record gate (new r8)
     "g15_border_zone",  # BorderSyncBot intent: border-area query (r8)
     "mm_phash_dedup",  # payload kernel pHash + blocked Hamming (r8)
+    "x92_retract_rollup",  # CDC retract-stream fold == live agg (r8)
     "s18_format_roundtrip",  # null-safe mismatch counters (r8)
     "tx_url_canon",  # scheme-aware default-port strip (r8)
     # r7-green block (sampled r7, freshest evidence — yield their slots)

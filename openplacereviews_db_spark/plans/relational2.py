@@ -1559,3 +1559,45 @@ ORACLES["g15_border_zone"] = f"""
     FROM active p, tri2 t
     WHERE {_G15_DMIN} <= CAST(2.0 AS DOUBLE)
 """.replace("{FLAT}", _fc2())
+
+
+def x92_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X92: RETRACTABLE aggregate maintenance — the CDC-consumer
+    contract (Flink retract streams / Delta change-data-feed): a
+    +1/-1-signed changelog (epoch 1 inserts every order, epoch 2
+    retracts the keys divisible by 7) folds into per-status counts and
+    integer-cent sums WITHOUT ever touching the base table — additive
+    aggregates absorb deletions by sign-folding, which is exactly why
+    100 TB incremental rollups restrict themselves to sum/count shapes
+    (MIN/MAX are NOT retractable: a deleted extremum needs a rescan —
+    documented, deliberately not emitted here).
+
+    The oracle aggregates the SURVIVING rows directly — hash equality
+    proves fold(changelog) == agg(current state), the invariant every
+    retraction pipeline rests on.  One partial-agg shuffle; the
+    changelog union is two scans of the same parquet with pushed
+    projections.
+    """
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100).cast("long").alias("cents"))
+    inserts = o.select("o_orderstatus", "cents",
+                       F.lit(1).cast("long").alias("sign"))
+    retracts = (o.where(F.col("o_orderkey") % 7 == 0)
+                .select("o_orderstatus", "cents",
+                        F.lit(-1).cast("long").alias("sign")))
+    log = inserts.unionByName(retracts)
+    return (log.groupBy("o_orderstatus")
+            .agg(F.sum("sign").alias("n_live"),
+                 F.sum(F.col("sign") * F.col("cents")).alias("sum_cents")))
+
+
+QUERIES["x92_retract_rollup"] = x92_retract_rollup
+
+ORACLES["x92_retract_rollup"] = """
+    SELECT o_orderstatus, COUNT(*) AS n_live,
+           CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS sum_cents
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY o_orderstatus
+"""
