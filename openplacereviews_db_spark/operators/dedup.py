@@ -432,6 +432,35 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     )
 
 
+def blocked_hamming_pairs(t: DataFrame, id_col: str, hash_col: str,
+                          max_hamming: int, block_bits: int) -> DataFrame:
+    """The prefix-blocked Hamming self-join over any (id, 64-bit hash)
+    table — shared by text simhash (``simhash_pairs``) and the
+    multimodal pHash path (``multimodal.phash_pairs``): one equi-join
+    on the top-``block_bits`` prefix, never quadratic.  Returns
+    (id_a, id_b, hamming) with id_a < id_b.
+    """
+    if block_bits > 0:
+        # arithmetic shift, not floor(x / 2^k): double division rounds
+        # the 64-bit value to 53 bits and can misplace hashes within
+        # ~2^11 of a block boundary — and the SQL mirror (>>) must
+        # agree bit-for-bit
+        t = t.withColumn("blk", F.shiftright(F.col(hash_col),
+                                             64 - block_bits))
+    else:
+        t = t.withColumn("blk", F.lit(0))
+    a, b = t.alias("a"), t.alias("b")
+    return (
+        a.join(b, F.col("a.blk") == F.col("b.blk"))
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", H.hamming64(F.col(f"a.{hash_col}"),
+                                           F.col(f"b.{hash_col}")))
+        .where(F.col("hamming") <= max_hamming)
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"), "hamming")
+    )
+
+
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 8,
                   block_bits: int = 16) -> DataFrame:
@@ -445,25 +474,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     an unblocked self-join as the default invites a cartesian at scale.
     """
     t = simhash_table(df, text_col, id_col)
-    if block_bits > 0:
-        # arithmetic shift, not floor(x / 2^k): double division rounds
-        # the 64-bit value to 53 bits and can misplace hashes within
-        # ~2^11 of a block boundary — and the SQL mirror (>>) must
-        # agree bit-for-bit
-        t = t.withColumn("blk", F.shiftright(F.col("simhash"),
-                                             64 - block_bits))
-        join_on = [F.col("a.blk") == F.col("b.blk")]
-    else:
-        t = t.withColumn("blk", F.lit(0))
-        join_on = [F.col("a.blk") == F.col("b.blk")]
-    a, b = t.alias("a"), t.alias("b")
-    return (
-        a.join(b, join_on)
-        .where(F.col("a.id") < F.col("b.id"))
-        .withColumn("hamming", H.hamming64(F.col("a.simhash"), F.col("b.simhash")))
-        .where(F.col("hamming") <= max_hamming)
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
-    )
+    return blocked_hamming_pairs(t, "id", "simhash",
+                                 max_hamming, block_bits)
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

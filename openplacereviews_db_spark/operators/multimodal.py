@@ -245,7 +245,11 @@ def _phash64_py(content: str) -> int:
     import hashlib
     import re
 
-    norm = re.sub(r"\s+", " ", content).strip().lower()
+    # the explicit class, NOT \s: Python's \s is Unicode-aware and
+    # also eats \x1c-\x1f etc., while the JVM/RE2 \s the Spark and
+    # DuckDB twins use is [ \t\n\x0b\f\r] — a control-char doc would
+    # otherwise hash differently per engine
+    norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", content).strip(" ").lower()
     toks = {t for t in norm.split(" ") if t}
     if not toks:
         return 0
@@ -285,19 +289,10 @@ def perceptual_hashes(df: DataFrame) -> DataFrame:
 def phash_pairs(df: DataFrame, max_hamming: int = 10,
                 block_bits: int = 16) -> DataFrame:
     """Near-duplicate media pairs: Hamming(phash) <= max_hamming under
-    the top-``block_bits`` prefix blocking (equi-join, never quadratic —
-    the ``dedup.simhash_pairs`` discipline applied to media)."""
-    from pyspark.sql import functions as F
+    the top-``block_bits`` prefix blocking — the SAME join as text
+    simhash (``dedup.blocked_hamming_pairs``), so a blocking fix there
+    reaches both twins of the shared SQL oracle."""
+    from .dedup import blocked_hamming_pairs
 
-    from ..functions import hashing as H
-
-    t = perceptual_hashes(df).withColumn(
-        "blk", F.shiftright(F.col("phash"), 64 - block_bits))
-    a, b = t.alias("a"), t.alias("b")
-    return (a.join(b, F.col("a.blk") == F.col("b.blk"))
-            .where(F.col("a.media_id") < F.col("b.media_id"))
-            .withColumn("hamming",
-                        H.hamming64(F.col("a.phash"), F.col("b.phash")))
-            .where(F.col("hamming") <= max_hamming)
-            .select(F.col("a.media_id").alias("id_a"),
-                    F.col("b.media_id").alias("id_b"), "hamming"))
+    return blocked_hamming_pairs(perceptual_hashes(df), "media_id",
+                                 "phash", max_hamming, block_bits)

@@ -806,7 +806,12 @@ def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_groups
     from ..sources import staging
 
-    cid = (f"dupgroups_{os.path.basename(os.path.normpath(sf_dir))}"
+    # the cache id embeds every knob that shapes the mapping, so a
+    # future parameter change can never serve the stale stage (the
+    # split-stager v2_ lesson applied preemptively)
+    knobs = "sw2_nh16_b8_mj01"
+    cid = (f"dupgroups_{knobs}_"
+           f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{staging.source_fingerprint(sf_dir, 'documents')}")
 
     def build() -> DataFrame:

@@ -1427,12 +1427,14 @@ def p13_variant_kit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     doc = F.to_json(F.struct(
         F.col("event_id"), F.col("event_type"), F.col("value"),
-        F.struct(F.get_json_object("props", "$.k").cast("int")
+        F.struct(F.get_json_object("props", "$.k").cast("long")
                  .alias("k")).alias("meta")))
     v = F.parse_json(doc)
     rows = ev.select(
         F.variant_get(v, "$.event_type", "string").alias("etype"),
-        F.variant_get(v, "$.meta.k", "int").alias("k"),
+        # bigint, not int (the p11 discipline): an out-of-int32 k would
+        # NULL silently in Spark's non-ANSI cast but RAISE in DuckDB's
+        F.variant_get(v, "$.meta.k", "bigint").alias("k"),
         F.variant_get(v, "$.value", "double").alias("val"),
         F.try_variant_get(v, "$.missing.path", "string").alias("miss"))
     return (rows.groupBy("etype")
@@ -1447,7 +1449,7 @@ QUERIES["p13_variant_kit"] = p13_variant_kit
 
 ORACLES["p13_variant_kit"] = """
     SELECT event_type AS etype, COUNT(*) AS n,
-           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
                 AS BIGINT) AS sum_k,
            CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
                AS sum_cents,
@@ -1589,7 +1591,11 @@ def x92_retract_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     log = inserts.unionByName(retracts)
     return (log.groupBy("o_orderstatus")
             .agg(F.sum("sign").alias("n_live"),
-                 F.sum(F.col("sign") * F.col("cents")).alias("sum_cents")))
+                 F.sum(F.col("sign") * F.col("cents")).alias("sum_cents"))
+            # a fully-retracted group folds to (0, 0) but agg-of-
+            # survivors has NO row for it — drop it, matching the
+            # semantics the oracle proves
+            .where(F.col("n_live") != 0))
 
 
 QUERIES["x92_retract_rollup"] = x92_retract_rollup

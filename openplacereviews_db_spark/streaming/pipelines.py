@@ -71,6 +71,55 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def _snapshot_swap_preamble(snapshot_dir: str, tmp: str, old: str,
+                            epoch: int) -> bool:
+    """Torn-swap recovery + committed-epoch check shared by every
+    snapshot-swap sink (``apply_changelog_stream``,
+    ``scd2_upsert_batch``).  Returns True when the epoch is already
+    applied (the caller must no-op).
+
+    The ``_epoch`` file lands only after the staged parquet completes,
+    and the live snapshot is renamed away only after that — so a
+    missing snapshot means either (a) tmp is fully staged: finish the
+    swap, the epoch is committed; or (b) tmp never completed but the
+    snapshot was preserved in ``.old``: restore it and re-apply.
+    Without this, a replay would rebuild from EMPTY and silently drop
+    all accumulated state."""
+    import os
+    import shutil
+
+    if not os.path.exists(snapshot_dir):
+        if os.path.isfile(os.path.join(tmp, "_epoch")):
+            os.rename(tmp, snapshot_dir)
+            shutil.rmtree(old, ignore_errors=True)
+            return True
+        if os.path.isdir(old):
+            os.rename(old, snapshot_dir)
+    marker = os.path.join(snapshot_dir, "_epoch")
+    if os.path.isfile(marker):
+        with open(marker) as fh:
+            if int(fh.read().strip()) >= epoch:
+                return True  # committed retry: exact no-op
+    return False
+
+
+def _commit_snapshot_swap(snapshot_dir: str, tmp: str, old: str,
+                          epoch: int) -> None:
+    """Stamp the staged dir's epoch watermark, then swap it live
+    (never overwrite the directory being read — stage + rename; on an
+    object store / Delta this would be a transactional MERGE)."""
+    import os
+    import shutil
+
+    with open(os.path.join(tmp, "_epoch"), "w") as fh:
+        fh.write(str(epoch))
+    if os.path.exists(snapshot_dir):
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(snapshot_dir, old)
+    os.rename(tmp, snapshot_dir)
+    shutil.rmtree(old, ignore_errors=True)
+
+
 def apply_changelog_stream(ops_stream: DataFrame, snapshot_dir: str,
                            checkpoint_dir: str,
                            on_batch: Callable[[DataFrame, int], None] | None = None):
@@ -85,47 +134,21 @@ def apply_changelog_stream(ops_stream: DataFrame, snapshot_dir: str,
     from ..operators.changelog import apply_operations
 
     def fold_batch(ops: DataFrame, epoch_id: int) -> None:
-        import os
-        import shutil
-
         spark = ops.sparkSession
         tmp = snapshot_dir.rstrip("/") + f".epoch-{epoch_id}"
         old = snapshot_dir.rstrip("/") + ".old"
-        if not os.path.exists(snapshot_dir):
-            # torn swap recovery (see scd2_upsert_batch): the _epoch
-            # file lands only after the staged write completes, so a
-            # missing snapshot either has a fully-staged tmp (finish
-            # the swap and return) or a preserved .old (restore and
-            # re-fold) — never rebuild from empty.
-            if os.path.isfile(os.path.join(tmp, "_epoch")):
-                os.rename(tmp, snapshot_dir)
-                shutil.rmtree(old, ignore_errors=True)
-                return
-            if os.path.isdir(old):
-                os.rename(old, snapshot_dir)
-        marker = os.path.join(snapshot_dir, "_epoch")
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                if int(fh.read().strip()) >= int(epoch_id):
-                    return  # committed retry: the fold is NOT
-                    # idempotent (appendmany), so it must not re-run
+        # committed retries must no-op: the fold is NOT idempotent
+        # (appendmany), so it must never re-run on applied state
+        if _snapshot_swap_preamble(snapshot_dir, tmp, old, int(epoch_id)):
+            return
         try:
             docs = spark.read.parquet(snapshot_dir)
         except Exception:
             docs = spark.createDataFrame([], "obj_id string, doc string")
-        # Never overwrite the directory being read: stage the new
-        # snapshot, then swap (on an object store / Delta this would be
-        # a transactional MERGE instead).
         apply_operations(docs, ops).write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_epoch"), "w") as fh:
-            fh.write(str(int(epoch_id)))
         if on_batch is not None:
             on_batch(ops.select("obj_id").distinct(), epoch_id)
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(snapshot_dir, old)
-        os.rename(tmp, snapshot_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        _commit_snapshot_swap(snapshot_dir, tmp, old, int(epoch_id))
 
     return (ops_stream.writeStream.foreachBatch(fold_batch)
             .option("checkpointLocation", checkpoint_dir)
@@ -754,7 +777,11 @@ def _stage_time_split(sf_dir: str, prefix: str) -> tuple[str, str]:
 
         t = pq.read_table(src_parquet, columns=[
             "event_id", "user_id", "event_type", "ts"])
-        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
+        # safe=False: a NANOS-grid source (the r3 drift) must TRUNCATE
+        # to micros like normalize_events_ts/DuckDB do — the default
+        # safe cast would raise ArrowInvalid instead
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us"), safe=False),
+                        pa.int64())
         t = t.drop_columns(["ts"]).append_column("ts_us", ts_us)
         lo = pc.min(t["ts_us"]).as_py()
         hi = pc.max(t["ts_us"]).as_py()
@@ -803,9 +830,6 @@ def scd2_upsert_batch(snapshot_dir: str):
     reshuffles (on a lakehouse the pass-through union becomes a MERGE
     that leaves untouched files alone).
     """
-    import os
-    import shutil
-
     from pyspark.sql.window import Window
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
@@ -813,26 +837,8 @@ def scd2_upsert_batch(snapshot_dir: str):
         spark = batch.sparkSession
         tmp = snapshot_dir.rstrip("/") + f".epoch-{epoch}"
         old = snapshot_dir.rstrip("/") + ".old"
-        if not os.path.exists(snapshot_dir):
-            # torn swap recovery: the _epoch file is written only after
-            # the staged parquet completes, and the snapshot is renamed
-            # away only after that — so a missing snapshot means either
-            # (a) tmp is fully staged: finish the swap, epoch is
-            # committed; or (b) tmp never completed but the snapshot
-            # was preserved in .old: restore it and re-apply.  Without
-            # this, a replay would rebuild from EMPTY and silently drop
-            # all closed history.
-            if os.path.isfile(os.path.join(tmp, "_epoch")):
-                os.rename(tmp, snapshot_dir)
-                shutil.rmtree(old, ignore_errors=True)
-                return
-            if os.path.isdir(old):
-                os.rename(old, snapshot_dir)
-        marker = os.path.join(snapshot_dir, "_epoch")
-        if os.path.isfile(marker):
-            with open(marker) as fh:
-                if int(fh.read().strip()) >= epoch:
-                    return  # committed retry: exact no-op
+        if _snapshot_swap_preamble(snapshot_dir, tmp, old, epoch):
+            return
         try:
             prev = spark.read.parquet(snapshot_dir)
         except Exception:
@@ -890,13 +896,7 @@ def scd2_upsert_batch(snapshot_dir: str):
         out = closed.unionByName(versions)
 
         out.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, "_epoch"), "w") as fh:
-            fh.write(str(epoch))
-        if os.path.exists(snapshot_dir):
-            shutil.rmtree(old, ignore_errors=True)
-            os.rename(snapshot_dir, old)
-        os.rename(tmp, snapshot_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        _commit_snapshot_swap(snapshot_dir, tmp, old, epoch)
 
     return on_batch
 
