@@ -26,30 +26,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
-#: evidence.  Round 8 is the evidence-closing rotation the r7 verdict
-#: asked for: (a) the 7 queries never driver-sampled (judge-verified
-#: green at sf0.01 in r7, but the driver row is the contract's own
-#: evidence) plus the new m12_fixture_verdicts, (b) the FULL 41-query
-#: cohort whose latest driver row is r4 — after r8 no query's driver
-#: evidence predates r5, (c) the one r8 plan change that altered
-#: whole-query crash behavior (sk_heavy_hitters).  The other r8-changed
-#: queries (s18_format_roundtrip null-safe counters, tx_url_canon
-#: scheme-aware port strip, x87/x84 in (a)) are value-identical on
-#: driver data — verified via scripts/check_sf.py at sf0.01, the
-#: driver's own comparison — and lead the r9 rotation.
+#: evidence.  Round 9 executes the r8 verdict's rotation plan:
+#: (a) the 8 r8-added queries that had only judge-grade evidence plus
+#: the 2 r8 plan changes that were value-identical on driver data
+#: (s18 null-safe counters, tx_url_canon port strip) — after r9 no
+#: query lacks a driver row; (b) the new-this-round mm_phash_groups
+#: (the multimodal family's linear groups surface); (c) 39 of the
+#: 45-query cohort whose latest driver row is r5, least-recently first
+#: — the remaining 6 (stable pure-column plans) lead the r10 rotation.
 _DRIVER_PRIORITY = [
-    # (a) never driver-sampled (added late r7): x84_twap's plan also
-    # changed this round (sign-safe rounded quotient), x87's kernel
-    # keeps NULL-key groups now (dropna=False)
-    "x84_twap",  # integer-trapezoid time-weighted average
-    "o6_skyline",  # Pareto front via two-phase prefix max
-    "x85_event_paths",  # top journey 3-grams
-    "x86_merkle_diff",  # hash-range anti-entropy reconcile
-    "x87_window_dedup",  # watermark-expiry chained dedup
-    "x88_benford",  # first-digit distribution audit
-    "udtf_bigram_expand",  # Python UDTF + LATERAL surface
-    "m12_fixture_verdicts",  # reference merge corpora verdicts (new r8)
-    # (b) the whole r4-stale cohort, least-recently-sampled first
+    # (a) r8 additions/changes, judge-green at sf0.01 in r8 via
+    # scripts/check_sf.py (the driver's own comparison)
+    "st_scd2_upsert",  # streaming SCD2 MERGE == batch build (new r8)
+    "s20_orc_roundtrip",  # ORC columnar roundtrip (new r8)
+    "x77_salted_join",  # salted hot-key join == plain join (new r8)
+    "p13_variant_kit",  # Spark 4 VARIANT ingest + typed paths (new r8)
+    "s21_corrupt_quarantine",  # PERMISSIVE bad-record gate (new r8)
+    "g15_border_zone",  # BorderSyncBot intent: border-area query (r8)
+    "mm_phash_dedup",  # payload kernel pHash + blocked Hamming (r8;
+    #                    r9: token-free payloads dropped pre-join)
+    "x92_retract_rollup",  # CDC retract-stream fold == live agg (r8)
+    "s18_format_roundtrip",  # null-safe mismatch counters (r8)
+    "tx_url_canon",  # scheme-aware default-port strip (r8)
+    # (b) new r9: linear dup-groups surface for the multimodal family
+    "mm_phash_groups",  # pHash pairs -> CC groups (one row per media)
+    # (c) the r5-stale cohort, 39 of 45 (ordering: heavy/flagship and
+    # r9-touched consumers of the restaged dup-group mapping first)
+    "dd_dup_groups", "dd_apply", "dd_apply_best", "tx_group_split",
+    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_blocks",
+    "st_neardup_pairs", "emb_neardup_pairs", "emb_semdedup",
+    "emb_scalar_quant", "ann_quant_rerank", "mm_resize",
+    "q1_pricing_summary", "geo_tile_report", "sql_surface_report",
+    "j2_proximity_pairs", "j11_asof_join", "j12_range_join",
+    "x22_bucketed_lookup", "g7_zorder", "g8_zcell_scan",
+    "sk_kmv_distinct", "sk_countmin", "sk_bottomk_quantiles",
+    "ev_funnel", "ev_retention", "ev_anomaly",
+    "d4_lenient_timestamps", "d5_multires_rollup",
+    "d6_incremental_rollup",
+    "tx_pack_sequences", "tx_domain_cap", "tx_chunk_windows",
+    "tx_bigram_lm", "tx_classifier", "tx_weighted_sample",
+    "tx_drift_report", "tx_shard_manifest",
+    # --- 50-slot cut line: 10 + 1 + 39 = 50.  r10 leads with the six
+    # deferred r5-stale pure-column plans below.
+    "id_bytes_roundtrip", "tx_token_counts", "tx_keyword_search",
+    "w2_event_deltas", "a4_place_types", "d3_aligned_windows",
+    # r8-green block (sampled r8, freshest evidence — yield their slots)
+    "x84_twap", "o6_skyline", "x85_event_paths", "x86_merkle_diff",
+    "x87_window_dedup", "x88_benford", "udtf_bigram_expand",
+    "m12_fixture_verdicts", "sk_heavy_hitters",
     "m9_apply_changelog", "m5_merge_ops", "m7_migrate_ids",
     "s14_pack_ops", "s15_merge_upsert", "s13_geojson_features",
     "s4_adaptive_split", "j3_border_correct", "j7_history_full_check",
@@ -60,29 +84,13 @@ _DRIVER_PRIORITY = [
     "e2_config_delta", "e4_set_ops",
     "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles",
-    "g4_simplify_ways", "g5_way_stats",
-    "g6_points_in_triangle",
+    "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",
     "q6_revenue_delta", "q16_distinct_count", "q19_disjunctive_filter",
     "st_event_rollup", "st_sessionize", "st_user_totals",
     "tx_boilerplate", "tx_decontaminate", "tx_mix_weights",
     "tx_pii_scrub", "tx_repetition",
     "tx_stratified_sample", "tx_tfidf_topk",
-    # (c) r8 plan change with new crash-path behavior
-    "sk_heavy_hitters",  # zero-word-doc guard (r8)
-    # --- 50-slot cut line: 8 + 41 + 1 = 50.  r9 leads with the block
-    # below: the r8 additions/changes that missed the window (each
-    # check_sf-green at sf0.01 this round, the driver's own comparison).
-    "st_scd2_upsert",  # streaming SCD2 MERGE == batch build (new r8)
-    "s20_orc_roundtrip",  # ORC columnar roundtrip (new r8)
-    "x77_salted_join",  # salted hot-key join == plain join (new r8)
-    "p13_variant_kit",  # Spark 4 VARIANT ingest + typed paths (new r8)
-    "s21_corrupt_quarantine",  # PERMISSIVE bad-record gate (new r8)
-    "g15_border_zone",  # BorderSyncBot intent: border-area query (r8)
-    "mm_phash_dedup",  # payload kernel pHash + blocked Hamming (r8)
-    "x92_retract_rollup",  # CDC retract-stream fold == live agg (r8)
-    "s18_format_roundtrip",  # null-safe mismatch counters (r8)
-    "tx_url_canon",  # scheme-aware default-port strip (r8)
-    # r7-green block (sampled r7, freshest evidence — yield their slots)
+    # r7-green block
     "emb_kmeans", "m11_asof_snapshot", "st_exact_dedup",
     "w4_range_frame", "j13_interval_join", "udf_expr_matchid",
     "g10_spatial_join", "dd_dup_spans_apply", "history_report",
@@ -99,22 +107,6 @@ _DRIVER_PRIORITY = [
     "dd_incremental", "x81_scd2_asof", "x82_bitmap_days",
     "g13_hex_bin", "st_hll_distinct",
     "s1_osm_xml_roundtrip", "s5_staged_scan", "s2_diff_roundtrip",
-    # r5/r6-green rotation (sampled when room allows)
-    "q1_pricing_summary", "id_bytes_roundtrip", "d3_aligned_windows",
-    "tx_pack_sequences", "dd_minhash_lsh", "dd_ngram_jaccard",
-    "dd_dup_groups", "dd_apply", "a4_place_types", "tx_token_counts",
-    "geo_tile_report", "emb_neardup_pairs", "j2_proximity_pairs",
-    "d4_lenient_timestamps", "tx_domain_cap", "tx_group_split",
-    "st_neardup_pairs", "x22_bucketed_lookup",
-    "emb_semdedup", "j11_asof_join", "j12_range_join", "dd_blocks",
-    "sk_kmv_distinct", "sk_countmin", "d5_multires_rollup",
-    "sk_bottomk_quantiles", "tx_keyword_search", "mm_resize",
-    "g7_zorder", "emb_scalar_quant", "tx_chunk_windows", "g8_zcell_scan",
-    "tx_bigram_lm", "tx_classifier", "tx_weighted_sample",
-    "tx_drift_report", "tx_shard_manifest", "sql_surface_report",
-    "ev_funnel", "ev_retention", "ev_anomaly",
-    "ann_quant_rerank", "dd_apply_best", "d6_incremental_rollup",
-    "w2_event_deltas",
 ]
 
 

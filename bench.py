@@ -109,6 +109,47 @@ def main() -> None:
                 spark.catalog.dropTempView(v.name)
         print(f"# warmup pass: {time.time() - t_warm:.1f}s", file=progress)
 
+    # Write-once staged artifacts (bucketed tables, the dup-group
+    # mapping, streaming source splits, the OSM stage file) are keyed
+    # on the source parquet's mtime+size — after a driver-testdata
+    # refresh their first at-scale consumer pays the one-time build
+    # inside its measured window (r8: x75_smb_join read 0.25→1.98 s
+    # purely from the re-staged bucketed table).  Pre-pay every build
+    # here and record its cost, so the bench JSON separates
+    # build-inclusive from steady-state samples instead of letting a
+    # restage masquerade as a query regression.
+    staged_builds: dict[str, float] = {}
+    from openplacereviews_db_spark.streaming import pipelines as _SP
+    for label, builder in (
+        ("split_neardup", lambda: _SP._stage_parity_split(sf_dir, "neardup")),
+        ("split_exactdd", lambda: _SP._stage_parity_split(sf_dir, "exactdd")),
+        ("split_strjoin", lambda: _SP._stage_events_split(sf_dir, "strjoin")),
+        ("split_hllstream",
+         lambda: _SP._stage_events_split(sf_dir, "hllstream")),
+        ("split_scd2", lambda: _SP._stage_time_split(sf_dir, "scd2")),
+    ):
+        t0 = time.time()
+        try:
+            builder()
+        except Exception as ex:
+            print(f"# staged split {label} failed: {ex}", file=progress)
+        staged_builds[label] = round(time.time() - t0, 3)
+    for qname in ("x22_bucketed_lookup", "x75_smb_join", "dd_apply",
+                  "s5_staged_scan", "s17_schema_evolution",
+                  "s1_osm_xml_roundtrip", "x74_partition_prune"):
+        fn = entrymod.queries().get(qname)
+        if fn is None:
+            continue
+        t0 = time.time()
+        try:
+            fn(spark, sf_dir).collect()
+        except Exception as ex:
+            print(f"# staged build {qname} failed: {ex}", file=progress)
+        staged_builds[qname] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+    drop_retained_blocks()
+    print(f"# staged builds: {staged_builds}", file=progress)
+
     timings: dict[str, float] = {}
     for name, fn in entrymod.queries().items():
         t0 = time.time()
@@ -155,6 +196,10 @@ def main() -> None:
         # any apparent cross-round regression
         "retimed": len(retimes),
         "retimes": retimes,
+        # one-time artifact (re)build costs pre-paid before timing: a
+        # large value here after a testdata refresh explains away what
+        # would otherwise read as a first-consumer regression
+        "staged_builds": staged_builds,
         "load_before": load_before,
         "load_after": [round(x, 2) for x in os.getloadavg()],
         "sf": sf,

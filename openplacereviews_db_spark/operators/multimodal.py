@@ -234,7 +234,7 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_DDL)
 
 
-def _phash64_py(content: str) -> int:
+def _phash64_py(content: str) -> int | None:
     """Python twin of ``functions.hashing.simhash64`` / the
     ``dedup.simhash_table`` codegen plan (same norm → distinct tokens →
     md5 nibble votes → sign-bit weights), for fingerprints that must be
@@ -252,7 +252,11 @@ def _phash64_py(content: str) -> int:
     norm = re.sub(r"[ \t\n\x0b\f\r]+", " ", content).strip(" ").lower()
     toks = {t for t in norm.split(" ") if t}
     if not toks:
-        return 0
+        # a token-free payload has NO fingerprint — the SQL oracle's
+        # sim CTE drops zero-token docs, and emitting a sentinel 0
+        # here would pair two whitespace-only payloads at hamming 0
+        # on the Spark side only (r8 ADVICE)
+        return None
     votes = [0] * 64
     for w in toks:
         h = hashlib.md5(w.encode("utf-8")).hexdigest()
@@ -270,20 +274,24 @@ def _phash64_py(content: str) -> int:
 def perceptual_hashes(df: DataFrame) -> DataFrame:
     """(media_id, phash) per media row — the payload crosses the Arrow
     boundary ONCE, the 64-bit code comes back; everything after (the
-    blocked self-join) stays JVM-side."""
+    blocked self-join) stays JVM-side.  Payloads with no fingerprint
+    (token-free after decode: ``_phash64_py`` → None) are dropped so
+    the hash population structurally matches the oracle's token-bearing
+    sim CTE."""
     import pandas as pd
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "phash": [
-                    _phash64_py((p or b"").decode("utf-8", "replace"))
-                    for p in pdf["payload"]],
+                "phash": pd.array(
+                    [_phash64_py((p or b"").decode("utf-8", "replace"))
+                     for p in pdf["payload"]], dtype="Int64"),
             })
 
-    return df.select("media_id", "payload").mapInPandas(
-        kernel, "media_id long, phash long")
+    return (df.select("media_id", "payload")
+            .mapInPandas(kernel, "media_id long, phash long")
+            .where(F.col("phash").isNotNull()))
 
 
 def phash_pairs(df: DataFrame, max_hamming: int = 10,

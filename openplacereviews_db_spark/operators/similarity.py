@@ -750,7 +750,7 @@ def random_project(embs: DataFrame, in_dim: int, out_dim: int = 8,
 
 def pq_encode(embs: DataFrame, n_sub: int = 8, n_codes: int = 16,
               vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Product quantization (X77) [Jégou et al. 2011]: split each
+    """Product quantization (X93) [Jégou et al. 2011]: split each
     vector into ``n_sub`` subspaces and code each subvector as its
     nearest of ``n_codes`` per-subspace codebook entries —
     ``(id, codes, sqerr)`` with an 8-byte code replacing 256 bytes of

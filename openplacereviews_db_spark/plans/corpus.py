@@ -791,6 +791,23 @@ def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["dd_dup_groups"] = dd_dup_groups
 
 
+#: The LSH parameters shaping the staged dup-group mapping — ONE dict
+#: feeds both the cache id and the computation (r8 ADVICE: a
+#: hand-maintained key string duplicated from the kwargs could drift
+#: and serve a stale mapping).  Must equal dd_dup_groups' literal
+#: knobs / the dd_minhash_lsh oracle constants.
+_DUP_GROUP_KNOBS = dict(shingle_words=2, num_hashes=16, bands=8,
+                        min_jaccard=0.1)
+
+
+def _knobs_cid(knobs: dict) -> str:
+    """Deterministic cache-id fragment from a knob dict: initials of
+    each key + the value with dots stripped, sorted by key."""
+    return "_".join(
+        "".join(w[0] for w in k.split("_")) + str(v).replace(".", "")
+        for k, v in sorted(knobs.items()))
+
+
 def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write-once materialization of the dup-group mapping
     (node, canonical_id, group_size) — the production layout: the
@@ -808,16 +825,16 @@ def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # the cache id embeds every knob that shapes the mapping, so a
     # future parameter change can never serve the stale stage (the
-    # split-stager v2_ lesson applied preemptively)
-    knobs = "sw2_nh16_b8_mj01"
-    cid = (f"dupgroups_{knobs}_"
+    # split-stager v2_ lesson applied preemptively).  The SAME dict
+    # (_DUP_GROUP_KNOBS) feeds the key and the computation — they
+    # cannot drift.
+    cid = (f"dupgroups_{_knobs_cid(_DUP_GROUP_KNOBS)}_"
            f"{os.path.basename(os.path.normpath(sf_dir))}"
            f"_{staging.source_fingerprint(sf_dir, 'documents')}")
 
     def build() -> DataFrame:
-        pairs = dedup.minhash_lsh_pairs(
-            _docs(spark, sf_dir), shingle_words=2, num_hashes=16,
-            bands=8, min_jaccard=0.1)  # same knobs as dd_dup_groups
+        pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
+                                        **_DUP_GROUP_KNOBS)
         return dedup_groups(pairs)
 
     return staging.stage_raw(
@@ -2042,3 +2059,48 @@ QUERIES["mm_phash_dedup"] = mm_phash_dedup
 # the DuckDB nibble-vote SQL are independent implementations of the
 # same 64-bit code — equality pins the kernel bit-for-bit
 ORACLES["mm_phash_dedup"] = ORACLES["dd_simhash_pairs"]
+
+
+def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X93b: multimodal duplicate GROUPS — ``mm_phash_dedup``'s pair
+    output folded through the Hash-to-Min connected-components
+    contraction into (node, canonical_id, group_size), the LINEAR
+    production surface of image dedup (the pair list grows
+    quadratically in duplicate-cluster size — BASELINE.md's sf1 note:
+    167k→6.79M pairs at 10× docs — while the group mapping stays one
+    row per media item).  The multimodal twin of ``dd_dup_groups``;
+    the oracle replays the independent DuckDB nibble-vote pair SQL
+    through the same recursive min-reachability CTE."""
+    from ..operators import multimodal as MM
+    from ..operators.components import dedup_groups
+
+    docs = _docs(spark, sf_dir)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("payload"))
+    pairs = MM.phash_pairs(media, max_hamming=10, block_bits=16)
+    return dedup_groups(pairs)
+
+
+QUERIES["mm_phash_groups"] = mm_phash_groups
+
+ORACLES["mm_phash_groups"] = f"""
+    WITH RECURSIVE pairs AS (
+        {ORACLES["dd_simhash_pairs"]}
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM sym),
+    walk(node, reach) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT s.a, w.reach FROM sym s JOIN walk w ON s.b = w.node
+    ),
+    comp AS (SELECT node, MIN(reach) AS canonical_id FROM walk GROUP BY node)
+    SELECT node, canonical_id,
+           COUNT(*) OVER (PARTITION BY canonical_id) AS group_size
+    FROM comp
+"""

@@ -71,6 +71,24 @@ def sessionize_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def _read_epoch_marker(dirpath: str) -> int | None:
+    """Parse the ``_epoch`` watermark inside a snapshot dir; an absent,
+    empty, or torn (unparseable) marker means NOT committed — the file
+    is written fsync'd via tmp+rename, so a partial read can only come
+    from a pre-fix tear and must degrade to "re-apply", never crash
+    every subsequent batch."""
+    import os
+
+    marker = os.path.join(dirpath, "_epoch")
+    if not os.path.isfile(marker):
+        return None
+    try:
+        with open(marker) as fh:
+            return int(fh.read().strip())
+    except (ValueError, OSError):
+        return None
+
+
 def _snapshot_swap_preamble(snapshot_dir: str, tmp: str, old: str,
                             epoch: int) -> bool:
     """Torn-swap recovery + committed-epoch check shared by every
@@ -80,26 +98,24 @@ def _snapshot_swap_preamble(snapshot_dir: str, tmp: str, old: str,
 
     The ``_epoch`` file lands only after the staged parquet completes,
     and the live snapshot is renamed away only after that — so a
-    missing snapshot means either (a) tmp is fully staged: finish the
-    swap, the epoch is committed; or (b) tmp never completed but the
-    snapshot was preserved in ``.old``: restore it and re-apply.
-    Without this, a replay would rebuild from EMPTY and silently drop
-    all accumulated state."""
+    missing snapshot means either (a) tmp is fully staged (its marker
+    parses): finish the swap, the epoch is committed; or (b) tmp never
+    completed but the snapshot was preserved in ``.old``: restore it
+    and re-apply.  Without this, a replay would rebuild from EMPTY and
+    silently drop all accumulated state."""
     import os
     import shutil
 
     if not os.path.exists(snapshot_dir):
-        if os.path.isfile(os.path.join(tmp, "_epoch")):
+        if _read_epoch_marker(tmp) is not None:
             os.rename(tmp, snapshot_dir)
             shutil.rmtree(old, ignore_errors=True)
             return True
         if os.path.isdir(old):
             os.rename(old, snapshot_dir)
-    marker = os.path.join(snapshot_dir, "_epoch")
-    if os.path.isfile(marker):
-        with open(marker) as fh:
-            if int(fh.read().strip()) >= epoch:
-                return True  # committed retry: exact no-op
+    committed = _read_epoch_marker(snapshot_dir)
+    if committed is not None and committed >= epoch:
+        return True  # committed retry: exact no-op
     return False
 
 
@@ -107,12 +123,19 @@ def _commit_snapshot_swap(snapshot_dir: str, tmp: str, old: str,
                           epoch: int) -> None:
     """Stamp the staged dir's epoch watermark, then swap it live
     (never overwrite the directory being read — stage + rename; on an
-    object store / Delta this would be a transactional MERGE)."""
+    object store / Delta this would be a transactional MERGE).  The
+    marker itself is staged (tmp file + fsync + atomic replace) so a
+    power-loss tear can never leave a half-written marker that the
+    preamble would misread as committed."""
     import os
     import shutil
 
-    with open(os.path.join(tmp, "_epoch"), "w") as fh:
+    marker_tmp = os.path.join(tmp, "._epoch.tmp")
+    with open(marker_tmp, "w") as fh:
         fh.write(str(epoch))
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(marker_tmp, os.path.join(tmp, "_epoch"))
     if os.path.exists(snapshot_dir):
         shutil.rmtree(old, ignore_errors=True)
         os.rename(snapshot_dir, old)
@@ -909,13 +932,21 @@ def scd2_upsert_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     (that query's DuckDB SQL is the oracle), because every version
     open at the time cut exercises the extend-or-close MERGE arm.
     Working dirs are wiped per call so reruns are reproducible."""
+    import glob
     import os
     import shutil
 
     root, src = _stage_time_split(sf_dir, "scd2")
     snap_dir = os.path.join(root, "snapshot")
     chk_dir = os.path.join(root, "chk")
-    for d in (snap_dir, chk_dir):
+    # also sweep swap residue (.old, epoch-staged dirs) from a killed
+    # prior run: the preamble would otherwise ADOPT a stale dir built
+    # by old code and skip the epoch — the per-call wipe must cover
+    # every dir the swap protocol can leave behind, not just the live
+    # snapshot and checkpoint
+    stale = [snap_dir, chk_dir, snap_dir + ".old"]
+    stale += glob.glob(snap_dir + ".epoch-*")
+    for d in stale:
         shutil.rmtree(d, ignore_errors=True)
 
     events = (spark.readStream.format("parquet")

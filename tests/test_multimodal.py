@@ -118,3 +118,16 @@ def test_resize_real_image_when_available(spark):
     assert (r["out_w"], r["out_h"]) == (32, 12)
     fake = hashlib.sha256(png + b"|32x12").hexdigest()[:16]
     assert r["out_checksum"] != fake  # the real codec ran
+
+
+def test_phash_whitespace_only_payload_dropped(spark):
+    """A token-free payload has no fingerprint: the SQL oracle drops
+    zero-token docs from its sim CTE, so the kernel must too — the
+    pre-fix sentinel phash 0 paired two whitespace-only payloads at
+    hamming 0 on the Spark side only (r8 ADVICE)."""
+    rows = [(1, bytearray(b"  \t\n ")), (2, bytearray(b" ")),
+            (3, bytearray(b"hello world"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    hashed = MM.perceptual_hashes(df).collect()
+    assert {r["media_id"] for r in hashed} == {3}
+    assert MM.phash_pairs(df, max_hamming=10, block_bits=16).count() == 0

@@ -138,6 +138,8 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 #:   the upstream pipeline once (operators/ordered.py — measured 2-4x
 #:   cheaper than lazy persist on first execution).
 EAGER_BUILD_OK = {"dd_dup_groups",  # live CC loop (the contraction demo)
+                  "mm_phash_groups",  # live CC loop over pHash pairs
+                  # (the multimodal twin of dd_dup_groups)
                   "dd_apply", "dd_apply_best", "tx_group_split",
                   # ^ consumers of the write-once staged dup-group
                   # mapping (corpus._staged_dup_groups): first build

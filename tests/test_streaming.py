@@ -613,3 +613,95 @@ def test_scd2_upsert_randomized_equivalence(spark, tmp_path):
             epoch += 1
         assert _scd2_state(spark, snap) == _scd2_python_reference(events), \
             (seed, merged)
+
+
+def test_snapshot_swap_torn_marker_recovery(tmp_path):
+    """A torn ``_epoch`` marker (empty / partial write) must read as
+    NOT-committed — pre-fix, ``int(fh.read())`` raised ValueError on
+    every subsequent batch; and a torn marker inside a staged tmp must
+    keep the tmp from being adopted as a finished swap (the preserved
+    ``.old`` is restored instead)."""
+    import os
+    import shutil
+
+    from openplacereviews_db_spark.streaming.pipelines import (
+        _read_epoch_marker, _snapshot_swap_preamble)
+
+    snap = str(tmp_path / "snap")
+    tmp, old = snap + ".epoch-3", snap + ".old"
+
+    assert _read_epoch_marker(snap) is None  # no dir at all
+    os.makedirs(snap)
+    assert _read_epoch_marker(snap) is None  # no marker file
+    with open(os.path.join(snap, "_epoch"), "w") as fh:
+        fh.write("")                         # empty tear
+    assert _read_epoch_marker(snap) is None
+    with open(os.path.join(snap, "_epoch"), "w") as fh:
+        fh.write("\x00garbage")              # partial-write tear
+    assert _read_epoch_marker(snap) is None
+    with open(os.path.join(snap, "_epoch"), "w") as fh:
+        fh.write("2\n")
+    assert _read_epoch_marker(snap) == 2
+
+    # torn marker in the LIVE snapshot: degrade to re-apply, not crash
+    with open(os.path.join(snap, "_epoch"), "w") as fh:
+        fh.write("")
+    assert _snapshot_swap_preamble(snap, tmp, old, 3) is False
+
+    # missing snapshot + TORN tmp marker: tmp is NOT adopted; the
+    # preserved .old (epoch 2) is restored and epoch 3 re-applies
+    shutil.rmtree(snap)
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "_epoch"), "w") as fh:
+        fh.write("")
+    os.makedirs(old)
+    with open(os.path.join(old, "_epoch"), "w") as fh:
+        fh.write("2")
+    assert _snapshot_swap_preamble(snap, tmp, old, 3) is False
+    assert _read_epoch_marker(snap) == 2     # .old is live again
+    # ...and the same restored snapshot no-ops a committed retry
+    assert _snapshot_swap_preamble(snap, tmp, old, 2) is True
+
+
+def test_commit_snapshot_swap_marker_atomic(tmp_path):
+    """The epoch marker lands via tmp-file + fsync + atomic replace —
+    after a commit the marker parses to the epoch, no ``._epoch.tmp``
+    residue remains, and the staged/old dirs are gone."""
+    import os
+
+    from openplacereviews_db_spark.streaming.pipelines import (
+        _commit_snapshot_swap, _read_epoch_marker)
+
+    snap = str(tmp_path / "snap")
+    tmp, old = snap + ".epoch-7", snap + ".old"
+    os.makedirs(tmp)
+    with open(os.path.join(tmp, "part-0.parquet"), "w") as fh:
+        fh.write("x")
+    _commit_snapshot_swap(snap, tmp, old, 7)
+    assert _read_epoch_marker(snap) == 7
+    assert not os.path.exists(os.path.join(snap, "._epoch.tmp"))
+    assert not os.path.exists(tmp) and not os.path.exists(old)
+
+
+def test_scd2_once_sweeps_stale_swap_dirs(spark):
+    """Swap residue from a killed prior run (.old and fully-staged
+    .epoch-* dirs, possibly built by OLD code) must be wiped by the
+    per-call cleanup — pre-fix, the recovery preamble ADOPTED a stale
+    staged dir whose marker claimed the epoch committed and served its
+    contents instead of recomputing (r8 ADVICE)."""
+    import os
+
+    from openplacereviews_db_spark.streaming import pipelines as SP
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, SP.scd2_upsert_once(spark, sf).collect()))
+    root, _ = SP._stage_time_split(sf, "scd2")
+    snap = os.path.join(root, "snapshot")
+    bogus = spark.createDataFrame(
+        [(999999, 1, "ZZZ", 0, None, 999, 1)], SP._SCD2_DDL)
+    for stale in (snap + ".epoch-0", snap + ".epoch-1", snap + ".old"):
+        bogus.write.mode("overwrite").parquet(stale)
+        with open(os.path.join(stale, "_epoch"), "w") as fh:
+            fh.write("9")  # claims every epoch already committed
+    again = sorted(map(tuple, SP.scd2_upsert_once(spark, sf).collect()))
+    assert again == base

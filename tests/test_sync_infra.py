@@ -264,3 +264,34 @@ def test_text_format_roundtrips_survive_hostile_strings(spark, tmp_path):
     got_orc = sorted(tuple(r) for r in
                      spark.read.schema(ddl).orc(orc_dir).collect())
     assert got_orc == want
+
+
+def test_dup_group_knobs_single_source(spark, sf_dir, monkeypatch):
+    """The staged dup-group mapping's cache id derives from the SAME
+    dict that parameterizes the LSH (r8 ADVICE: a hand-maintained key
+    string could drift from the kwargs and serve a stale mapping) — a
+    knob flip must change the key and therefore restage."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from openplacereviews_db_spark.plans import corpus
+
+    base_frag = corpus._knobs_cid(corpus._DUP_GROUP_KNOBS)
+    flipped = dict(corpus._DUP_GROUP_KNOBS, min_jaccard=0.2)
+    flip_frag = corpus._knobs_cid(flipped)
+    assert flip_frag != base_frag
+
+    stage_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
+    pattern = os.path.join(stage_root, f"dupgroups_{flip_frag}_*")
+    for d in glob.glob(pattern):
+        shutil.rmtree(d, ignore_errors=True)
+    monkeypatch.setattr(corpus, "_DUP_GROUP_KNOBS", flipped)
+    out = corpus._staged_dup_groups(spark, sf_dir)
+    assert out.columns == ["node", "canonical_id", "group_size"]
+    assert out.count() >= 0  # materialize before cleanup
+    hits = glob.glob(pattern)
+    assert hits, "knob flip did not restage the dup-group mapping"
+    for d in hits:
+        shutil.rmtree(d, ignore_errors=True)
