@@ -775,6 +775,15 @@ ORACLES["ann_ivf_topk"] = """
 """
 
 
+#: The LSH parameters shaping the dup-group mapping — ONE dict feeds
+#: dd_dup_groups, the staged mapping's cache id, AND the staged build
+#: (r8 ADVICE: a hand-maintained key string duplicated from literal
+#: kwargs could drift and serve a stale mapping).  Must match the
+#: dd_minhash_lsh oracle constants.
+_DUP_GROUP_KNOBS = dict(shingle_words=2, num_hashes=16, bands=8,
+                        min_jaccard=0.1)
+
+
 def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-group formation: minhash-LSH near-dup pairs → connected
     components → (node, canonical_id, group_size).  The oracle replays
@@ -783,21 +792,12 @@ def dd_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import dedup_groups
 
     pairs = dedup.minhash_lsh_pairs(
-        _docs(spark, sf_dir), shingle_words=2, num_hashes=16, bands=8,
-        min_jaccard=0.1)  # same knobs as dd_minhash_lsh / its oracle
+        _docs(spark, sf_dir),
+        **_DUP_GROUP_KNOBS)  # same knobs as dd_minhash_lsh / its oracle
     return dedup_groups(pairs)
 
 
 QUERIES["dd_dup_groups"] = dd_dup_groups
-
-
-#: The LSH parameters shaping the staged dup-group mapping — ONE dict
-#: feeds both the cache id and the computation (r8 ADVICE: a
-#: hand-maintained key string duplicated from the kwargs could drift
-#: and serve a stale mapping).  Must equal dd_dup_groups' literal
-#: knobs / the dd_minhash_lsh oracle constants.
-_DUP_GROUP_KNOBS = dict(shingle_words=2, num_hashes=16, bands=8,
-                        min_jaccard=0.1)
 
 
 def _knobs_cid(knobs: dict) -> str:
