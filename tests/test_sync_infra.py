@@ -295,3 +295,43 @@ def test_dup_group_knobs_single_source(spark, sf_dir, monkeypatch):
     assert hits, "knob flip did not restage the dup-group mapping"
     for d in hits:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_bench_staged_build_names_exist():
+    """bench.py's staged-build prelude skips unknown names silently
+    (fn is None -> continue); pin each name to the live query registry
+    so a rename can't quietly drop a build from the warm path."""
+    import ast
+    import os
+
+    import __spark_entry__ as entrymod
+
+    src = open(os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "bench.py")).read()
+    tree = ast.parse(src)
+    names: list[str] = []
+    for node in ast.walk(tree):
+        if (isinstance(node, ast.Tuple)
+                and all(isinstance(e, ast.Constant) for e in node.elts)
+                and any(isinstance(e.value, str)
+                        and e.value.endswith("_bucketed_lookup")
+                        for e in node.elts)):
+            names = [e.value for e in node.elts]
+    assert names, "staged-build tuple not found in bench.py"
+    missing = [n for n in names if n not in entrymod.queries()]
+    assert not missing, missing
+
+
+def test_driver_sample_window_order():
+    """The driver samples the FIRST 50 queries() entries; the registry
+    must follow _DRIVER_PRIORITY exactly (dict insertion order) and
+    every priority name must resolve — a typo'd name silently drops a
+    query from its evidence slot."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    pr = entrymod._DRIVER_PRIORITY
+    missing = [n for n in pr if n not in qs]
+    assert not missing, f"priority names not in queries(): {missing}"
+    assert list(qs)[:50] == pr[:50]
+    assert len(set(pr)) == len(pr), "duplicate names in _DRIVER_PRIORITY"
