@@ -234,6 +234,33 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_DDL)
 
 
+#: Per-worker token → ±1 vote-vector memo for ``_phash64_py``: corpus
+#: vocabulary repeats heavily across documents, so the md5+unpack work
+#: per DISTINCT token amortizes to once per worker process.  Bounded so
+#: an adversarial vocabulary can't grow the worker heap unboundedly.
+_TOKEN_VOTES: dict = {}
+_TOKEN_VOTES_MAX = 1_000_000
+
+
+def _token_votes(w: str):
+    """±1 vote vector (64 int32) for one token — the top 64 bits of
+    md5(token), MSB-first, mapped 1→+1 / 0→−1.  ``np.unpackbits`` over
+    the first 8 digest bytes yields exactly the hexdigest nibble order
+    (char n bits 3..0 at positions n*4..n*4+3) the JVM/SQL twins use."""
+    import hashlib
+
+    import numpy as np
+
+    v = _TOKEN_VOTES.get(w)
+    if v is None:
+        bits = np.unpackbits(np.frombuffer(
+            hashlib.md5(w.encode("utf-8")).digest()[:8], dtype=np.uint8))
+        v = bits.astype(np.int32) * 2 - 1
+        if len(_TOKEN_VOTES) < _TOKEN_VOTES_MAX:
+            _TOKEN_VOTES[w] = v
+    return v
+
+
 def _phash64_py(content: str) -> int | None:
     """Python twin of ``functions.hashing.simhash64`` / the
     ``dedup.simhash_table`` codegen plan (same norm → distinct tokens →
@@ -242,8 +269,9 @@ def _phash64_py(content: str) -> int | None:
     in here unchanged (DCT over the decoded bitmap instead of token
     votes); the contract — 64-bit locality-sensitive code per payload —
     is what downstream blocking consumes."""
-    import hashlib
     import re
+
+    import numpy as np
 
     # the explicit class, NOT \s: Python's \s is Unicode-aware and
     # also eats \x1c-\x1f etc., while the JVM/RE2 \s the Spark and
@@ -257,17 +285,12 @@ def _phash64_py(content: str) -> int | None:
         # here would pair two whitespace-only payloads at hamming 0
         # on the Spark side only (r8 ADVICE)
         return None
-    votes = [0] * 64
+    votes = np.zeros(64, dtype=np.int64)
     for w in toks:
-        h = hashlib.md5(w.encode("utf-8")).hexdigest()
-        for n in range(16):
-            nib = int(h[n], 16)
-            for j in range(4):
-                votes[n * 4 + j] += 1 if (nib >> (3 - j)) & 1 else -1
+        votes += _token_votes(w)
     v = 0
-    for b in range(64):
-        if votes[b] > 0:
-            v |= 1 << (63 - b)
+    for b in np.nonzero(votes > 0)[0]:
+        v |= 1 << (63 - int(b))
     return v - (1 << 64) if v >= (1 << 63) else v
 
 
