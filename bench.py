@@ -136,7 +136,9 @@ def main() -> None:
         staged_builds[label] = round(time.time() - t0, 3)
     for qname in ("x22_bucketed_lookup", "x75_smb_join", "dd_apply",
                   "s5_staged_scan", "s17_schema_evolution",
-                  "s1_osm_xml_roundtrip", "x74_partition_prune"):
+                  "s1_osm_xml_roundtrip", "x74_partition_prune",
+                  "s2_diff_roundtrip", "x63_compact_roundtrip",
+                  "s18_format_roundtrip", "s20_orc_roundtrip"):
         fn = entrymod.queries().get(qname)
         if fn is None:
             continue

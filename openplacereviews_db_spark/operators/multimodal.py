@@ -236,14 +236,18 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
 
 #: Per-worker token → ±1 vote-vector memo for ``_phash64_py``: corpus
 #: vocabulary repeats heavily across documents, so the md5+unpack work
-#: per DISTINCT token amortizes to once per worker process.  Bounded so
-#: an adversarial vocabulary can't grow the worker heap unboundedly.
+#: per DISTINCT token amortizes to once per worker process.  Entries
+#: are int8 (values only ±1; the in-place add into the int64
+#: accumulator upcasts exactly), and the cap keeps the per-worker memo
+#: to tens of MB even against an adversarial vocabulary — under a
+#: Zipf vocabulary the frequent head carries nearly all the hit rate,
+#: so a modest cap loses little.
 _TOKEN_VOTES: dict = {}
-_TOKEN_VOTES_MAX = 1_000_000
+_TOKEN_VOTES_MAX = 1 << 17
 
 
 def _token_votes(w: str):
-    """±1 vote vector (64 int32) for one token — the top 64 bits of
+    """±1 vote vector (64 int8) for one token — the top 64 bits of
     md5(token), MSB-first, mapped 1→+1 / 0→−1.  ``np.unpackbits`` over
     the first 8 digest bytes yields exactly the hexdigest nibble order
     (char n bits 3..0 at positions n*4..n*4+3) the JVM/SQL twins use."""
@@ -255,7 +259,7 @@ def _token_votes(w: str):
     if v is None:
         bits = np.unpackbits(np.frombuffer(
             hashlib.md5(w.encode("utf-8")).digest()[:8], dtype=np.uint8))
-        v = bits.astype(np.int32) * 2 - 1
+        v = (bits.astype(np.int8) << 1) - 1
         if len(_TOKEN_VOTES) < _TOKEN_VOTES_MAX:
             _TOKEN_VOTES[w] = v
     return v

@@ -866,9 +866,14 @@ def dd_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["dd_apply"] = dd_apply
 
-ORACLES["dd_dup_groups"] = f"""
+def _cc_groups_oracle(pairs_sql: str) -> str:
+    """Recursive min-reachability CC over any (id_a, id_b) pair SQL —
+    the one oracle formulation for every dedup_groups() twin
+    (dd_dup_groups over minhash-LSH pairs, mm_phash_groups over pHash
+    pairs), so a semantics tweak to the CTE reaches all of them."""
+    return f"""
     WITH RECURSIVE pairs AS (
-        {ORACLES["dd_minhash_lsh"]}
+        {pairs_sql}
     ),
     sym AS (
         SELECT id_a AS a, id_b AS b FROM pairs
@@ -886,6 +891,9 @@ ORACLES["dd_dup_groups"] = f"""
            COUNT(*) OVER (PARTITION BY canonical_id) AS group_size
     FROM comp
 """
+
+
+ORACLES["dd_dup_groups"] = _cc_groups_oracle(ORACLES["dd_minhash_lsh"])
 
 ORACLES["dd_apply"] = f"""
     WITH groups AS ({ORACLES["dd_dup_groups"]}),
@@ -2071,36 +2079,11 @@ def mm_phash_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per media item).  The multimodal twin of ``dd_dup_groups``;
     the oracle replays the independent DuckDB nibble-vote pair SQL
     through the same recursive min-reachability CTE."""
-    from ..operators import multimodal as MM
     from ..operators.components import dedup_groups
 
-    docs = _docs(spark, sf_dir)
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.col("text").cast("binary").alias("payload"))
-    pairs = MM.phash_pairs(media, max_hamming=10, block_bits=16)
-    return dedup_groups(pairs)
+    return dedup_groups(mm_phash_dedup(spark, sf_dir))
 
 
 QUERIES["mm_phash_groups"] = mm_phash_groups
 
-ORACLES["mm_phash_groups"] = f"""
-    WITH RECURSIVE pairs AS (
-        {ORACLES["dd_simhash_pairs"]}
-    ),
-    sym AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION
-        SELECT id_b, id_a FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT a AS node FROM sym),
-    walk(node, reach) AS (
-        SELECT node, node FROM nodes
-        UNION
-        SELECT s.a, w.reach FROM sym s JOIN walk w ON s.b = w.node
-    ),
-    comp AS (SELECT node, MIN(reach) AS canonical_id FROM walk GROUP BY node)
-    SELECT node, canonical_id,
-           COUNT(*) OVER (PARTITION BY canonical_id) AS group_size
-    FROM comp
-"""
+ORACLES["mm_phash_groups"] = _cc_groups_oracle(ORACLES["dd_simhash_pairs"])

@@ -76,16 +76,20 @@ def _read_epoch_marker(dirpath: str) -> int | None:
     empty, or torn (unparseable) marker means NOT committed — the file
     is written fsync'd via tmp+rename, so a partial read can only come
     from a pre-fix tear and must degrade to "re-apply", never crash
-    every subsequent batch."""
+    every subsequent batch.  A transient IO error (OSError) is NOT
+    caught: the folds guarded by this marker are non-idempotent, so
+    misreading a committed marker as absent would silently re-apply an
+    applied epoch — fail-stop is the correct behavior there."""
     import os
 
     marker = os.path.join(dirpath, "_epoch")
     if not os.path.isfile(marker):
         return None
+    with open(marker) as fh:
+        content = fh.read()
     try:
-        with open(marker) as fh:
-            return int(fh.read().strip())
-    except (ValueError, OSError):
+        return int(content.strip())
+    except ValueError:
         return None
 
 
