@@ -138,7 +138,8 @@ def main() -> None:
                   "s5_staged_scan", "s17_schema_evolution",
                   "s1_osm_xml_roundtrip", "x74_partition_prune",
                   "s2_diff_roundtrip", "x63_compact_roundtrip",
-                  "s18_format_roundtrip", "s20_orc_roundtrip"):
+                  "s18_format_roundtrip", "s20_orc_roundtrip",
+                  "dd_incremental"):
         fn = entrymod.queries().get(qname)
         if fn is None:
             continue

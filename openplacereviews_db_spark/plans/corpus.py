@@ -1966,18 +1966,20 @@ ORACLES["tx_url_canon"] = f"""
 
 def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X80: incremental near-dup — the daily-ingest path.  The existing
-    corpus (doc_id % 10 != 0) has its MinHash band keys staged ONCE as
-    a persistent parquet index (write-once, mtime+size-keyed); each new
-    batch (doc_id % 10 == 0) computes bands for ITS documents only,
-    equi-joins the staged index, and exact-Jaccard-verifies the
-    candidates.  Same hash family/params as ``dd_minhash_lsh``, so the
-    oracle reuses those CTEs restricted to new × old pairs.
+    corpus (doc_id % 10 != 0) is staged ONCE (write-once,
+    mtime+size-keyed) as TWO parquet artifacts: exploded MinHash band
+    keys (blocking) and per-doc xxhash64 shingle-id sets (verify) —
+    the streaming twin's state layout (``neardup_dedup_stream``).
+    Each new batch (doc_id % 10 == 0) is banded + shingle-id'd in one
+    aggregation, equi-joins the staged bands, and the bounded
+    candidate pairs verify by exact Jaccard over the stored id sets.
+    Same hash family/params as ``dd_minhash_lsh``, so the oracle
+    reuses those CTEs restricted to new × old pairs.
 
-    The 100 TB point: ingesting a batch re-bands only the batch — the
-    corpus-side work is a pre-built index scan on the (band) join key,
-    not a re-shingle of history; verify re-reads only candidate docs.
-    (``st_neardup_pairs`` is this operator's streaming twin; this is
-    the batch form with the index as an explicit artifact.)
+    The 100 TB point: ingesting a batch re-shingles only the batch —
+    history is never re-read except the candidate rows' stored sets
+    (a band-key index scan plus an id-keyed set lookup), which is what
+    lets ingest cost track batch size instead of corpus size.
     """
     import os
     import tempfile
@@ -1989,26 +1991,56 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.col("doc_id") % 10 == 0
     fp = staging.source_fingerprint(sf_dir, "documents")
     tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    idx_dir = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
-                           f"ndindex_{tag}")
-    if not os.path.isfile(os.path.join(idx_dir, "_SUCCESS")):
-        (dd.minhash_band_keys(d.where(~is_new), shingle_words=2,
-                              num_hashes=16, bands=8)
-         .write.mode("overwrite").parquet(idx_dir))
-    old_bands = (spark.read.parquet(idx_dir)
+    num_hashes, bands_n = 16, 8
+
+    def per_doc(docs: DataFrame) -> DataFrame:
+        # one aggregation yields BOTH the LSH signature and the
+        # xxhash64 shingle-id set per doc — the streaming twin's state
+        # row (neardup_dedup_stream): bands for blocking, sids for the
+        # exact-Jaccard verify, so NOTHING ever re-shingles the corpus
+        exploded = dd.exploded_shingles(docs, "text", "doc_id", 2,
+                                        distinct=False)
+        return (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
+                .groupBy("id").agg(
+                    *[F.min(H.minhash_perm(i, F.col("_mhb")))
+                      .alias(f"h{i}") for i in range(num_hashes)],
+                    F.collect_set(F.xxhash64("s")).alias("sids")))
+
+    def bands_of(pd: DataFrame) -> DataFrame:
+        return pd.select("id", F.explode(H.lsh_bands(
+            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
+            bands_n, num_hashes // bands_n)).alias("band"))
+
+    idx_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                            f"ndindex2_{tag}")
+    bands_dir = os.path.join(idx_root, "bands")
+    sets_dir = os.path.join(idx_root, "sets")
+    if not (os.path.isfile(os.path.join(bands_dir, "_SUCCESS"))
+            and os.path.isfile(os.path.join(sets_dir, "_SUCCESS"))):
+        per_old = per_doc(d.where(~is_new)).localCheckpoint()
+        bands_of(per_old).write.mode("overwrite").parquet(bands_dir)
+        per_old.select("id", "sids").write.mode("overwrite") \
+            .parquet(sets_dir)
+    # the ingest batch is banded + shingle-id'd in ONE pass, reused by
+    # blocking and verify (eager once; dd_incremental is EAGER_BUILD_OK)
+    per_new = per_doc(d.where(is_new)).localCheckpoint()
+    old_bands = (spark.read.parquet(bands_dir)
                  .select(F.col("id").alias("id_old"), "band"))
-    new_bands = (dd.minhash_band_keys(d.where(is_new), shingle_words=2,
-                                      num_hashes=16, bands=8)
-                 .select(F.col("id").alias("id_new"), "band"))
+    new_bands = bands_of(per_new).select(F.col("id").alias("id_new"),
+                                         "band")
     cand = (new_bands.join(old_bands, on="band")
             .select("id_new", "id_old").dropDuplicates())
-    sh = (dd.exploded_shingles(d, "text", "doc_id", 2, distinct=False)
-          .groupBy("id").agg(F.collect_set("s").alias("sh")))
+    sets_old = (spark.read.parquet(sets_dir)
+                .select(F.col("id").alias("id_old"),
+                        F.col("sids").alias("sh_o")))
+    sets_new = per_new.select(F.col("id").alias("id_new"),
+                              F.col("sids").alias("sh_n"))
+    # Jaccard over the 64-bit shingle ids equals Jaccard over the
+    # shingle strings barring a ~n²/2⁶⁵ collision (the
+    # neardup_dedup_stream argument), so the string-shingle oracle
+    # still applies value-for-value
     return (
-        cand.join(sh.select(F.col("id").alias("id_new"),
-                            F.col("sh").alias("sh_n")), on="id_new")
-        .join(sh.select(F.col("id").alias("id_old"),
-                        F.col("sh").alias("sh_o")), on="id_old")
+        cand.join(sets_new, on="id_new").join(sets_old, on="id_old")
         .withColumn("jaccard",
                     F.round(H.jaccard(F.col("sh_n"), F.col("sh_o")), 6))
         .where(F.col("jaccard") >= 0.1)
