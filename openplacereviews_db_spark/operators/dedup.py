@@ -299,6 +299,38 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                     .alias("containment")))
 
 
+def minhash_state(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", shingle_words: int = 3,
+                  num_hashes: int = 16,
+                  with_sids: bool = False) -> DataFrame:
+    """(id, h0..h{N-1}[, sids]) — ONE aggregation yielding each doc's
+    MinHash signature columns and (optionally) its xxhash64 shingle-id
+    set.  This is THE wiring of the hash family (minhash_base →
+    min(minhash_perm_i), collect_set(xxhash64)) — every consumer
+    (``minhash_band_keys``, ``dd_incremental``'s staged index,
+    ``neardup_dedup_stream``'s per-batch state) derives from it, so
+    the family can never silently fork from the shared SQL oracle
+    CTEs (functions/hashing.py: minhash_base_sql/minhash_perm_sql)."""
+    exploded = exploded_shingles(df, text_col, id_col, shingle_words,
+                                 distinct=False)  # min is dup-insensitive
+    aggs = [F.min(H.minhash_perm(i, F.col("_mhb"))).alias(f"h{i}")
+            for i in range(num_hashes)]
+    if with_sids:
+        aggs.append(F.collect_set(F.xxhash64("s")).alias("sids"))
+    return (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
+            .groupBy("id").agg(*aggs))
+
+
+def lsh_band_rows(state: DataFrame, num_hashes: int,
+                  bands: int) -> DataFrame:
+    """(id, band) from a ``minhash_state`` frame — the exploded LSH
+    band keys, exactly as ``minhash_lsh_pairs`` derives them."""
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return state.select(
+        "id", F.explode(H.lsh_bands(sig, bands,
+                                    num_hashes // bands)).alias("band"))
+
+
 def minhash_band_keys(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_words: int = 3,
                       num_hashes: int = 16, bands: int = 4) -> DataFrame:
@@ -311,17 +343,9 @@ def minhash_band_keys(df: DataFrame, text_col: str = "text",
     of near-duplicate clusters instead of with attribute cardinality —
     a bare ``lang`` block is one task per language and dies on the
     first billion-doc language."""
-    rows = num_hashes // bands
-    exploded = exploded_shingles(df, text_col, id_col, shingle_words,
-                                 distinct=False)  # min is dup-insensitive
-    sig = (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
-           .groupBy("id").agg(*[
-               F.min(H.minhash_perm(i, F.col("_mhb"))).alias(f"h{i}")
-               for i in range(num_hashes)
-           ]).select("id", F.array(*[F.col(f"h{i}")
-                                     for i in range(num_hashes)]).alias("sig")))
-    return sig.select(
-        "id", F.explode(H.lsh_bands(F.col("sig"), bands, rows)).alias("band"))
+    return lsh_band_rows(
+        minhash_state(df, text_col, id_col, shingle_words, num_hashes),
+        num_hashes, bands)
 
 
 def block_dedup(df: DataFrame, text_col: str = "text",

@@ -1998,18 +1998,11 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # xxhash64 shingle-id set per doc — the streaming twin's state
         # row (neardup_dedup_stream): bands for blocking, sids for the
         # exact-Jaccard verify, so NOTHING ever re-shingles the corpus
-        exploded = dd.exploded_shingles(docs, "text", "doc_id", 2,
-                                        distinct=False)
-        return (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
-                .groupBy("id").agg(
-                    *[F.min(H.minhash_perm(i, F.col("_mhb")))
-                      .alias(f"h{i}") for i in range(num_hashes)],
-                    F.collect_set(F.xxhash64("s")).alias("sids")))
+        return dd.minhash_state(docs, "text", "doc_id", 2, num_hashes,
+                                with_sids=True)
 
     def bands_of(pd: DataFrame) -> DataFrame:
-        return pd.select("id", F.explode(H.lsh_bands(
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
-            bands_n, num_hashes // bands_n)).alias("band"))
+        return dd.lsh_band_rows(pd, num_hashes, bands_n)
 
     idx_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                             f"ndindex2_{tag}")

@@ -218,6 +218,10 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
 
 #: per-process counter for unique memory-sink table names
 _SINK_SEQ = [0]
+#: last finished _run_to_memory run's StreamingQueryProgress dict —
+#: the query handle is unreachable after the helper returns, and the
+#: state-partitions unit test reads the applied sizing from here
+_LAST_STREAM_PROGRESS: list = [None]
 
 
 def _run_to_memory(agg: DataFrame, output_mode: str,
@@ -252,6 +256,10 @@ def _run_to_memory(agg: DataFrame, output_mode: str,
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", before)
+    # expose the finished run's progress (state-operator partition
+    # counts etc.) — the query handle is gone once this returns, and
+    # the conf-restore unit pins the applied sizing through this
+    _LAST_STREAM_PROGRESS[0] = q.lastProgress
     return spark.table(name)
 
 
@@ -474,9 +482,8 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
     import os
 
     from ..functions import hashing as H
-    from ..operators.dedup import exploded_shingles
+    from ..operators.dedup import lsh_band_rows, minhash_state
 
-    rows = num_hashes // bands
     bands_dir = os.path.join(index_dir, "bands")
     sets_dir = os.path.join(index_dir, "sets")
 
@@ -493,19 +500,12 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        exploded = exploded_shingles(batch, "text", "doc_id",
-                                     shingle_words, distinct=False)
-        per_doc = (exploded
-                   .withColumn("_mhb", H.minhash_base(F.col("s")))
-                   .groupBy("id").agg(
-                       *[F.min(H.minhash_perm(i, F.col("_mhb")))
-                         .alias(f"h{i}") for i in range(num_hashes)],
-                       F.collect_set(F.xxhash64("s")).alias("sids"),
-                   )).localCheckpoint()
-        new_bands = per_doc.select(
-            "id", F.explode(H.lsh_bands(
-                F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
-                bands, rows)).alias("band"))
+        # the shared MinHash wiring (operators/dedup.py:minhash_state)
+        # — signature + xxhash64 shingle-id set in one aggregation
+        per_doc = minhash_state(batch, "text", "doc_id", shingle_words,
+                                num_hashes,
+                                with_sids=True).localCheckpoint()
+        new_bands = lsh_band_rows(per_doc, num_hashes, bands)
         new_sets = per_doc.select("id", "sids")
         try:
             old_bands = spark.read.parquet(bands_dir)

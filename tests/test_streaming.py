@@ -713,21 +713,23 @@ def test_run_to_memory_restores_shuffle_conf(spark, tmp_path):
     would silently resize every later batch query's shuffles."""
     from pyspark.sql import functions as F
 
-    from openplacereviews_db_spark.streaming.pipelines import _run_to_memory
+    from openplacereviews_db_spark.streaming import pipelines as SP
 
     src = str(tmp_path / "src")
     spark.createDataFrame([(i, i % 3) for i in range(30)],
                           "id long, k long").write.parquet(src)
     before = spark.conf.get("spark.sql.shuffle.partitions")
+    assert before != "2"  # the override must be observable
     stream = (spark.readStream.format("parquet").schema("id long, k long")
               .load(src))
     agg = stream.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
-    out = _run_to_memory(agg, "complete", state_partitions=2)
+    out = SP._run_to_memory(agg, "complete", state_partitions=2)
     assert sorted(tuple(r) for r in out.collect()) == [
         (0, 10), (1, 10), (2, 10)]
     assert spark.conf.get("spark.sql.shuffle.partitions") == before
-    # the stream really planned with 2 state partitions: the state
-    # checkpoint was temporary here, so assert via the shuffle width of
-    # the materialized sink's source agg — cheapest visible signal is
-    # that the conf DID change during the run; the memory sink rows
-    # above already prove values are partition-count invariant
+    # and the stream really PLANNED with 2 state partitions (an early
+    # restore — before batch 0 plans — would leave the session default
+    # here): the finished run's progress records the state operator
+    prog = SP._LAST_STREAM_PROGRESS[0]
+    ops = prog["stateOperators"]
+    assert ops and all(op["numShufflePartitions"] == 2 for op in ops), ops
