@@ -26,35 +26,54 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
-#: evidence.  Round 9 executes the r8 verdict's rotation plan:
-#: (a) the 8 r8-added queries that had only judge-grade evidence plus
-#: the 2 r8 plan changes that were value-identical on driver data
-#: (s18 null-safe counters, tx_url_canon port strip) — after r9 no
-#: query lacks a driver row; (b) the new-this-round mm_phash_groups
-#: (the multimodal family's linear groups surface); (c) 39 of the
-#: 45-query cohort whose latest driver row is r5, least-recently first
-#: — the remaining 6 (stable pure-column plans) lead the r10 rotation.
+#: evidence.  Round 10 executes the r9 verdict's rotation plan:
+#: (a) the 6 queries whose latest driver row is r5 — the oldest
+#: evidence in the contract — lead; (b) this round's plan changes:
+#: ``simhash_table`` now DROPS zero-token docs (r9 ADVICE medium —
+#: the Spark population finally matches the shared DuckDB oracle and
+#: the pHash twin's r9 rule), which reshapes dd_simhash,
+#: dd_simhash_pairs and their consumer tx_fingerprints;
+#: st_neardup_pairs' harness was retuned (values unchanged — fresh
+#: evidence anyway); (c) 40 of the 47 remaining r6-stale queries —
+#: after r10 no query's evidence predates r6, and the 7 deferred
+#: (trivial pure-column plans, below the cut) lead the r11 rotation.
 _DRIVER_PRIORITY = [
-    # (a) r8 additions/changes, judge-green at sf0.01 in r8 via
-    # scripts/check_sf.py (the driver's own comparison)
-    "st_scd2_upsert",  # streaming SCD2 MERGE == batch build (new r8)
-    "s20_orc_roundtrip",  # ORC columnar roundtrip (new r8)
-    "x77_salted_join",  # salted hot-key join == plain join (new r8)
-    "p13_variant_kit",  # Spark 4 VARIANT ingest + typed paths (new r8)
-    "s21_corrupt_quarantine",  # PERMISSIVE bad-record gate (new r8)
-    "g15_border_zone",  # BorderSyncBot intent: border-area query (r8)
-    "mm_phash_dedup",  # payload kernel pHash + blocked Hamming (r8;
-    #                    r9: token-free payloads dropped pre-join)
-    "x92_retract_rollup",  # CDC retract-stream fold == live agg (r8)
-    "s18_format_roundtrip",  # null-safe mismatch counters (r8)
-    "tx_url_canon",  # scheme-aware default-port strip (r8)
-    # (b) new r9: linear dup-groups surface for the multimodal family
-    "mm_phash_groups",  # pHash pairs -> CC groups (one row per media)
-    # (c) the r5-stale cohort, 39 of 45 (ordering: heavy/flagship and
-    # r9-touched consumers of the restaged dup-group mapping first)
+    # (a) r5-stale cohort, deferred at r9's 50-cut
+    "id_bytes_roundtrip", "tx_token_counts", "tx_keyword_search",
+    "w2_event_deltas", "a4_place_types", "d3_aligned_windows",
+    # (b) r10 plan changes (zero-token simhash population fix; the
+    # streaming near-dup harness retune)
+    "dd_simhash", "dd_simhash_pairs", "tx_fingerprints",
+    "st_neardup_pairs",
+    # (c) r6-stale cohort, 40 of 47 — heavy kernels and oracle-dense
+    # families first
+    "dd_exact", "dd_containment", "dd_dup_spans",
+    "emb_neardup_lsh", "ann_cosine_topk", "ann_knn_label",
+    "ann_ivf_topk", "curate_corpus",
+    "g2_proximity_groups", "g9_pagerank", "g1_sessionize",
+    "j1_argmax_join", "j4_match_cascade", "j4_fuzzy_name_join",
+    "j5_pick_merges", "j6_anti_join", "j7_semi_join",
+    "j10_latest_event", "m6_close_report", "m1m4_sync_ops",
+    "m10_tripadvisor_ops", "e1_snapshot_diff", "e9_extract_diff",
+    "e3_intersect_keys",
+    "mm_decode_stats", "mm_feature_codes", "mm_sample_frames",
+    "tx_language_id", "tx_quality_score", "tx_bm25",
+    "a1_area_summary", "a2_images_size", "geoall_area_summary",
+    "p2_main_osm_element", "o1_distance_topk",
+    "q3_segment_topk", "q5_region_revenue",
+    "s7_keys_scan", "s9_inverse_index_lookup", "s17_schema_evolution",
+    # --- 50-slot cut line: 6 + 4 + 40 = 50.  r11 leads with the seven
+    # deferred r6-stale pure-column plans below.
+    "d1_date_kit", "t1_text_kit", "w1_running_total", "p10_name_tags",
+    "p12_mercator_tiles", "g3_tile_grid", "p2_main_element",
+    # r9-green block (sampled r9, freshest evidence — yield their slots)
+    "st_scd2_upsert", "s20_orc_roundtrip", "x77_salted_join",
+    "p13_variant_kit", "s21_corrupt_quarantine", "g15_border_zone",
+    "mm_phash_dedup", "x92_retract_rollup", "s18_format_roundtrip",
+    "tx_url_canon", "mm_phash_groups",
     "dd_dup_groups", "dd_apply", "dd_apply_best", "tx_group_split",
     "dd_minhash_lsh", "dd_ngram_jaccard", "dd_blocks",
-    "st_neardup_pairs", "emb_neardup_pairs", "emb_semdedup",
+    "emb_neardup_pairs", "emb_semdedup",
     "emb_scalar_quant", "ann_quant_rerank", "mm_resize",
     "q1_pricing_summary", "geo_tile_report", "sql_surface_report",
     "j2_proximity_pairs", "j11_asof_join", "j12_range_join",
@@ -66,11 +85,7 @@ _DRIVER_PRIORITY = [
     "tx_pack_sequences", "tx_domain_cap", "tx_chunk_windows",
     "tx_bigram_lm", "tx_classifier", "tx_weighted_sample",
     "tx_drift_report", "tx_shard_manifest",
-    # --- 50-slot cut line: 10 + 1 + 39 = 50.  r10 leads with the six
-    # deferred r5-stale pure-column plans below.
-    "id_bytes_roundtrip", "tx_token_counts", "tx_keyword_search",
-    "w2_event_deltas", "a4_place_types", "d3_aligned_windows",
-    # r8-green block (sampled r8, freshest evidence — yield their slots)
+    # r8-green block
     "x84_twap", "o6_skyline", "x85_event_paths", "x86_merkle_diff",
     "x87_window_dedup", "x88_benford", "udtf_bigram_expand",
     "m12_fixture_verdicts", "sk_heavy_hitters",

@@ -133,6 +133,11 @@ def main() -> None:
             builder()
         except Exception as ex:
             print(f"# staged split {label} failed: {ex}", file=progress)
+            # a failed build must be distinguishable from a fast one —
+            # the first consumer will pay it inside its timed window
+            # (r9 ADVICE); negative duration = did not complete
+            staged_builds[label] = -round(time.time() - t0, 3)
+            continue
         staged_builds[label] = round(time.time() - t0, 3)
     for qname in ("x22_bucketed_lookup", "x75_smb_join", "dd_apply",
                   "s5_staged_scan", "s17_schema_evolution",
@@ -148,6 +153,9 @@ def main() -> None:
             fn(spark, sf_dir).collect()
         except Exception as ex:
             print(f"# staged build {qname} failed: {ex}", file=progress)
+            staged_builds[qname] = -round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            continue
         staged_builds[qname] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
     drop_retained_blocks()

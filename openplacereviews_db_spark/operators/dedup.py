@@ -417,9 +417,13 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     sum-aggregates for the per-bit votes, then one weighted combine.
     Semantically identical to ``functions.hashing.simhash64`` (which is
     the per-column expression form) but stays in whole-stage codegen.
-    Documents with no tokens get simhash 0.
+    Documents with no tokens are DROPPED (not emitted as simhash 0):
+    a content hash of empty content is meaningless, two whitespace-only
+    docs must not pair at Hamming 0, and the DuckDB oracle's ``w`` CTE
+    (unnest of the token list) never produces rows for them — this
+    matches the population rule the pHash twin applies
+    (``multimodal.perceptual_hashes`` drops token-free payloads).
     """
-    ids = df.select(F.col(id_col).alias("id"))
     words = df.select(
         F.col(id_col).alias("id"),
         F.explode(
@@ -450,10 +454,7 @@ def simhash_table(df: DataFrame, text_col: str = "text",
     acc = weights[0]
     for w in weights[1:]:
         acc = acc + w
-    hashed = votes.select("id", acc.alias("simhash"))
-    return ids.join(hashed, on="id", how="left").select(
-        "id", F.coalesce("simhash", F.lit(0).cast("bigint")).alias("simhash")
-    )
+    return votes.select("id", acc.alias("simhash"))
 
 
 def blocked_hamming_pairs(t: DataFrame, id_col: str, hash_col: str,

@@ -801,11 +801,17 @@ QUERIES["dd_dup_groups"] = dd_dup_groups
 
 
 def _knobs_cid(knobs: dict) -> str:
-    """Deterministic cache-id fragment from a knob dict: initials of
-    each key + the value with dots stripped, sorted by key."""
-    return "_".join(
-        "".join(w[0] for w in k.split("_")) + str(v).replace(".", "")
-        for k, v in sorted(knobs.items()))
+    """Deterministic cache-id fragment from a knob dict: md5 of the
+    sorted ``key=repr(value)`` form.  Non-lossy by construction — the
+    r9 initials+strip-dots encoding aliased distinct knob dicts
+    (``min_jaccard=1.0`` and ``min_jaccard=10`` both encoded ``mj10``;
+    keys sharing initials collided), and an aliased id serves a stale
+    staged mapping, the exact failure the knob-derived key exists to
+    prevent (r9 ADVICE)."""
+    import hashlib
+
+    canon = ",".join(f"{k}={v!r}" for k, v in sorted(knobs.items()))
+    return hashlib.md5(canon.encode()).hexdigest()[:16]
 
 
 def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -683,6 +683,78 @@ def test_commit_snapshot_swap_marker_atomic(tmp_path):
     assert not os.path.exists(tmp) and not os.path.exists(old)
 
 
+def test_scd2_kill_restart_resumes_from_checkpoint(spark):
+    """Kill the STREAM between micro-batches and restart from the same
+    checkpoint (r9 verdict item 4 — the torn-swap branches were
+    unit-pinned but no test exercised Spark's own offset-log recovery):
+    batch 0 commits its snapshot swap, an injected crash kills the
+    query before batch 1 applies, and a fresh ``start()`` on the SAME
+    checkpoint must replay exactly batch 1 — never batch 0 again — with
+    the resumed dimension equal to the one-shot batch build
+    ``x71_scd2_build`` (the reference's exactly-once offset-with-data
+    analog, ``PlaceOpObjectHelper.java:194-255``)."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from openplacereviews_db_spark.plans.temporal import x71_scd2_build
+    from openplacereviews_db_spark.streaming import pipelines as SP
+
+    sf = "/root/testdata/sf0.001"
+    root, src = SP._stage_time_split(sf, "scd2")
+    snap = os.path.join(root, "snapshot_killrestart")
+    chk = os.path.join(root, "chk_killrestart")
+    for d in [snap, chk, snap + ".old"] + glob.glob(snap + ".epoch-*"):
+        shutil.rmtree(d, ignore_errors=True)
+
+    inner = SP.scd2_upsert_batch(snap)
+    epochs_run1: list[int] = []
+    epochs_run2: list[int] = []
+
+    def crash_before_batch1(df, epoch_id):
+        epochs_run1.append(int(epoch_id))
+        if int(epoch_id) >= 1:
+            raise RuntimeError("injected kill between micro-batches")
+        inner(df, epoch_id)
+
+    def resumed(df, epoch_id):
+        epochs_run2.append(int(epoch_id))
+        inner(df, epoch_id)
+
+    def start(fn):
+        ev = (spark.readStream.format("parquet")
+              .schema("event_id long, user_id long, event_type string, "
+                      "ts_us long")
+              .option("maxFilesPerTrigger", 1).load(src))
+        return (ev.writeStream.foreachBatch(fn)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True).start())
+
+    q = start(crash_before_batch1)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    assert epochs_run1 == [0, 1]  # batch 0 committed, killed at 1
+    mid = _scd2_state(spark, snap)
+
+    q2 = start(resumed)
+    q2.awaitTermination()
+    # offset-log recovery: ONLY the uncommitted batch replays
+    assert epochs_run2 == [1]
+    final = _scd2_state(spark, snap)
+    assert final != mid  # batch 1 actually applied
+
+    want = sorted(
+        (r["user_id"], r["version"], r["event_type"], r["eff_from_us"],
+         r["eff_to_us"], r["n_events"], r["is_current"])
+        for r in x71_scd2_build(spark, sf).collect())
+    assert final == want
+    for d in (snap, chk):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_scd2_once_sweeps_stale_swap_dirs(spark):
     """Swap residue from a killed prior run (.old and fully-staged
     .epoch-* dirs, possibly built by OLD code) must be wiped by the

@@ -282,6 +282,12 @@ def test_dup_group_knobs_single_source(spark, sf_dir, monkeypatch):
     flipped = dict(corpus._DUP_GROUP_KNOBS, min_jaccard=0.2)
     flip_frag = corpus._knobs_cid(flipped)
     assert flip_frag != base_frag
+    # non-lossy encoding (r9 ADVICE): values that stringify alike after
+    # dot-stripping, and keys sharing initials, must NOT alias
+    assert (corpus._knobs_cid({"min_jaccard": 1.0})
+            != corpus._knobs_cid({"min_jaccard": 10}))
+    assert (corpus._knobs_cid({"num_hashes": 16})
+            != corpus._knobs_cid({"norm_h": 16}))
 
     stage_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
     pattern = os.path.join(stage_root, f"dupgroups_{flip_frag}_*")
