@@ -155,12 +155,21 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # the sets side is CORPUS-sized with array payloads: hint it into a
+    # shuffled hash join so AQE can never broadcast-convert it — at a
+    # mid scale (sf10 measured) its compressed shuffle bytes sit under
+    # the auto-broadcast threshold while the driver-side HashedRelation
+    # build blows the heap, and at 100 TB a fact broadcast is fatal
+    # regardless (r10: first sf10 run of dd_minhash_lsh OOM'd exactly
+    # here; ShuffledHashJoin verified value-identical)
     sets = per_doc.select("id", "shingles")
     verified = (
         cand.join(sets.select(F.col("id").alias("id_a"),
-                              F.col("shingles").alias("sh_a")), on="id_a")
+                              F.col("shingles").alias("sh_a"))
+                  .hint("shuffle_hash"), on="id_a")
         .join(sets.select(F.col("id").alias("id_b"),
-                          F.col("shingles").alias("sh_b")), on="id_b")
+                          F.col("shingles").alias("sh_b"))
+              .hint("shuffle_hash"), on="id_b")
         .withColumn("jaccard", F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
         .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
@@ -223,12 +232,16 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # corpus-sized array side: shuffle_hash hint, never AQE-broadcast
+    # (see minhash_lsh_pairs)
     sets = sig.select("id", "sids")
     verified = (
         cand.join(sets.select(F.col("id").alias("id_a"),
-                              F.col("sids").alias("s_a")), on="id_a")
+                              F.col("sids").alias("s_a"))
+                  .hint("shuffle_hash"), on="id_a")
         .join(sets.select(F.col("id").alias("id_b"),
-                          F.col("sids").alias("s_b")), on="id_b")
+                          F.col("sids").alias("s_b"))
+              .hint("shuffle_hash"), on="id_b")
         .withColumn("jaccard",
                     F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
         .where(F.col("jaccard") >= min_jaccard)
@@ -284,12 +297,16 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             .join(sh.select(F.col("id").alias("id_b"), "sid"), "sid")
             .where(F.col("id_a") != F.col("id_b"))
             .select("id_a", "id_b").dropDuplicates())
+    # corpus-sized array side: shuffle_hash hint, never AQE-broadcast
+    # (see minhash_lsh_pairs)
     sets = sh.groupBy("id").agg(F.collect_set("sid").alias("sids"))
     return (cand
             .join(sets.select(F.col("id").alias("id_a"),
-                              F.col("sids").alias("s_a")), "id_a")
+                              F.col("sids").alias("s_a"))
+                  .hint("shuffle_hash"), "id_a")
             .join(sets.select(F.col("id").alias("id_b"),
-                              F.col("sids").alias("s_b")), "id_b")
+                              F.col("sids").alias("s_b"))
+                  .hint("shuffle_hash"), "id_b")
             .withColumn("n_int", F.size(F.array_intersect("s_a", "s_b")))
             .withColumn("n_a", F.size("s_a").cast("long"))
             .where(F.lit(tau_den) * F.col("n_int")

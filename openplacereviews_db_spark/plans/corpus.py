@@ -2029,11 +2029,16 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          "band")
     cand = (new_bands.join(old_bands, on="band")
             .select("id_new", "id_old").dropDuplicates())
+    # the staged sets index is CORPUS-sized with array payloads —
+    # shuffle_hash hints so AQE can never broadcast-convert the verify
+    # (the dd_minhash_lsh sf10 OOM class, operators/dedup.py)
     sets_old = (spark.read.parquet(sets_dir)
                 .select(F.col("id").alias("id_old"),
-                        F.col("sids").alias("sh_o")))
-    sets_new = per_new.select(F.col("id").alias("id_new"),
-                              F.col("sids").alias("sh_n"))
+                        F.col("sids").alias("sh_o"))
+                .hint("shuffle_hash"))
+    sets_new = (per_new.select(F.col("id").alias("id_new"),
+                               F.col("sids").alias("sh_n"))
+                .hint("shuffle_hash"))
     # Jaccard over the 64-bit shingle ids equals Jaccard over the
     # shingle strings barring a ~n²/2⁶⁵ collision (the
     # neardup_dedup_stream argument), so the string-shingle oracle

@@ -488,10 +488,15 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
     sets_dir = os.path.join(index_dir, "sets")
 
     def verify(cand: DataFrame, sets: DataFrame) -> DataFrame:
-        sa = sets.select(F.col("id").alias("id_a"),
-                         F.col("sids").alias("sh_a"))
-        sb = sets.select(F.col("id").alias("id_b"),
-                         F.col("sids").alias("sh_b"))
+        # the sets index is CORPUS-sized with array payloads —
+        # shuffle_hash hint so AQE can never broadcast-convert it
+        # (the dd_minhash_lsh sf10 OOM class, operators/dedup.py)
+        sa = (sets.select(F.col("id").alias("id_a"),
+                          F.col("sids").alias("sh_a"))
+              .hint("shuffle_hash"))
+        sb = (sets.select(F.col("id").alias("id_b"),
+                          F.col("sids").alias("sh_b"))
+              .hint("shuffle_hash"))
         jac = F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
         return (cand.join(sa, "id_a").join(sb, "id_b")
                 .withColumn("jaccard", jac)

@@ -17,7 +17,12 @@ Replicates the sf0.1 ``documents`` and ``embeddings`` tables 10x into
   dimensions, so the pagerank graph gets 10× edges over the same
   supplier set (denser, the harder direction) rather than 10 islands.
 
-Usage: python scripts/make_sf1.py [src_sf_dir] [dest_dir]
+Usage: python scripts/make_sf1.py [src_sf_dir] [dest_dir] [n_copies]
+
+``n_copies`` defaults to 10 (one decade).  The r10 second-decade
+spot-check uses ``make_sf1.py /root/testdata/sf0.1 /tmp/opr_sf10 100``
+— the per-copy word suffix stays bijective at any copy count, so the
+scaling properties above hold decade over decade.
 """
 from __future__ import annotations
 
@@ -30,13 +35,14 @@ import duckdb
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     dest = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/opr_sf1")
+    n_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     dest.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
     n_docs = con.execute(
         f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
     n_vecs = con.execute(
         f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
-    copies = ", ".join(str(c) for c in range(10))
+    copies = ", ".join(str(c) for c in range(n_copies))
     con.execute(f"""
         COPY (
             SELECT doc_id + c * {n_docs} AS doc_id,

@@ -126,6 +126,33 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
     walk(root, False)
 
 
+@pytest.mark.parametrize("name", ["dd_minhash_lsh", "dd_ngram_jaccard",
+                                  "dd_containment", "dd_incremental"])
+def test_verify_joins_never_broadcast(name, spark, sf_dir):
+    """The exact-verify joins ship the CORPUS-sized per-doc shingle-set
+    table (array payloads) to candidate pairs.  AQE broadcast-converts
+    them at mid scale — at sf10 (100x) the compressed shuffle bytes of
+    the sets side sit under the 64 MB auto-broadcast threshold while
+    the driver-side HashedRelation build blows the 8g heap (r10: the
+    first sf10 run of dd_minhash_lsh died exactly there), and at 100 TB
+    a corpus broadcast is fatal at any threshold.  The operators pin a
+    shuffle_hash hint on the sets sides; this test asserts the hint
+    reaches the physical plan — at least two ShuffledHashJoins and no
+    BroadcastHashJoin building an array-payload side."""
+    df = entrymod.queries()[name](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ShuffledHashJoin") >= 2, (
+        f"{name}: verify joins lost their shuffle_hash hint "
+        f"(ShuffledHashJoin x{plan.count('ShuffledHashJoin')})"
+    )
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert not any(c in line for c in ("sh_a", "sh_b", "s_a",
+                                               "s_b", "sh_n", "sh_o")), (
+                f"{name}: array-payload verify side broadcast: {line}"
+            )
+
+
 #: builders whose CONSTRUCTION legitimately executes Spark jobs:
 #: - dd_dup_groups / dd_apply: the connected-components contraction must
 #:   iterate to convergence — a data-dependent round count cannot be a
