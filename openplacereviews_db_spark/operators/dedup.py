@@ -577,18 +577,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         for r, row in enumerate(pdf["sids"]):
             m[r, [remap[int(s)] for s in row]] = 1.0
         # float32 GEMM is exact for integer counts < 2^24; divide in
-        # float64 so round(i/u, 6) is bit-identical with the SQL oracle
-        inter = (m @ m.T).astype(np.float64)
+        # float64 so round(i/u, 6) is bit-identical with the SQL oracle.
+        # Row-blocked: the whole n×n intersection matrix is O(n²) —
+        # a hot block would OOM the worker at scale (the r10 sf10
+        # lesson from similarity._GEMM_SLICE_ELEMS)
         sizes = m.sum(axis=1, dtype=np.float64)
-        union = sizes[:, None] + sizes[None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, inter / union, 0.0)
-        iu, ju = np.triu_indices(n, 1)
-        keep = jac[iu, ju] >= emit_floor
+        step = max(1, 4_000_000 // max(n, 1))
+        out_a, out_b, out_j = [], [], []
+        for i0 in range(0, n - 1, step):
+            inter = (m[i0:i0 + step] @ m.T).astype(np.float64)
+            union = sizes[i0:i0 + step, None] + sizes[None, :] - inter
+            with np.errstate(divide="ignore", invalid="ignore"):
+                jac = np.where(union > 0, inter / union, 0.0)
+            ii, jj = np.nonzero(jac >= emit_floor)
+            gi = ii + i0
+            keep = jj > gi  # strict upper triangle
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+            out_j.append(jac[ii[keep], jj[keep]])
         return pd.DataFrame({
-            "id_a": ids[iu[keep]],
-            "id_b": ids[ju[keep]],
-            "jac_raw": jac[iu, ju][keep],
+            "id_a": np.concatenate(out_a) if out_a else ids[:0],
+            "id_b": np.concatenate(out_b) if out_b else ids[:0],
+            "jac_raw": (np.concatenate(out_j) if out_j
+                        else np.array([], dtype=np.float64)),
         })
 
     pairs = encoded.groupBy("blk").applyInPandas(gemm, schema=out_schema)

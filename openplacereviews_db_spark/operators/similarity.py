@@ -210,6 +210,24 @@ def cosine_pairs_gemm(embs: DataFrame, threshold: float,
 #: ~(4096)² doubles ≈ 128 MB of similarities — comfortably in-memory
 _CHUNK_TARGET_ROWS = 4096
 
+#: cap on one sims SLICE in float64 elements (~32 MB per Python
+#: worker).  A GEMM kernel must NEVER materialize the whole n×n sims
+#: matrix of its group: at a 25k-row LSH bucket that is 5 GB of
+#: float64, and 32 concurrent workers OOM-killed the machine on the
+#: first sf10 (100×) run (r10).  Row-blocking bounds peak memory for
+#: ANY group size while computing bit-identical dot products (each
+#: 64-dim product is still one BLAS row×column pass).
+_GEMM_SLICE_ELEMS = 4_000_000
+
+
+def _sims_slices(m_left, m_right):
+    """Yield ``(row_offset, m_left[i0:i0+step] @ m_right.T)`` slices
+    with at most ``_GEMM_SLICE_ELEMS`` elements each."""
+    n_r = m_right.shape[0]
+    step = max(1, _GEMM_SLICE_ELEMS // max(n_r, 1))
+    for i0 in range(0, m_left.shape[0], step):
+        yield i0, m_left[i0:i0 + step] @ m_right.T
+
 
 def _auto_chunks(n_hint: int, cores: int) -> int:
     """Size the chunk grid from a row-count HINT (no Spark job): one
@@ -295,24 +313,36 @@ def cosine_pairs_blocked(embs: DataFrame, threshold: float,
         ids = pdf["id"].to_numpy(dtype=np.int64)
         m = np.array(list(pdf["v"]), dtype=np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        out_a, out_b, out_s = [], [], []
         if ca == cb:
-            sims = m @ m.T
-            iu, ju = np.triu_indices(len(pdf), 1)
-            vals = sims[iu, ju]
-            keep = vals >= emit_floor
-            return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                                 "sim_raw": vals[keep]})
-        left = (pdf["c"] == ca).to_numpy()
-        li, ri = np.nonzero(left)[0], np.nonzero(~left)[0]
-        if len(li) == 0 or len(ri) == 0:
+            # row-blocked (never the whole n×n sims matrix — see
+            # _GEMM_SLICE_ELEMS); jj > global row index keeps the
+            # strict upper triangle exactly as triu_indices did
+            for i0, sims in _sims_slices(m, m):
+                ii, jj = np.nonzero(sims >= emit_floor)
+                gi = ii + i0
+                keep = jj > gi
+                out_a.append(ids[gi[keep]])
+                out_b.append(ids[jj[keep]])
+                out_s.append(sims[ii[keep], jj[keep]])
+        else:
+            left = (pdf["c"] == ca).to_numpy()
+            li, ri = np.nonzero(left)[0], np.nonzero(~left)[0]
+            if len(li) == 0 or len(ri) == 0:
+                return empty
+            ml, mr = m[li], m[ri]
+            for i0, sims in _sims_slices(ml, mr):
+                ii, jj = np.nonzero(sims >= emit_floor)
+                ga, gb = ids[li[ii + i0]], ids[ri[jj]]
+                swap = ga > gb  # orient id_a < id_b whatever the chunks
+                out_a.append(np.where(swap, gb, ga))
+                out_b.append(np.where(swap, ga, gb))
+                out_s.append(sims[ii, jj])
+        if not out_a:
             return empty
-        sims = m[li] @ m[ri].T
-        ii, jj = np.nonzero(sims >= emit_floor)
-        ga, gb = ids[li[ii]], ids[ri[jj]]
-        swap = ga > gb  # orient so id_a < id_b regardless of chunk order
-        return pd.DataFrame({"id_a": np.where(swap, gb, ga),
-                             "id_b": np.where(swap, ga, gb),
-                             "sim_raw": sims[ii, jj]})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "sim_raw": np.concatenate(out_s)})
 
     pairs = tagged.groupBy("ca", "cb").applyInPandas(
         lambda pdf: gemm(pdf), schema=schema)
@@ -483,11 +513,20 @@ def cosine_pairs_lsh(embs: DataFrame, threshold: float,
         ids = pdf["id"].to_numpy(dtype=np.int64)
         m = np.array(list(pdf["v"]), dtype=np.float64)
         m = m / np.linalg.norm(m, axis=1, keepdims=True)
-        sims = m @ m.T
-        iu, ju = np.triu_indices(n, 1)
-        keep = sims[iu, ju] >= emit_floor
-        return pd.DataFrame({"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-                             "sim_raw": sims[iu, ju][keep]})
+        # row-blocked: a hot bucket's whole sims matrix is O(n²) —
+        # 5 GB float64 at 25k rows; 32 workers OOM-killed the machine
+        # on the first sf10 run (see _GEMM_SLICE_ELEMS)
+        out_a, out_b, out_s = [], [], []
+        for i0, sims in _sims_slices(m, m):
+            ii, jj = np.nonzero(sims >= emit_floor)
+            gi = ii + i0
+            keep = jj > gi  # strict upper triangle
+            out_a.append(ids[gi[keep]])
+            out_b.append(ids[jj[keep]])
+            out_s.append(sims[ii[keep], jj[keep]])
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "sim_raw": np.concatenate(out_s)})
 
     pairs = (
         src.groupBy("band_bucket").applyInPandas(
