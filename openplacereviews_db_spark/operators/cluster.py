@@ -39,6 +39,11 @@ def _haversine_py(lat1: float, lon1: float, lat2: float, lon2: float) -> float:
     return 2 * HAVERSINE_R_KM * 1000 * math.asin(math.sqrt(a))
 
 
+#: elements cap above which the greedy kernel stops precomputing full
+#: distance matrices and computes rows on demand (O(group) memory)
+_DIST_MATRIX_CAP_ELEMS = 4_000_000
+
+
 def greedy_group_rows(rows: list[dict], dist_m: float = 150.0) -> list[dict]:
     """The greedy loop on one tile's features (pure Python, unit-testable).
 
@@ -68,8 +73,42 @@ def greedy_group_rows(rows: list[dict], dist_m: float = 150.0) -> list[dict]:
              + np.cos(la) * np.cos(lb) * np.sin((bo - lo) / 2) ** 2)
         return 2 * HAVERSINE_R_KM * 1000 * np.arcsin(np.sqrt(h))
 
-    d_c = dist_matrix(deleted, created)
-    d_d = dist_matrix(deleted, deleted)
+    # the greedy loop only ever reads ROWS of the distance matrices —
+    # precompute them in full only while the matrices stay small (the
+    # vectorized fast path), and switch to on-demand row computation
+    # above the cap: a pathological hot tile would otherwise allocate
+    # O(group²) doubles in one worker (the r10 GEMM-kernel lesson,
+    # similarity._GEMM_SLICE_ELEMS).  Both paths evaluate the identical
+    # haversine expression elementwise, so values are bit-identical.
+    n_d, n_c = len(deleted), len(created)
+    if (n_d * max(n_c, 1) <= _DIST_MATRIX_CAP_ELEMS
+            and n_d * n_d <= _DIST_MATRIX_CAP_ELEMS):
+        d_c = dist_matrix(deleted, created)
+        d_d = dist_matrix(deleted, deleted)
+
+        def row_c(i: int) -> "np.ndarray":
+            return d_c[i]
+
+        def row_d(i: int) -> "np.ndarray":
+            return d_d[i]
+    else:
+        la_d = np.radians(np.array([r["lat"] for r in deleted]))
+        lo_d = np.radians(np.array([r["lon"] for r in deleted]))
+        la_c = np.radians(np.array([r["lat"] for r in created]))
+        lo_c = np.radians(np.array([r["lon"] for r in created]))
+
+        def _row(i: int, lb: "np.ndarray", bo: "np.ndarray") -> "np.ndarray":
+            h = (np.sin((lb - la_d[i]) / 2) ** 2
+                 + np.cos(la_d[i]) * np.cos(lb)
+                 * np.sin((bo - lo_d[i]) / 2) ** 2)
+            return 2 * HAVERSINE_R_KM * 1000 * np.arcsin(np.sqrt(h))
+
+        def row_c(i: int) -> "np.ndarray":
+            return _row(i, la_c, lo_c)
+
+        def row_d(i: int) -> "np.ndarray":
+            return _row(i, la_d, lo_d)
+
     used_c = np.zeros(len(created), dtype=bool)
     used_d = np.zeros(len(deleted), dtype=bool)
     out: list[dict] = []
@@ -80,12 +119,13 @@ def greedy_group_rows(rows: list[dict], dist_m: float = 150.0) -> list[dict]:
         group_del = [d]
         # nearest-first created pull (findNearestPointAndDelete analog)
         group_new = []
-        cand_idx = np.where(~used_c & (d_c[i] < dist_m))[0]
-        for j in cand_idx[np.argsort(d_c[i][cand_idx], kind="stable")]:
+        dci = row_c(i)
+        cand_idx = np.where(~used_c & (dci < dist_m))[0]
+        for j in cand_idx[np.argsort(dci[cand_idx], kind="stable")]:
             group_new.append(created[j])
             used_c[j] = True
         # then other deleted features near the seed, in id order
-        for j in np.where(~used_d & (d_d[i] < dist_m))[0]:
+        for j in np.where(~used_d & (row_d(i) < dist_m))[0]:
             group_del.append(deleted[j])
             used_d[j] = True
         for seq, r in enumerate(group_del + group_new):

@@ -78,6 +78,27 @@ def test_greedy_groups_golden():
     assert [i for _, i, _ in g3] == [3, 11]
 
 
+def test_greedy_groups_lazy_row_path_identical(monkeypatch):
+    """Above _DIST_MATRIX_CAP_ELEMS the kernel computes distance ROWS
+    on demand instead of full O(group²) matrices (a hot tile would
+    otherwise allocate gigabytes in one worker — the r10 GEMM-kernel
+    lesson).  Both paths evaluate the same haversine expression, so the
+    grouping must be IDENTICAL — pinned here by forcing the lazy path
+    on a randomized tile and comparing against the full-matrix path."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(120):
+        rows.append(_feat(i + 1, rng.uniform(0, 0.01), rng.uniform(0, 0.01),
+                          "deleted" if i % 3 == 0 else "created"))
+    want = cluster.greedy_group_rows(rows)
+    monkeypatch.setattr(cluster, "_DIST_MATRIX_CAP_ELEMS", 1)
+    got = cluster.greedy_group_rows(rows)
+    key = lambda r: (r["id"],)  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
+
+
 def test_greedy_groups_spark(spark):
     rows = [
         ("t", 1, 0.0, 0.0, "deleted"),
