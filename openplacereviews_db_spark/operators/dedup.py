@@ -524,7 +524,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", block_col: str | None = None,
                         shingle_words: int = 3,
                         min_jaccard: float = 0.2,
-                        overlapping_blocks: bool = False) -> DataFrame:
+                        overlapping_blocks: bool = False,
+                        slice_elems: int = 4_000_000) -> DataFrame:
     """Exact n-gram Jaccard pairs within blocks.
 
     ``overlapping_blocks=True`` declares that one document may appear in
@@ -582,7 +583,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         # a hot block would OOM the worker at scale (the r10 sf10
         # lesson from similarity._GEMM_SLICE_ELEMS)
         sizes = m.sum(axis=1, dtype=np.float64)
-        step = max(1, 4_000_000 // max(n, 1))
+        step = max(1, slice_elems // max(n, 1))
         out_a, out_b, out_j = [], [], []
         for i0 in range(0, n - 1, step):
             inter = (m[i0:i0 + step] @ m.T).astype(np.float64)

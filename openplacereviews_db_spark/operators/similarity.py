@@ -220,11 +220,14 @@ _CHUNK_TARGET_ROWS = 4096
 _GEMM_SLICE_ELEMS = 4_000_000
 
 
-def _sims_slices(m_left, m_right):
+def _sims_slices(m_left, m_right, cap: int = _GEMM_SLICE_ELEMS):
     """Yield ``(row_offset, m_left[i0:i0+step] @ m_right.T)`` slices
-    with at most ``_GEMM_SLICE_ELEMS`` elements each."""
+    with at most ``cap`` elements each.  ``cap`` is captured by VALUE
+    into the kernel closures (an executor re-imports the module, so a
+    driver-side monkeypatch of the global would never reach it) —
+    tests pass a tiny cap to force multi-slice execution."""
     n_r = m_right.shape[0]
-    step = max(1, _GEMM_SLICE_ELEMS // max(n_r, 1))
+    step = max(1, cap // max(n_r, 1))
     for i0 in range(0, m_left.shape[0], step):
         yield i0, m_left[i0:i0 + step] @ m_right.T
 
@@ -247,7 +250,8 @@ def _auto_chunks(n_hint: int, cores: int) -> int:
 def cosine_pairs_blocked(embs: DataFrame, threshold: float,
                          vec_col: str = "embedding", id_col: str = "vec_id",
                          chunks: int | None = None, n_hint: int | None = None,
-                         round_digits: int = 4) -> DataFrame:
+                         round_digits: int = 4,
+                         slice_elems: int = _GEMM_SLICE_ELEMS) -> DataFrame:
     """EXACT all pairs (a < b) with cosine >= threshold, fully
     distributed — nothing is ever collected to the driver.
 
@@ -318,7 +322,7 @@ def cosine_pairs_blocked(embs: DataFrame, threshold: float,
             # row-blocked (never the whole n×n sims matrix — see
             # _GEMM_SLICE_ELEMS); jj > global row index keeps the
             # strict upper triangle exactly as triu_indices did
-            for i0, sims in _sims_slices(m, m):
+            for i0, sims in _sims_slices(m, m, slice_elems):
                 ii, jj = np.nonzero(sims >= emit_floor)
                 gi = ii + i0
                 keep = jj > gi
@@ -331,7 +335,7 @@ def cosine_pairs_blocked(embs: DataFrame, threshold: float,
             if len(li) == 0 or len(ri) == 0:
                 return empty
             ml, mr = m[li], m[ri]
-            for i0, sims in _sims_slices(ml, mr):
+            for i0, sims in _sims_slices(ml, mr, slice_elems):
                 ii, jj = np.nonzero(sims >= emit_floor)
                 ga, gb = ids[li[ii + i0]], ids[ri[jj]]
                 swap = ga > gb  # orient id_a < id_b whatever the chunks
@@ -484,7 +488,8 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
 def cosine_pairs_lsh(embs: DataFrame, threshold: float,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      planes: int = 3, bands: int = 6,
-                     round_digits: int = 4) -> DataFrame:
+                     round_digits: int = 4,
+                     slice_elems: int = _GEMM_SLICE_ELEMS) -> DataFrame:
     """All-pairs near-duplicate search that scales: ``bands``
     independent random-hyperplane signatures of ``planes`` bits each;
     a pair is a candidate if it collides in ANY band (minhash-style
@@ -517,7 +522,7 @@ def cosine_pairs_lsh(embs: DataFrame, threshold: float,
         # 5 GB float64 at 25k rows; 32 workers OOM-killed the machine
         # on the first sf10 run (see _GEMM_SLICE_ELEMS)
         out_a, out_b, out_s = [], [], []
-        for i0, sims in _sims_slices(m, m):
+        for i0, sims in _sims_slices(m, m, slice_elems):
             ii, jj = np.nonzero(sims >= emit_floor)
             gi = ii + i0
             keep = jj > gi  # strict upper triangle

@@ -138,6 +138,45 @@ def test_blocked_pairs_exact_vs_gemm(spark, sf_dir):
         assert blocked == exact, (chunks, len(blocked), len(exact))
 
 
+def test_row_blocked_slices_identical(spark, sf_dir):
+    """The r10 memory fix row-blocks every pair-GEMM kernel at
+    ``slice_elems`` elements per sims slice; at test corpus sizes the
+    loop runs a single slice, so force MULTI-slice execution
+    (slice_elems=64 → one or two rows per slice) through all three
+    kernels and pin output equality with the default — slicing must
+    never change a pair or a value.  The cap is a kernel PARAMETER
+    (captured by value into the closure) because executors re-import
+    the module, so a driver-side monkeypatch of the global would never
+    reach them."""
+    from openplacereviews_db_spark.operators import dedup
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    docs = load_table(spark, "documents", sf_dir)
+
+    def lsh_pairs(cap):
+        return {(r["id_a"], r["id_b"]): r["sim"]
+                for r in similarity.cosine_pairs_lsh(
+                    embs, 0.40, slice_elems=cap).collect()}
+
+    def blocked_pairs(cap):
+        return {(r["id_a"], r["id_b"]): r["sim"]
+                for r in similarity.cosine_pairs_blocked(
+                    embs, 0.40, chunks=3, slice_elems=cap).collect()}
+
+    def ngram_pairs(cap):
+        return {(r["id_a"], r["id_b"]): r["jaccard"]
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, shingle_words=2, min_jaccard=0.1,
+                    slice_elems=cap).collect()}
+
+    for one_slice, sliced in (
+        (lsh_pairs(4_000_000), lsh_pairs(64)),
+        (blocked_pairs(4_000_000), blocked_pairs(64)),
+        (ngram_pairs(4_000_000), ngram_pairs(64)),
+    ):
+        assert sliced == one_slice and len(one_slice) > 0
+
+
 def test_gemm_bounded_contract(spark, sf_dir):
     """The broadcast GEMM kernel fails fast on an unbounded reference."""
     import pytest
