@@ -135,8 +135,10 @@ def main() -> None:
             print(f"# staged split {label} failed: {ex}", file=progress)
             # a failed build must be distinguishable from a fast one —
             # the first consumer will pay it inside its timed window
-            # (r9 ADVICE); negative duration = did not complete
-            staged_builds[label] = -round(time.time() - t0, 3)
+            # (r9 ADVICE); negative duration = did not complete.  Floor
+            # at 1 ms so a sub-0.5 ms failure never rounds to -0.0
+            # (== 0.0, invisible to a `< 0` check — r10 ADVICE)
+            staged_builds[label] = -max(round(time.time() - t0, 3), 0.001)
             continue
         staged_builds[label] = round(time.time() - t0, 3)
     for qname in ("x22_bucketed_lookup", "x75_smb_join", "dd_apply",
@@ -153,7 +155,7 @@ def main() -> None:
             fn(spark, sf_dir).collect()
         except Exception as ex:
             print(f"# staged build {qname} failed: {ex}", file=progress)
-            staged_builds[qname] = -round(time.time() - t0, 3)
+            staged_builds[qname] = -max(round(time.time() - t0, 3), 0.001)
             spark.catalog.clearCache()
             continue
         staged_builds[qname] = round(time.time() - t0, 3)

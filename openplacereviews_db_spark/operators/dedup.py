@@ -572,22 +572,78 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             return pd.DataFrame({"id_a": [], "id_b": [], "jac_raw": []})
         pdf = pdf.sort_values("id").reset_index(drop=True)
         ids = pdf["id"].to_numpy()
-        local = sorted({int(s) for row in pdf["sids"] for s in row})
-        remap = {s: i for i, s in enumerate(local)}
-        m = np.zeros((n, len(local)), dtype=np.float32)
-        for r, row in enumerate(pdf["sids"]):
-            m[r, [remap[int(s)] for s in row]] = 1.0
-        # float32 GEMM is exact for integer counts < 2^24; divide in
-        # float64 so round(i/u, 6) is bit-identical with the SQL oracle.
-        # Row-blocked: the whole n×n intersection matrix is O(n²) —
-        # a hot block would OOM the worker at scale (the r10 sf10
-        # lesson from similarity._GEMM_SLICE_ELEMS)
-        sizes = m.sum(axis=1, dtype=np.float64)
+        # CSR of the block's doc→shingle-id incidence (local vocab ids).
+        lens = np.fromiter((len(row) for row in pdf["sids"]), dtype=np.int64,
+                           count=n)
+        indptr = np.concatenate(([0], np.cumsum(lens)))
+        flat_sids = (np.concatenate([np.asarray(row, dtype=np.int64)
+                                     for row in pdf["sids"]])
+                     if indptr[-1] else np.empty(0, dtype=np.int64))
+        local, cols = np.unique(flat_sids, return_inverse=True)
+        vocab = len(local)
+        sizes = lens.astype(np.float64)
+        # Row-blocked either way: the whole n×n intersection matrix is
+        # O(n²) — a hot block would OOM the worker at scale (the r10
+        # sf10 lesson from similarity._GEMM_SLICE_ELEMS).  The DENSE
+        # incidence matrix is O(n·vocab), which for a hot block can
+        # dwarf the n² term (r10 ADVICE) — so the dense GEMM fast path
+        # only runs when n·vocab fits the same slice budget; otherwise a
+        # postings (CSC) sparse path computes the identical integer
+        # intersection counts with O(nnz + slice) memory.
+        dense = n * vocab <= max(slice_elems, 1)
+        if dense:
+            m = np.zeros((n, vocab), dtype=np.float32)
+            rows_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+            m[rows_of, cols] = 1.0
+        else:
+            # CSC postings: for each local shingle, the doc rows holding
+            # it.  collect_set guarantees (row, shingle) uniqueness, so
+            # intersection counts are plain event counts.
+            order = np.argsort(cols, kind="stable")
+            post_rows = np.repeat(np.arange(n, dtype=np.int64), lens)[order]
+            post_indptr = np.concatenate(
+                ([0], np.cumsum(np.bincount(cols, minlength=vocab))))
         step = max(1, slice_elems // max(n, 1))
         out_a, out_b, out_j = [], [], []
         for i0 in range(0, n - 1, step):
-            inter = (m[i0:i0 + step] @ m.T).astype(np.float64)
-            union = sizes[i0:i0 + step, None] + sizes[None, :] - inter
+            i1 = min(i0 + step, n)
+            if dense:
+                # float32 GEMM is exact for integer counts < 2^24.
+                inter = (m[i0:i1] @ m.T).astype(np.float64)
+            else:
+                inter = np.zeros((i1 - i0) * n, dtype=np.int64)
+                q_sids = cols[indptr[i0]:indptr[i1]]
+                q_of = np.repeat(np.arange(i1 - i0, dtype=np.int64),
+                                 lens[i0:i1])
+                post_lens = post_indptr[q_sids + 1] - post_indptr[q_sids]
+                # Chunk the (query-shingle → posting) event stream so no
+                # materialized array exceeds the slice budget.
+                cum = np.cumsum(post_lens)
+                a = 0
+                while a < len(q_sids):
+                    base_ev = cum[a - 1] if a else 0
+                    b = int(np.searchsorted(
+                        cum, base_ev + max(slice_elems, 1), side="right"))
+                    b = min(max(b, a + 1), len(q_sids))
+                    seg_lens = post_lens[a:b]
+                    tot = int(seg_lens.sum())
+                    if tot:
+                        starts = post_indptr[q_sids[a:b]]
+                        seg_ends = np.cumsum(seg_lens)
+                        # range-concatenation: event e in [0, tot) maps to
+                        # post_rows[starts[k] + (e - seg_start[k])]
+                        offs = (np.arange(tot, dtype=np.int64)
+                                - np.repeat(seg_ends - seg_lens, seg_lens))
+                        ev_rows = post_rows[np.repeat(starts, seg_lens)
+                                            + offs]
+                        ev_q = np.repeat(q_of[a:b], seg_lens)
+                        inter += np.bincount(ev_q * n + ev_rows,
+                                             minlength=(i1 - i0) * n)
+                    a = b
+                inter = inter.reshape(i1 - i0, n).astype(np.float64)
+            # divide in float64 so round(i/u, 6) is bit-identical with
+            # the SQL oracle
+            union = sizes[i0:i1, None] + sizes[None, :] - inter
             with np.errstate(divide="ignore", invalid="ignore"):
                 jac = np.where(union > 0, inter / union, 0.0)
             ii, jj = np.nonzero(jac >= emit_floor)

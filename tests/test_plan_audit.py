@@ -17,6 +17,8 @@ construction).
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 import __spark_entry__ as entrymod
@@ -145,10 +147,13 @@ def test_verify_joins_never_broadcast(name, spark, sf_dir):
         f"{name}: verify joins lost their shuffle_hash hint "
         f"(ShuffledHashJoin x{plan.count('ShuffledHashJoin')})"
     )
+    # match attribute TOKENS (name#id), not bare substrings — an
+    # unrelated attribute merely containing "s_a" must not trip the
+    # audit (r10 ADVICE)
+    attr = re.compile(r"\b(sh_a|sh_b|s_a|s_b|sh_n|sh_o)#\d+")
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
-            assert not any(c in line for c in ("sh_a", "sh_b", "s_a",
-                                               "s_b", "sh_n", "sh_o")), (
+            assert not attr.search(line), (
                 f"{name}: array-payload verify side broadcast: {line}"
             )
 
