@@ -155,12 +155,15 @@ _TRI_RADIUS_M = 150
 
 
 def _tri_points(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every 4th event as a point on the j2 synthetic 0.001° grid."""
+    """Every 4th event as a point on the j2 synthetic 0.001° grid
+    (density-constant: each 100k-id block gets its own longitude box —
+    see j2_proximity_pairs; block 0 covers every driver scale)."""
     ev = load_table(spark, "events", sf_dir).where(F.col("event_id") % 4 == 0)
     return ev.select(
         F.col("event_id").alias("id"),
         ((F.col("event_id") % 2000) * 0.001).alias("lat"),
-        (((F.col("event_id") * 7) % 2000) * 0.001).alias("lon"))
+        (((F.col("event_id") * 7) % 2000) * 0.001
+         + (F.expr("event_id div 100000") % 140) * 2.5).alias("lon"))
 
 
 def g11_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +226,8 @@ def _g11_oracle() -> str:
     WITH pts AS (
         SELECT event_id AS id,
                (event_id % 2000) * 0.001       AS lat,
-               ((event_id * 7) % 2000) * 0.001 AS lon
+               CAST(((event_id * 7) % 2000) * 0.001 AS DOUBLE)
+                 + ((event_id // 100000) % 140) * 2.5 AS lon
         FROM events WHERE event_id % 4 = 0),
     edges AS (
         SELECT x.id AS a, y.id AS b

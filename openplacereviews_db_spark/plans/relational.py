@@ -232,11 +232,21 @@ def j2_proximity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates — at 0.05° each cell held ~37× the radius in each axis,
     ~1300× more candidate pairs than needed (measured 4-6 s; now sub-s).
     The oracle is blocking-free (exact distance filter), so the cell
-    size provably cannot change the result."""
+    size provably cannot change the result.
+
+    The synthetic grid is DENSITY-CONSTANT across data decades: every
+    block of 100k event ids gets its own 2°-wide longitude box (0.5°
+    gaps ≫ 150 m, so boxes never interact) — 100 TB of events covers
+    more AREA at the same density, the way a real place corpus grows,
+    so pair counts scale linearly with rows instead of quadratically
+    (r10: stacked copies at sf10 densified one box to 2.5B pairs).
+    Block 0 spans every driver scale (sf0.1 tops out at id 99 999), so
+    values there are identical to the single-box grid."""
     cell = 0.002
     ev = _t(spark, sf_dir, "events")
     lat = (F.col("event_id") % 2000) * 0.001
-    lon = ((F.col("event_id") * 7) % 2000) * 0.001
+    lon = (((F.col("event_id") * 7) % 2000) * 0.001
+           + (F.expr("event_id div 100000") % 140) * 2.5)
     pts = ev.select(F.col("event_id").alias("id"), lat.alias("lat"), lon.alias("lon"))
     probes = (
         pts.where(F.col("id") % 20 == 0)
@@ -557,7 +567,8 @@ ORACLES: dict[str, str] = {
         WITH pts AS (
             SELECT event_id AS id,
                    (event_id % 2000) * 0.001       AS lat,
-                   ((event_id * 7) % 2000) * 0.001 AS lon
+                   CAST(((event_id * 7) % 2000) * 0.001 AS DOUBLE)
+                     + ((event_id // 100000) % 140) * 2.5 AS lon
             FROM events)
         SELECT DISTINCT a.id AS probe_id, b.id AS match_id,
                round({_HAVERSINE('a.lat', 'a.lon', 'b.lat', 'b.lon')}, 3) AS dist_m

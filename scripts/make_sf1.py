@@ -3,10 +3,20 @@
 Replicates the sf0.1 ``documents`` and ``embeddings`` tables 10x into
 /tmp/opr_sf1 (wiped on reboot — rerun before any sf1 measurement):
 
-- each document copy gets a per-copy BIJECTIVE word transform (every
-  word suffixed ``_c<i>``), so within-copy duplicate/near-dup structure
-  is preserved exactly and cross-copy overlap is zero — pairwise
-  workloads (LSH pairs, dup spans) scale exactly 10x;
+- each document copy gets a per-copy BIJECTIVE word transform: every
+  NON-stopword word is suffixed ``qz<i>`` (the ``qz`` bigram and
+  digits never occur in the corpus vocabulary — asserted below — so
+  the map is collision-free within and across copies), while words in
+  any language's stopword list pass through UNCHANGED.  Within-copy
+  duplicate/near-dup structure is preserved exactly (word-level
+  bijection ⇒ shingle-level bijection); the language-ID stopword
+  ratios and the quality score survive per copy (the r7..r10 ``_c<i>``
+  suffix zeroed stopword hits AND counted ``_`` as punctuation, so
+  ``curate_corpus``'s gates emptied at sf1/sf10); cross-copy overlap
+  is bounded by all-stopword shingles (measured ≤ 8.3 % of any doc's
+  shingles at sf0.1 — below every near-dup threshold) and cross-copy
+  EXACT duplicates are impossible (no document is all-stopwords,
+  asserted below) — pairwise workloads still scale exactly 10x;
 - embedding copies keep their vectors (distance workloads are
   value-insensitive) and offset ``vec_id`` by copy*N so ids stay unique;
 - ``customer`` / ``orders`` / ``lineitem`` replicate with consistent
@@ -31,6 +41,10 @@ from pathlib import Path
 
 import duckdb
 
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from openplacereviews_db_spark.operators.textstats import STOPWORDS  # noqa: E402
+
 
 def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
@@ -43,13 +57,30 @@ def main() -> None:
     n_vecs = con.execute(
         f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'").fetchone()[0]
     copies = ", ".join(str(c) for c in range(n_copies))
+    # bijectivity + gate-survival preconditions (see module docstring)
+    stoplist = ", ".join(
+        f"'{w}'" for w in sorted({w for ws in STOPWORDS.values() for w in ws}))
+    n_marker, n_allstop = con.execute(f"""
+        WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                   FROM '{src}/documents.parquet'),
+        per_doc AS (
+            SELECT doc_id,
+                   count(*) FILTER (w ~ '.*(qz|[0-9]).*') AS marked,
+                   count(*) FILTER (w <> ''
+                       AND lower(w) NOT IN ({stoplist})) AS non_stop
+            FROM w GROUP BY doc_id)
+        SELECT sum(marked), count(*) FILTER (non_stop = 0) FROM per_doc
+    """).fetchone()
+    assert not n_marker, f"{n_marker} source words contain 'qz' or digits"
+    assert not n_allstop, f"{n_allstop} all-stopword docs (cross-copy dups)"
     con.execute(f"""
         COPY (
             SELECT doc_id + c * {n_docs} AS doc_id,
                    array_to_string(list_transform(
                        string_split(text, ' '),
-                       w -> CASE WHEN w = '' THEN w
-                                 ELSE w || '_c' || c END), ' ') AS text,
+                       w -> CASE WHEN w = '' OR lower(w) IN ({stoplist})
+                                 THEN w
+                                 ELSE w || 'qz' || c END), ' ') AS text,
                    lang, source, n_chars
             FROM '{src}/documents.parquet',
                  unnest([{copies}]) AS t(c)
@@ -92,6 +123,14 @@ def main() -> None:
         f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
     n_evt = con.execute(
         f"SELECT max(event_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
+    # Align the per-copy event-id offset to the j2/g11 synthetic grid's
+    # 100k-id longitude-box blocks (plans/relational.py): each copy
+    # lands in its own spatial box, so proximity workloads scale
+    # LINEARLY with copies instead of densifying one box quadratically
+    # (the r10 sf10 artifact: 2.5B stacked-copy pairs).  100000 ≡ 0
+    # (mod 2000) also keeps every copy's relative grid geometry
+    # identical to the source's.
+    n_evt = max(n_evt, 100_000)
     # events keep their timestamps: 10x rows over the SAME day span is
     # the scale direction partitioned layouts face (fatter partitions,
     # same partition count), and user offsets keep each copy
