@@ -31,7 +31,7 @@ def main() -> None:
     # been observed here, swinging heavy queries 2-3x run to run).
     load_before = [round(x, 2) for x in os.getloadavg()]
 
-    spark = get_spark("bench")
+    spark = get_spark("bench", sf_dir=sf_dir)  # heap sized to the decade
     # The driver machine-parses stdout: keep it to EXACTLY one JSON
     # line.  Progress goes to a log file, Spark WARN chatter is
     # silenced, and (below) the session is stopped BEFORE the final

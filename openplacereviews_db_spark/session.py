@@ -20,10 +20,41 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def driver_mem_for(sf_dir: str | None) -> str:
+    """Heap for the single-JVM harness, derived from the data decade.
+
+    On a cluster this is per-executor memory and a deploy-time setting;
+    the local harness is one JVM holding every state-heavy operator's
+    working set at once (r10: g9_pagerank's localCheckpoint blocks and
+    st_sessionize's session state die at 8 GiB at sf10, complete at
+    32 GiB — BASELINE.md "decade → heap").  Rule: 8 GiB per started
+    400 MB of sf_dir parquet, clamped to [8, 48] GiB (the machine has
+    125 GiB; 48 leaves room for 32 python workers + co-tenants).
+    ``SPARK_GRAFT_DRIVER_MEM`` still overrides when set explicitly.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    mb = 0
+    if sf_dir and os.path.isdir(sf_dir):
+        for root, _dirs, files in os.walk(sf_dir):
+            for f in files:
+                try:
+                    mb += os.path.getsize(os.path.join(root, f)) // 2**20
+                except OSError:
+                    pass
+    return f"{min(48, max(8, 8 * ((mb + 399) // 400)))}g"
+
+
 def get_spark(app_name: str = "openplacereviews-db-spark",
               master: str | None = None,
-              shuffle_partitions: int | None = None) -> SparkSession:
-    """Build (or reuse) a SparkSession with the engine's standard config."""
+              shuffle_partitions: int | None = None,
+              sf_dir: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's standard config.
+
+    ``sf_dir`` (optional) sizes the harness heap to the data decade —
+    see :func:`driver_mem_for`.  Only effective before the JVM starts.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     builder = (
         SparkSession.builder.appName(app_name)
@@ -36,8 +67,7 @@ def get_spark(app_name: str = "openplacereviews-db-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", driver_mem_for(sf_dir))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Generated plans here can be enormous (closed-form OLC / name

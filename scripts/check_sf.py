@@ -27,7 +27,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     from openplacereviews_db_spark.session import get_spark
 
-    spark = get_spark("check_sf", shuffle_partitions=32)
+    spark = get_spark("check_sf", shuffle_partitions=32, sf_dir=sf_dir)
     duck = duckdb.connect()
     for t in ("region nation customer supplier part orders lineitem "
               "events documents embeddings").split():

@@ -39,7 +39,7 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from openplacereviews_db_spark.session import get_spark
 
-    spark = get_spark("r10measure")
+    spark = get_spark("r10measure", sf_dir=SF10)  # largest decade it reads
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
     out: dict = {"load_start": [round(x, 2) for x in os.getloadavg()]}

@@ -48,7 +48,7 @@ def main() -> None:
     from openplacereviews_db_spark.session import get_spark
 
     names = (sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT)
-    spark = get_spark("r10sf10smoke")
+    spark = get_spark("r10sf10smoke", sf_dir=SF10)  # decade-sized heap
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 

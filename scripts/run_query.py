@@ -54,7 +54,7 @@ def main() -> int:
 
     from openplacereviews_db_spark.session import get_spark
 
-    spark = get_spark("run_query", shuffle_partitions=32)
+    spark = get_spark("run_query", shuffle_partitions=32, sf_dir=ns.sf_dir)
     df = qs[ns.name](spark, ns.sf_dir)
     if ns.explain:
         df.explain("formatted")
