@@ -479,6 +479,18 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
     offset lives in the checkpoint (same-epoch commit discipline as the
     changelog fold above).
     """
+    on_batch = _neardup_batch(index_dir, pairs_dir, shingle_words,
+                              num_hashes, bands, min_jaccard)
+    return (docs_stream.writeStream.foreachBatch(on_batch)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True))
+
+
+def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
+                   num_hashes: int, bands: int, min_jaccard: float):
+    """The foreachBatch body of :func:`neardup_dedup_stream`, exposed so
+    tests can kill-restart the stream around it (the exactly-once
+    offset-log replay check, mirroring ``_exact_dedup_batch``)."""
     import os
 
     from ..functions import hashing as H
@@ -539,9 +551,7 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
         new_bands.coalesce(4).write.mode("append").parquet(bands_dir)
         new_sets.coalesce(4).write.mode("append").parquet(sets_dir)
 
-    return (docs_stream.writeStream.foreachBatch(on_batch)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True))
+    return on_batch
 
 
 def exact_dedup_once(spark: SparkSession, sf_dir: str) -> DataFrame:

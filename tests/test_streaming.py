@@ -805,3 +805,118 @@ def test_run_to_memory_restores_shuffle_conf(spark, tmp_path):
     prog = SP._LAST_STREAM_PROGRESS[0]
     ops = prog["stateOperators"]
     assert ops and all(op["numShufflePartitions"] == 2 for op in ops), ops
+
+
+def _kill_restart(spark, src, chk, inner, schema=None, text_gate=False):
+    """Run the parity-split stream twice on one checkpoint: run 1
+    commits batch 0 then dies entering batch 1 (injected), run 2 must
+    resume from the offset log and replay EXACTLY batch 1.  Returns
+    (epochs_run1, epochs_run2)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    epochs1: list[int] = []
+    epochs2: list[int] = []
+
+    def crash_before_batch1(df, epoch_id):
+        epochs1.append(int(epoch_id))
+        if int(epoch_id) >= 1:
+            raise RuntimeError("injected kill between micro-batches")
+        inner(df, epoch_id)
+
+    def resumed(df, epoch_id):
+        epochs2.append(int(epoch_id))
+        inner(df, epoch_id)
+
+    def start(fn):
+        docs = (spark.readStream.format("parquet")
+                .schema(schema or spark.read.parquet(src).schema)
+                .option("maxFilesPerTrigger", 1).load(src))
+        if text_gate:
+            from pyspark.sql import functions as F
+            docs = docs.where(F.length("text") > 0)
+        return (docs.writeStream.foreachBatch(fn)
+                .option("checkpointLocation", chk)
+                .trigger(availableNow=True).start())
+
+    q = start(crash_before_batch1)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination()
+    q2 = start(resumed)
+    q2.awaitTermination()
+    return epochs1, epochs2
+
+
+def test_exact_dedup_kill_restart_resumes_from_checkpoint(spark):
+    """r10 verdict item 4: st_exact_dedup maintains a persistent
+    fingerprint index whose crash-between-batch behavior was only
+    covered by the epoch-marker units — kill the stream between
+    micro-batches, restart from the checkpoint, and hash-compare the
+    final kept set to the uninterrupted run (itself driver-oracled
+    against the closed-form first-seen-wins rule; the reference's
+    offset-with-data analog, PlaceOpObjectHelper.java:194-255)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    root, src = SP._stage_parity_split(sf, "exactdd")
+    index_dir = os.path.join(root, "index_killrestart")
+    counts_dir = os.path.join(root, "counts_killrestart")
+    chk = os.path.join(root, "chk_killrestart")
+    for d in (index_dir, counts_dir, chk):
+        shutil.rmtree(d, ignore_errors=True)
+
+    inner = SP._exact_dedup_batch(index_dir, counts_dir)
+    e1, e2 = _kill_restart(spark, src, chk, inner, text_gate=True)
+    assert e1 == [0, 1]   # batch 0 committed, killed entering 1
+    assert e2 == [1]      # offset-log recovery replays ONLY batch 1
+
+    kept = spark.read.parquet(index_dir)
+    counts = (spark.read.parquet(counts_dir)
+              .groupBy("fp").agg(F.sum("c").alias("n_docs")))
+    final = sorted((r["fp"], r["keep_id"], r["n_docs"]) for r in
+                   kept.join(counts, "fp")
+                   .select("fp", "keep_id", "n_docs").collect())
+    want = sorted((r["fp"], r["keep_id"], r["n_docs"]) for r in
+                  SP.exact_dedup_once(spark, sf).collect())
+    assert len(final) > 0 and final == want
+    for d in (index_dir, counts_dir, chk):
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_neardup_kill_restart_resumes_from_checkpoint(spark):
+    """The near-dup twin of the exact-dedup kill-restart: the persistent
+    band/sets index is append-only, so a between-batch kill leaves
+    exactly batch 0's index; the restarted stream must replay only
+    batch 1 and the accumulated pair set must equal the uninterrupted
+    run's (itself driver-oracled against dd_minhash_lsh's batch LSH)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    root, src = SP._stage_parity_split(sf, "neardup")
+    index_dir = os.path.join(root, "index_killrestart")
+    pairs_dir = os.path.join(root, "pairs_killrestart")
+    chk = os.path.join(root, "chk_killrestart")
+    for d in (index_dir, pairs_dir, chk):
+        shutil.rmtree(d, ignore_errors=True)
+
+    inner = SP._neardup_batch(index_dir, pairs_dir, shingle_words=2,
+                              num_hashes=16, bands=8, min_jaccard=0.1)
+    e1, e2 = _kill_restart(spark, src, chk, inner, text_gate=True)
+    assert e1 == [0, 1] and e2 == [1]
+
+    lo, hi = F.least("id_a", "id_b"), F.greatest("id_a", "id_b")
+    final = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                   spark.read.parquet(pairs_dir)
+                   .select(lo.alias("id_a"), hi.alias("id_b"), "jaccard")
+                   .dropDuplicates(["id_a", "id_b"]).collect())
+    want = sorted((r["id_a"], r["id_b"], r["jaccard"]) for r in
+                  SP.neardup_once(spark, sf).collect())
+    assert len(final) > 0 and final == want
+    for d in (index_dir, pairs_dir, chk):
+        shutil.rmtree(d, ignore_errors=True)
