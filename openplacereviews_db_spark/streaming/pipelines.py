@@ -360,6 +360,116 @@ def user_totals_once(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.col("s.total_millis").alias("total_millis"))
 
 
+def _stage_time_nsplit(sf_dir: str, prefix: str, n: int) -> tuple[str, str]:
+    """Write-once staging of the EVENTS table as ``n`` chronological
+    parquet files (equal-count ts ranges, strict ``<`` cuts so equal
+    timestamps never straddle a boundary) plus one FLUSH file holding a
+    single sentinel event (user_id = -1) at max(ts) + gap + 1 h — the
+    production-shaped feed for watermark-bounded session state: each
+    micro-batch advances the watermark past the previous batch's
+    sessions, and the sentinel closes the final ones so append mode
+    emits every session.  Cache keyed on source mtime+size (the s17
+    rule); ts pre-normalized to epoch-micros BIGINT like
+    ``_stage_time_split``."""
+    import os
+    import tempfile
+
+    src_parquet = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src_parquet)
+    tag = (f"v1n{n}_{os.path.basename(os.path.normpath(sf_dir))}"
+           f"_{int(st.st_mtime)}_{st.st_size}")
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                        f"{prefix}_{tag}")
+    src = os.path.join(root, "src")
+    if not os.path.isdir(src) or len(os.listdir(src)) < n + 1:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(src_parquet, columns=["event_id", "user_id", "ts"])
+        ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us"), safe=False),
+                        pa.int64())
+        t = t.drop_columns(["ts"]).append_column("ts_us", ts_us)
+        sorted_ts = sorted(ts_us.to_pylist())
+        cuts = [sorted_ts[(len(sorted_ts) * i) // n] for i in range(1, n)]
+        cuts = sorted(set(cuts)) + [sorted_ts[-1] + 1]
+        os.makedirs(src, exist_ok=True)
+        paths, lo = [], None
+        for i, hi in enumerate(cuts):
+            mask = pc.less(t["ts_us"], hi)
+            if lo is not None:
+                mask = pc.and_(mask, pc.greater_equal(t["ts_us"], lo))
+            p = os.path.join(src, f"{i:05d}_batch.parquet")
+            pq.write_table(t.filter(mask), p)
+            paths.append(p)
+            lo = hi
+        flush = pa.table({
+            "event_id": pa.array([-1], pa.int64()),
+            "user_id": pa.array([-1], pa.int64()),
+            "ts_us": pa.array([sorted_ts[-1] + (30 + 60) * 60 * 1_000_000],
+                              pa.int64()),
+        })
+        p = os.path.join(src, f"{len(cuts):05d}_flush.parquet")
+        pq.write_table(flush, p)
+        paths.append(p)
+        _pin_batch_order(*paths)
+    return root, src
+
+
+def sessionize_bounded_once(spark: SparkSession, sf_dir: str,
+                            n_batches: int = 4,
+                            sink_dir: str | None = None) -> DataFrame:
+    """st_sessionize with WATERMARK-BOUNDED per-batch state — the
+    production shape of the r10 heap finding (BASELINE: one availableNow
+    micro-batch pushed the whole sf10 corpus's ~10M session rows through
+    the state stores and GC-killed an 8 GiB JVM; a real feed never sees
+    the corpus in one batch).  The events table streams as ``n_batches``
+    chronological micro-batches with a 0-second watermark: the strict
+    time cuts make nothing late, each batch evicts every session that
+    closed before the previous batch's max ts, and the sentinel flush
+    batch closes the rest — so APPEND mode emits exactly the sessions of
+    the one-shot complete-mode run (pytest-pinned), while state never
+    holds more than one time-slice of open sessions.
+
+    ``sink_dir`` routes the emitted sessions to a parquet file sink
+    (the at-scale path: a memory sink would re-buffer every session on
+    the driver and defeat the bound); default is the memory sink used
+    by the other driver-checkable streams."""
+    import os
+    import shutil
+
+    root, src = _stage_time_nsplit(sf_dir, "sessbnd", n_batches)
+    ev = (spark.readStream.format("parquet")
+          .schema("event_id long, user_id long, ts_us long")
+          .option("maxFilesPerTrigger", 1).load(src)
+          .withColumn("ts", F.timestamp_micros("ts_us")))
+    agg = (ev.withWatermark("ts", "0 seconds")
+           .groupBy(F.session_window("ts", "30 minutes").alias("s"),
+                    "user_id")
+           .agg(F.count(F.lit(1)).alias("n_events")))
+    if sink_dir is None:
+        out = _run_to_memory(agg, "append", state_partitions=8)
+    else:
+        chk = os.path.join(sink_dir, "_chk")
+        data = os.path.join(sink_dir, "data")
+        for d in (chk, data):
+            shutil.rmtree(d, ignore_errors=True)
+        before = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = (agg.writeStream.format("parquet")
+                 .option("path", data).option("checkpointLocation", chk)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", before)
+        _LAST_STREAM_PROGRESS[0] = q.lastProgress
+        out = spark.read.parquet(data)
+    return (out.where(F.col("user_id") >= 0)
+            .select("user_id", F.col("s.start").alias("session_start"),
+                    F.col("s.end").alias("session_end"), "n_events"))
+
+
 def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
     """Write-once staging of the documents corpus as TWO parquet files
     split on doc_id parity (batch_a = even, batch_b = odd), under a
