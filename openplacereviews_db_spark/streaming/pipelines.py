@@ -386,13 +386,18 @@ def _stage_time_nsplit(sf_dir: str, prefix: str, n: int) -> tuple[str, str]:
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
+        import numpy as np
+
         t = pq.read_table(src_parquet, columns=["event_id", "user_id", "ts"])
         ts_us = pc.cast(pc.cast(t["ts"], pa.timestamp("us"), safe=False),
                         pa.int64())
         t = t.drop_columns(["ts"]).append_column("ts_us", ts_us)
-        sorted_ts = sorted(ts_us.to_pylist())
-        cuts = [sorted_ts[(len(sorted_ts) * i) // n] for i in range(1, n)]
-        cuts = sorted(set(cuts)) + [sorted_ts[-1] + 1]
+        # numpy sort, not a python list — the sf100 probe stages 100M
+        # timestamps and a pylist sort is minutes + ~8 GB
+        sorted_ts = np.sort(ts_us.to_numpy())
+        cuts = [int(sorted_ts[(len(sorted_ts) * i) // n])
+                for i in range(1, n)]
+        cuts = sorted(set(cuts)) + [int(sorted_ts[-1]) + 1]
         os.makedirs(src, exist_ok=True)
         paths, lo = [], None
         for i, hi in enumerate(cuts):

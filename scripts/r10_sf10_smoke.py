@@ -19,7 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF10 = "/tmp/opr_sf10"
+SF10 = os.environ.get("SPARK_GRAFT_SMOKE_DIR", "/tmp/opr_sf10")
 
 DEFAULT = [
     # dedup family (LSH'd/blocked — pair growth linear by construction)
