@@ -137,11 +137,18 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # rows and paid its InMemoryRelation build inside the timed run);
     # three branches (band keys + both verify sides) read it with
     # column pruning into the cached batches.
+    # The verify sets hold xxhash64 shingle IDS, not strings — ~8 B vs
+    # ~35 B per shingle through the persist AND both verify-join
+    # shuffles (the neardup stream / ngram kernels' rule; r11 measured
+    # the string form holding 25.3 GB of live shuffle at sf10, the
+    # single-box wall at sf100).  Jaccard over ids equals Jaccard over
+    # strings barring a ~n²/2⁶⁵ collision, so the string-set oracle
+    # still applies value-for-value.
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)
     per_doc = exploded.withColumn("_mhb", base_h).groupBy("id").agg(
         *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set("s").alias("shingles"),
+        F.collect_set(F.xxhash64("s")).alias("shingles"),
     ).persist()
     banded = per_doc.select(
         "id",
