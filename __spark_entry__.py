@@ -43,7 +43,11 @@ _DRIVER_PRIORITY = [
     "p12_mercator_tiles", "g3_tile_grid", "p2_main_element",
     # (b) r11 plan changes: the j2/g11 synthetic point grid is now
     # density-constant across decades (per-100k-id longitude boxes) —
-    # values unchanged at driver scales (block 0), re-verified anyway
+    # values unchanged at driver scales (block 0), re-verified anyway.
+    # (dd_minhash_lsh's verify sets also changed string→xxhash64 id in
+    # r11 — pair set bit-identical, r9 driver row still value-valid,
+    # covered by the HEAD sweep + parity/plan-audit tests; it keeps its
+    # below-cut slot so the r7-stale cohort clears in full.)
     "j2_proximity_pairs", "g11_triangle_count",
     # (c) r7-stale cohort, 41 of 47 (next-stalest; heavy kernels and
     # streaming first, 5 trivial relational-kit plans deferred below)
