@@ -17,8 +17,23 @@ Replicates the sf0.1 ``documents`` and ``embeddings`` tables 10x into
   shingles at sf0.1 — below every near-dup threshold) and cross-copy
   EXACT duplicates are impossible (no document is all-stopwords,
   asserted below) — pairwise workloads still scale exactly 10x;
-- embedding copies keep their vectors (distance workloads are
-  value-insensitive) and offset ``vec_id`` by copy*N so ids stay unique;
+- each embedding copy is rotated by a per-copy random ORTHOGONAL
+  matrix (copy 0 keeps the identity, so the source rows appear
+  verbatim).  Rotation preserves every WITHIN-copy inner product /
+  cosine / Euclidean distance (up to float32 rounding), so per-copy
+  distance structure is exact, while CROSS-copy dot products are
+  decorrelated — without it all copies of a vector share every
+  hyperplane sign and collapse into the SAME LSH bucket, so bucket
+  populations scale ×copies instead of linearly (the r11 sf100 find:
+  emb_neardup_pairs' pre-kernel group-sort spilled to death at ×1000;
+  the j2 coordinate-stacking artifact in embedding clothing).
+  Consumer audit (what the rotation changes at scale): exact-verified
+  pair VALUES within a copy are preserved; LSH bucket assignments and
+  hence candidate RECALL are re-drawn per copy (the kernels'
+  recall-floor invariants still hold — recall is hash-marginal, not
+  per-draw); emb_semdedup/kmeans cluster shapes change because copies
+  stop being exact duplicates (more realistic, still seed-pinned);
+  ``vec_id`` offsets by copy*N keep ids unique;
 - ``customer`` / ``orders`` / ``lineitem`` replicate with consistent
   key offsets (c_custkey, o_orderkey/o_custkey, l_orderkey) so each
   copy is join-closed — the r7 spot-check of the non-dedup heavies
@@ -44,6 +59,53 @@ import duckdb
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from openplacereviews_db_spark.operators.textstats import STOPWORDS  # noqa: E402
+
+
+def _write_rotated_embeddings(src: str, dest: Path, n_copies: int,
+                              n_vecs: int) -> None:
+    """Replicate embeddings with a per-copy random orthogonal rotation.
+
+    Copy 0 is the identity (source rows verbatim); copy c>0 multiplies
+    every vector by Q_c from a seeded QR of a Gaussian matrix
+    (sign-fixed so Q is the unique QR factor).  Written incrementally,
+    one copy per row group, so sf100 (2M × 64 floats) never holds more
+    than one copy in flight beyond the float64 source matrix.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src_tbl = pq.read_table(f"{src}/embeddings.parquet",
+                            columns=["vec_id", "embedding", "label"])
+    vec_ids = src_tbl.column("vec_id").to_numpy()
+    labels = src_tbl.column("label").to_numpy()
+    emb = np.array(src_tbl.column("embedding").to_pylist(),
+                   dtype=np.float64)
+    d = emb.shape[1]
+    schema = pa.schema([
+        pa.field("vec_id", pa.int64()),
+        pa.field("embedding", pa.list_(pa.float32())),
+        pa.field("label", pa.int32()),
+    ])
+    with pq.ParquetWriter(str(dest / "embeddings.parquet"),
+                          schema) as writer:
+        for c in range(n_copies):
+            if c == 0:
+                rot = emb
+            else:
+                rng = np.random.default_rng(9_000_000 + c)
+                q, r = np.linalg.qr(rng.standard_normal((d, d)))
+                q *= np.sign(np.diag(r))  # unique factor, det-stable
+                rot = emb @ q.T
+            flat = rot.astype(np.float32).reshape(-1)
+            arr = pa.ListArray.from_arrays(
+                pa.array(np.arange(len(emb) + 1) * d, type=pa.int32()),
+                pa.array(flat, type=pa.float32()))
+            writer.write_table(pa.table({
+                "vec_id": pa.array(vec_ids + c * n_vecs, type=pa.int64()),
+                "embedding": arr,
+                "label": pa.array(labels, type=pa.int32()),
+            }, schema=schema))
 
 
 def main() -> None:
@@ -86,13 +148,7 @@ def main() -> None:
                  unnest([{copies}]) AS t(c)
         ) TO '{dest}/documents.parquet' (FORMAT PARQUET)
     """)
-    con.execute(f"""
-        COPY (
-            SELECT vec_id + c * {n_vecs} AS vec_id, embedding, label
-            FROM '{src}/embeddings.parquet',
-                 unnest([{copies}]) AS t(c)
-        ) TO '{dest}/embeddings.parquet' (FORMAT PARQUET)
-    """)
+    _write_rotated_embeddings(src, dest, n_copies, n_vecs)
     n_cust = con.execute(
         f"SELECT max(c_custkey) + 1 FROM '{src}/customer.parquet'").fetchone()[0]
     n_ord = con.execute(
