@@ -23,6 +23,8 @@ whole-stage codegen) — see ``functions.hashing``.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -150,36 +152,79 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
         F.collect_set(F.xxhash64("s")).alias("shingles"),
     ).persist()
+    # Verify INLINE in the band self-join: each banded row carries its
+    # doc's shingle-id set (a fixed bands× replication, ~constant bytes
+    # per doc), the join co-locates both sets, and exact Jaccard +
+    # threshold run before anything is shuffled again — only the
+    # surviving pairs (and their band-multiplicity duplicates, ≤ bands)
+    # reach the final dropDuplicates exchange.  The r1-r10 shape
+    # dedup'd candidates FIRST and then joined the per-doc sets to the
+    # candidate list, which shipped one set copy PER CANDIDATE through
+    # the pair-keyed exchanges: at sf10 (500k docs) the shuffle probe
+    # measured 13.5 GiB written on the second verify join plus 18.9 GiB
+    # of hash-agg spill deduping 260M raw collisions — 84 % of the
+    # query's 16.5 GiB live-disk peak, and the single-box ENOSPC wall
+    # at sf100.  Candidates scale linearly with the corpus (331k at
+    # sf0.1 → 32.6M at sf10, measured), so per-candidate set shipping
+    # is O(corpus) with a ~40× constant vs the banded rows' bands×;
+    # inline verify trades it for one extra Jaccard evaluation per raw
+    # band collision (≤ bands× per pair, ~2 µs each, embarrassingly
+    # parallel).  Values are identical: same candidate set (pairs
+    # sharing ≥1 band), same exact Jaccard, same threshold; the
+    # pair-dedup just moves after the filter, where rows for one pair
+    # are exact duplicates.
+    #
+    # Both join sides are CORPUS-sized with array payloads: pin
+    # shuffle_hash so AQE can never broadcast-convert them — at a mid
+    # scale the compressed shuffle bytes sit under the auto-broadcast
+    # threshold while the driver-side HashedRelation build blows the
+    # heap (r10: the first sf10 run died exactly there), and at 100 TB
+    # a corpus broadcast is fatal at any threshold.  The two sides are
+    # the same exchange after canonicalization, so ReusedExchange
+    # writes the banded frame once.
+    # Each banded row also carries the doc's full 16-value signature
+    # (128 B, ~+15 % on the banded exchange): a pair colliding in k
+    # bands appears k times in the join, and the signature lets each
+    # collision decide POSITIONALLY whether it is the pair's FIRST
+    # matching band — only that one evaluates the (~8x dearer) exact
+    # Jaccard and emits, so verify work is once per DISTINCT candidate
+    # and the output needs no dropDuplicates exchange at all.  The
+    # slice comparison is exact (band keys are md5 of the slices, so
+    # key-equality ⟺ slice-equality up to an md5 collision — the same
+    # equivalence the band join itself rests on).
+    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
     banded = per_doc.select(
-        "id",
-        F.explode(H.lsh_bands(
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
-            bands, rows)).alias("band"),
+        "id", "shingles", sig.alias("sig"),
+        F.posexplode(H.lsh_bands(sig, bands, rows)).alias("band_i", "band"),
     )
-    cand = (
-        banded.alias("a").join(banded.alias("b"), on="band")
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    # the sets side is CORPUS-sized with array payloads: hint it into a
-    # shuffled hash join so AQE can never broadcast-convert it — at a
-    # mid scale (sf10 measured) its compressed shuffle bytes sit under
-    # the auto-broadcast threshold while the driver-side HashedRelation
-    # build blows the heap, and at 100 TB a fact broadcast is fatal
-    # regardless (r10: first sf10 run of dd_minhash_lsh OOM'd exactly
-    # here; ShuffledHashJoin verified value-identical)
-    sets = per_doc.select("id", "shingles")
+    a_side, b_side = banded.alias("a"), banded.alias("b")
+    eq = F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                    lambda x, y: x.eqNullSafe(y))
+    band_eq = F.array(*[
+        functools.reduce(
+            lambda p, q: p & q,
+            [F.element_at(eq, i * rows + r + 1) for r in range(rows)])
+        for i in range(bands)])
     verified = (
-        cand.join(sets.select(F.col("id").alias("id_a"),
-                              F.col("shingles").alias("sh_a"))
-                  .hint("shuffle_hash"), on="id_a")
-        .join(sets.select(F.col("id").alias("id_b"),
-                          F.col("shingles").alias("sh_b"))
-              .hint("shuffle_hash"), on="id_b")
-        .withColumn("jaccard", F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6))
+        a_side.hint("shuffle_hash")
+        .join(b_side.hint("shuffle_hash"),
+              F.col("a.band") == F.col("b.band"))
+        .where(F.col("a.id") < F.col("b.id"))
+        # a.band_i == b.band_i whenever the keys match (the key embeds
+        # the band index); referencing BOTH keeps the two join inputs
+        # column-identical after pruning — reuse-friendly, though
+        # ReuseExchange still declines the pair today (the cached
+        # collect_set plan under both sides defeats sameResult), so the
+        # banded frame is written once per side (measured 2x 1.4 GiB at
+        # sf10 — 3 % of the shape this replaced)
+        .where(F.array_position(band_eq, F.lit(True)) ==
+               F.greatest(F.col("a.band_i"), F.col("b.band_i")) + 1)
+        .withColumn("jaccard",
+                    F.round(H.jaccard(F.col("a.shingles"),
+                                      F.col("b.shingles")), 6))
         .where(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
+        .select(F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"), "jaccard")
     )
     return verified
 

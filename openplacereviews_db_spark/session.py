@@ -68,7 +68,12 @@ def get_spark(app_name: str = "openplacereviews-db-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", driver_mem_for(sf_dir))
-        .config("spark.ui.enabled", "false")
+        # default off (a 200-query bench session pays UI bookkeeping for
+        # nothing); SPARK_GRAFT_UI=1 turns it on for the measurement
+        # probes that read per-stage shuffle metrics over the REST API
+        # (scripts/shuffle_probe.py)
+        .config("spark.ui.enabled",
+                "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Generated plans here can be enormous (closed-form OLC / name
         # cascade expression trees); retained-execution metadata and

@@ -128,22 +128,29 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
     walk(root, False)
 
 
-@pytest.mark.parametrize("name", ["dd_minhash_lsh", "dd_ngram_jaccard",
-                                  "dd_containment", "dd_incremental"])
-def test_verify_joins_never_broadcast(name, spark, sf_dir):
-    """The exact-verify joins ship the CORPUS-sized per-doc shingle-set
-    table (array payloads) to candidate pairs.  AQE broadcast-converts
-    them at mid scale — at sf10 (100x) the compressed shuffle bytes of
-    the sets side sit under the 64 MB auto-broadcast threshold while
-    the driver-side HashedRelation build blows the 8g heap (r10: the
-    first sf10 run of dd_minhash_lsh died exactly there), and at 100 TB
-    a corpus broadcast is fatal at any threshold.  The operators pin a
-    shuffle_hash hint on the sets sides; this test asserts the hint
-    reaches the physical plan — at least two ShuffledHashJoins and no
-    BroadcastHashJoin building an array-payload side."""
+@pytest.mark.parametrize("name,min_shj", [
+    # dd_minhash_lsh verifies INLINE in the band self-join (r11: one
+    # shuffle_hash join carrying both sets; the old dedup-then-join-sets
+    # shape shipped a set copy per candidate — 13.5 GiB at sf10)
+    ("dd_minhash_lsh", 1),
+    ("dd_ngram_jaccard", 2),
+    ("dd_containment", 2),
+    ("dd_incremental", 2),
+])
+def test_verify_joins_never_broadcast(name, min_shj, spark, sf_dir):
+    """The exact-verify joins ship CORPUS-sized shingle-set array
+    payloads.  AQE broadcast-converts them at mid scale — at sf10
+    (100x) the compressed shuffle bytes of a sets side sit under the
+    64 MB auto-broadcast threshold while the driver-side HashedRelation
+    build blows the 8g heap (r10: the first sf10 run of dd_minhash_lsh
+    died exactly there), and at 100 TB a corpus broadcast is fatal at
+    any threshold.  The operators pin a shuffle_hash hint on every
+    set-carrying side; this test asserts the hint reaches the physical
+    plan — the expected ShuffledHashJoins are present and no
+    BroadcastHashJoin builds an array-payload side."""
     df = entrymod.queries()[name](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert plan.count("ShuffledHashJoin") >= 2, (
+    assert plan.count("ShuffledHashJoin") >= min_shj, (
         f"{name}: verify joins lost their shuffle_hash hint "
         f"(ShuffledHashJoin x{plan.count('ShuffledHashJoin')})"
     )
