@@ -114,6 +114,12 @@ def main() -> None:
     n_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     dest.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    # stream the big COPYs: with insertion order preserved DuckDB
+    # buffers the whole replicated result before flushing — the sf100
+    # lineitem (600M rows) held >100 GB RSS and OOM'd the box.  Row
+    # order in these parquet files carries no semantics (the engine
+    # treats tables as unordered; every consumer tie-breaks).
+    con.execute("SET preserve_insertion_order=false")
     n_docs = con.execute(
         f"SELECT max(doc_id) + 1 FROM '{src}/documents.parquet'").fetchone()[0]
     n_vecs = con.execute(

@@ -43,7 +43,12 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from openplacereviews_db_spark.session import get_spark
 
-    spark = get_spark("shuffle_probe", shuffle_partitions=32, sf_dir=sf_dir)
+    # at sf100 the banded SHJ build sides want more, smaller partitions
+    # (32 x 440 MB concurrent builds crowd even the 48 g auto heap)
+    import os
+    nparts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    spark = get_spark("shuffle_probe", shuffle_partitions=nparts,
+                      sf_dir=sf_dir)
     sc = spark.sparkContext
     # the driver's DiskBlockManager roots (single-JVM: all executors share)
     local_root = Path("/tmp")
