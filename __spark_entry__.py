@@ -44,13 +44,16 @@ _DRIVER_PRIORITY = [
     # (b) r11 plan changes: the j2/g11 synthetic point grid is now
     # density-constant across decades (per-100k-id longitude boxes) —
     # values unchanged at driver scales (block 0), re-verified anyway.
-    # (dd_minhash_lsh's verify sets also changed string→xxhash64 id in
-    # r11 — pair set bit-identical, r9 driver row still value-valid,
-    # covered by the HEAD sweep + parity/plan-audit tests; it keeps its
-    # below-cut slot so the r7-stale cohort clears in full.)
     "j2_proximity_pairs", "g11_triangle_count",
-    # (c) r7-stale cohort, 41 of 47 (next-stalest; heavy kernels and
-    # streaming first, 5 trivial relational-kit plans deferred below)
+    # (b2) the r11 inline-verify redesign of minhash_lsh_pairs (exact
+    # Jaccard moved into the band self-join; values identical, plan
+    # reshaped) — every consumer of the shared function gets fresh
+    # driver evidence the round the plan changed
+    "dd_minhash_lsh", "dd_dup_groups", "dd_apply", "dd_apply_best",
+    "tx_group_split",
+    # (c) r7-stale cohort, 36 of 47 (next-stalest; heavy kernels and
+    # streaming first; 5 trivial relational-kit plans plus the 5
+    # displaced by block b2 lead the r12 rotation below the cut)
     "emb_kmeans", "m11_asof_snapshot", "st_exact_dedup", "j13_interval_join",
     "udf_expr_matchid", "g10_spatial_join", "dd_dup_spans_apply",
     "history_report", "s6_osm_export", "tx_bpe_vocab", "tx_bpe_encode",
@@ -62,10 +65,12 @@ _DRIVER_PRIORITY = [
     "x74_partition_prune", "x75_smb_join", "x76_dynamic_prune",
     "sk_hll_rollup", "emb_pq_encode", "s19_osm_datasource",
     "sk_bottomk_rollup", "dd_incremental", "x81_scd2_asof",
-    "x82_bitmap_days", "g13_hex_bin", "st_hll_distinct",
+    "x82_bitmap_days",
+    # --- 50-slot cut line: 7 + 2 + 5 + 36 = 50.  r12 leads with the
+    # ten r7-stale queries below (5 displaced by block b2 + the 5
+    # relational-kit plans deferred at the original cut).
+    "g13_hex_bin", "st_hll_distinct",
     "s1_osm_xml_roundtrip", "s5_staged_scan", "s2_diff_roundtrip",
-    # --- 50-slot cut line: 7 + 2 + 41 = 50.  r12 leads with the five
-    # deferred r7-stale relational-kit plans below.
     "w4_range_frame", "w5_rank_kit", "a13_agg_kit", "a11_pivot_matrix",
     "a12_unpivot_roundtrip",
     # r10/r9/r8-green blocks (freshest evidence — yield their slots)
@@ -87,8 +92,7 @@ _DRIVER_PRIORITY = [
     "x77_salted_join", "p13_variant_kit", "s21_corrupt_quarantine",
     "g15_border_zone", "mm_phash_dedup", "x92_retract_rollup",
     "s18_format_roundtrip", "tx_url_canon", "mm_phash_groups",
-    "dd_dup_groups", "dd_apply", "dd_apply_best", "tx_group_split",
-    "dd_minhash_lsh", "dd_ngram_jaccard", "dd_blocks", "emb_neardup_pairs",
+    "dd_ngram_jaccard", "dd_blocks", "emb_neardup_pairs",
     "emb_semdedup", "emb_scalar_quant", "ann_quant_rerank", "mm_resize",
     "q1_pricing_summary", "geo_tile_report", "sql_surface_report",
     "j11_asof_join", "j12_range_join", "x22_bucketed_lookup", "g7_zorder",
