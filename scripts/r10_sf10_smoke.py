@@ -48,7 +48,11 @@ def main() -> None:
     from openplacereviews_db_spark.session import get_spark
 
     names = (sys.argv[1].split(",") if len(sys.argv) > 1 else DEFAULT)
-    spark = get_spark("r10sf10smoke", sf_dir=SF10)  # decade-sized heap
+    # decade-sized heap; SPARK_GRAFT_SHUFFLE overrides the partition
+    # count (sf100 SHJ builds want 128 x ~160 MB, not 32 x ~625 MB)
+    spark = get_spark("r10sf10smoke", sf_dir=SF10,
+                      shuffle_partitions=int(
+                          os.environ.get("SPARK_GRAFT_SHUFFLE", "0")) or None)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
