@@ -182,49 +182,70 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # a corpus broadcast is fatal at any threshold.  The two sides are
     # the same exchange after canonicalization, so ReusedExchange
     # writes the banded frame once.
-    # Each banded row also carries the doc's full 16-value signature
-    # (128 B, ~+15 % on the banded exchange): a pair colliding in k
-    # bands appears k times in the join, and the signature lets each
+    # Each banded row also carries the doc's 16 minhash columns (128 B,
+    # ~+15 % on the banded exchange): a pair colliding in k bands
+    # appears k times in the join, and the raw columns let each
     # collision decide POSITIONALLY whether it is the pair's FIRST
     # matching band — only that one evaluates the (~8x dearer) exact
     # Jaccard and emits, so verify work is once per DISTINCT candidate
     # and the output needs no dropDuplicates exchange at all.  The
     # slice comparison is exact (band keys are md5 of the slices, so
     # key-equality ⟺ slice-equality up to an md5 collision — the same
-    # equivalence the band join itself rests on).
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    # equivalence the band join itself rests on).  The check is a
+    # CASE chain over plain column equalities — whole-stage codegen;
+    # the first cut of this shape used zip_with/array_position HOFs
+    # here and the interpreted eval cost ~2x the whole query at sf0.1
+    # (the per-collision path runs 260M times at sf10).
+    hcols = [f"h{i}" for i in range(num_hashes)]
     banded = per_doc.select(
-        "id", "shingles", sig.alias("sig"),
-        F.posexplode(H.lsh_bands(sig, bands, rows)).alias("band_i", "band"),
+        "id", "shingles", *hcols,
+        F.posexplode(H.lsh_bands(
+            F.array(*[F.col(h) for h in hcols]), bands, rows)
+        ).alias("band_i", "band"),
     )
     a_side, b_side = banded.alias("a"), banded.alias("b")
-    eq = F.zip_with(F.col("a.sig"), F.col("b.sig"),
-                    lambda x, y: x.eqNullSafe(y))
-    band_eq = F.array(*[
-        functools.reduce(
+
+    def band_eq(i: int) -> Column:
+        return functools.reduce(
             lambda p, q: p & q,
-            [F.element_at(eq, i * rows + r + 1) for r in range(rows)])
-        for i in range(bands)])
+            [F.col(f"a.h{i * rows + r}").eqNullSafe(
+                F.col(f"b.h{i * rows + r}")) for r in range(rows)])
+
+    first_band = F.when(band_eq(0), 0)
+    for i in range(1, bands):
+        first_band = first_band.when(band_eq(i), i)
+    # The whole predicate is ONE ordered And chain, because Catalyst
+    # folds it into the join CONDITION where common subexpressions are
+    # NOT eliminated and evaluation is per matched row — the first cut
+    # filtered in where() layers, Catalyst re-stacked them with the
+    # exact-Jaccard check (3 array_intersect hash-set builds per eval)
+    # ahead of the 1-comparison id guard, and the verify cost tripled.
+    # Order here is cheapest-first: id guard (1 cmp), first-band (≤16
+    # cmps; a.band_i == b.band_i whenever the keys match — referencing
+    # both keeps the join inputs column-identical after pruning), then
+    # a ONE-intersect necessary bound, and the exact rounded check only
+    # on pairs the bound admits.  The bound: round(j,6) ≥ t needs
+    # j ≥ t − 5e-7, i.e. inter ≥ (t−5e-7)(|A|+|B|)/(1+t−5e-7); a
+    # floor(·)−1 cutoff under-approximates that by ≪1 for any set
+    # sizes this corpus can produce (slack 1 absorbs every double
+    # rounding), so no true pair is lost and the expensive exact check
+    # runs only on the ~threshold-dense sliver.
+    sa, sb = F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
+    inter = F.size(F.array_intersect(F.col("a.shingles"),
+                                     F.col("b.shingles")))
+    jac = F.round(H.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
+    pre = inter >= (F.floor((sa + sb) * F.lit(min_jaccard)
+                            / F.lit(1.0 + min_jaccard)) - 1)
+    cond = ((F.col("a.id") < F.col("b.id"))
+            & (first_band ==
+               F.greatest(F.col("a.band_i"), F.col("b.band_i")))
+            & pre & (jac >= min_jaccard))
     verified = (
         a_side.hint("shuffle_hash")
         .join(b_side.hint("shuffle_hash"),
-              F.col("a.band") == F.col("b.band"))
-        .where(F.col("a.id") < F.col("b.id"))
-        # a.band_i == b.band_i whenever the keys match (the key embeds
-        # the band index); referencing BOTH keeps the two join inputs
-        # column-identical after pruning — reuse-friendly, though
-        # ReuseExchange still declines the pair today (the cached
-        # collect_set plan under both sides defeats sameResult), so the
-        # banded frame is written once per side (measured 2x 1.4 GiB at
-        # sf10 — 3 % of the shape this replaced)
-        .where(F.array_position(band_eq, F.lit(True)) ==
-               F.greatest(F.col("a.band_i"), F.col("b.band_i")) + 1)
-        .withColumn("jaccard",
-                    F.round(H.jaccard(F.col("a.shingles"),
-                                      F.col("b.shingles")), 6))
-        .where(F.col("jaccard") >= min_jaccard)
+              (F.col("a.band") == F.col("b.band")) & cond)
         .select(F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"), "jaccard")
+                F.col("b.id").alias("id_b"), jac.alias("jaccard"))
     )
     return verified
 

@@ -93,6 +93,8 @@ def main() -> int:
                     stages.append({
                         "stage": s["stageId"],
                         "name": s.get("name", "")[:80],
+                        "run_s": round(s.get("executorRunTime", 0) / 1e3, 1),
+                        "cpu_s": round(s.get("executorCpuTime", 0) / 1e9, 1),
                         "write_mb": round(s["shuffleWriteBytes"] / 2**20, 1),
                         "write_rec": s.get("shuffleWriteRecords", 0),
                         "read_mb": round(s["shuffleReadBytes"] / 2**20, 1),
