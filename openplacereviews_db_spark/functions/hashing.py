@@ -163,6 +163,24 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(un == 0, F.lit(0.0)).otherwise(inter.cast("double") / un.cast("double"))
 
 
+def jaccard_ge(a: Column, b: Column, threshold: float) -> Column:
+    """Ordered predicate ``round(jaccard(a, b), 6) >= threshold`` for
+    duplicate-free arrays — the form every verify stage should filter
+    with.  Catalyst folds verify filters into join CONDITIONS, where
+    common subexpressions are NOT eliminated, so the naive check costs
+    three array_intersect hash-set builds per candidate; here a
+    ONE-intersect necessary bound short-circuits the exact check down
+    to the near-threshold sliver.  The bound: round(j,6) ≥ t requires
+    j ≥ t − 5e-7, i.e. inter ≥ (t−5e-7)(|A|+|B|)/(1+t−5e-7); the
+    floor(·)−1 cutoff under-approximates that by ≪1 for any realistic
+    set sizes (slack 1 absorbs every double-rounding), so no true pair
+    is ever dropped and the And short-circuit keeps values identical."""
+    inter = F.size(F.array_intersect(a, b))
+    pre = inter >= (F.floor((F.size(a) + F.size(b)) * F.lit(threshold)
+                            / F.lit(1.0 + threshold)) - 1)
+    return pre & (F.round(jaccard(a, b), 6) >= threshold)
+
+
 # --- SimHash -----------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

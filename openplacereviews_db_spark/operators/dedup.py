@@ -230,16 +230,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # sizes this corpus can produce (slack 1 absorbs every double
     # rounding), so no true pair is lost and the expensive exact check
     # runs only on the ~threshold-dense sliver.
-    sa, sb = F.size(F.col("a.shingles")), F.size(F.col("b.shingles"))
-    inter = F.size(F.array_intersect(F.col("a.shingles"),
-                                     F.col("b.shingles")))
     jac = F.round(H.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
-    pre = inter >= (F.floor((sa + sb) * F.lit(min_jaccard)
-                            / F.lit(1.0 + min_jaccard)) - 1)
     cond = ((F.col("a.id") < F.col("b.id"))
             & (first_band ==
                F.greatest(F.col("a.band_i"), F.col("b.band_i")))
-            & pre & (jac >= min_jaccard))
+            & H.jaccard_ge(F.col("a.shingles"), F.col("b.shingles"),
+                           min_jaccard))
     verified = (
         a_side.hint("shuffle_hash")
         .join(b_side.hint("shuffle_hash"),
@@ -315,9 +311,12 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .join(sets.select(F.col("id").alias("id_b"),
                           F.col("sids").alias("s_b"))
               .hint("shuffle_hash"), on="id_b")
+        # ordered bound-then-exact predicate: Catalyst folds this into
+        # the second join's condition, where the one-intersect bound
+        # short-circuits the 3-intersect exact check (see jaccard_ge)
+        .where(H.jaccard_ge(F.col("s_a"), F.col("s_b"), min_jaccard))
         .withColumn("jaccard",
                     F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
-        .where(F.col("jaccard") >= min_jaccard)
         .select("id_a", "id_b", "jaccard")
     )
     return verified

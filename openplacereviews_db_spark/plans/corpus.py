@@ -2045,9 +2045,12 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still applies value-for-value
     return (
         cand.join(sets_new, on="id_new").join(sets_old, on="id_old")
+        # ordered bound-then-exact predicate (H.jaccard_ge): the
+        # one-intersect bound short-circuits the exact check inside
+        # the join condition Catalyst folds this into
+        .where(H.jaccard_ge(F.col("sh_n"), F.col("sh_o"), 0.1))
         .withColumn("jaccard",
                     F.round(H.jaccard(F.col("sh_n"), F.col("sh_o")), 6))
-        .where(F.col("jaccard") >= 0.1)
         .select("id_new", "id_old", "jaccard")
     )
 

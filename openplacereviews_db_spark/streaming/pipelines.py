@@ -625,9 +625,13 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
                           F.col("sids").alias("sh_b"))
               .hint("shuffle_hash"))
         jac = F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
+        # ordered bound-then-exact predicate (H.jaccard_ge): Catalyst
+        # folds the filter into the second join's condition, where the
+        # one-intersect bound short-circuits the 3-intersect exact check
         return (cand.join(sa, "id_a").join(sb, "id_b")
+                .where(H.jaccard_ge(F.col("sh_a"), F.col("sh_b"),
+                                    min_jaccard))
                 .withColumn("jaccard", jac)
-                .where(F.col("jaccard") >= min_jaccard)
                 .select("id_a", "id_b", "jaccard"))
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
