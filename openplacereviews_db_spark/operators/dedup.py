@@ -103,10 +103,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       fast_hash: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
-    Plan shape: one scan computes (id, shingles, signature); band keys are
-    exploded (bands× row amplification, constant factor); candidates join
-    on the band key (pure equi-join → hash shuffle on band); exact Jaccard
-    verifies each candidate once (dropDuplicates on the pair).
+    Plan shape (r11 inline-verify): one scan computes the per-doc state
+    (16 minhash columns + the xxhash64 shingle-id set); band keys are
+    posexploded (bands× row amplification, constant factor) WITH the
+    state on each row; the self-join on the band key co-locates both
+    docs' sets, and an ordered cheapest-first condition (id guard →
+    positional first-matching-band check → bound-then-exact Jaccard,
+    ``hashing.jaccard_ge``) verifies each DISTINCT candidate exactly
+    once inside the join — no candidate dedup exchange, no per-candidate
+    set shipping, no output dropDuplicates.
 
     The hash family is ONE base hash per shingle (md5 by default) fed
     through ``num_hashes`` universal-hash permutations
@@ -134,54 +139,50 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # (collect_set dedups on its own).  The shingle window already
     # hash-partitions by id, so this groupBy is exchange-free — the
     # whole (documents → per-doc state) stretch is a single shuffle.
-    # Only the compact per-doc frame is persisted (one row per doc, vs
-    # the r2-r4 shape that persisted the ~100x larger exploded shingle
-    # rows and paid its InMemoryRelation build inside the timed run);
-    # three branches (band keys + both verify sides) read it with
-    # column pruning into the cached batches.
+    # NOT persisted: the self-join's two banded exchanges each
+    # recompute this agg, but the word-shuffle exchange below it is
+    # deterministic and the duplicate agg CPU is cheaper than the
+    # corpus-sized InMemoryRelation build at every measured scale
+    # (interleaved A/B: 2.0 vs 2.3 s at sf0.1, 25.9 vs 42.3 s at sf10
+    # for nopersist vs persist) — and nothing pins executor memory.
     # The verify sets hold xxhash64 shingle IDS, not strings — ~8 B vs
-    # ~35 B per shingle through the persist AND both verify-join
-    # shuffles (the neardup stream / ngram kernels' rule; r11 measured
-    # the string form holding 25.3 GB of live shuffle at sf10, the
-    # single-box wall at sf100).  Jaccard over ids equals Jaccard over
-    # strings barring a ~n²/2⁶⁵ collision, so the string-set oracle
-    # still applies value-for-value.
+    # ~35 B per shingle through the banded exchanges (the neardup
+    # stream / ngram kernels' rule; r11 measured the string form
+    # holding 25.3 GB of live shuffle at sf10).  Jaccard over ids
+    # equals Jaccard over strings barring a ~n²/2⁶⁵ collision, so the
+    # string-set oracle still applies value-for-value.
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)
     per_doc = exploded.withColumn("_mhb", base_h).groupBy("id").agg(
         *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
         F.collect_set(F.xxhash64("s")).alias("shingles"),
-    ).persist()
+    )
     # Verify INLINE in the band self-join: each banded row carries its
     # doc's shingle-id set (a fixed bands× replication, ~constant bytes
-    # per doc), the join co-locates both sets, and exact Jaccard +
-    # threshold run before anything is shuffled again — only the
-    # surviving pairs (and their band-multiplicity duplicates, ≤ bands)
-    # reach the final dropDuplicates exchange.  The r1-r10 shape
-    # dedup'd candidates FIRST and then joined the per-doc sets to the
-    # candidate list, which shipped one set copy PER CANDIDATE through
-    # the pair-keyed exchanges: at sf10 (500k docs) the shuffle probe
-    # measured 13.5 GiB written on the second verify join plus 18.9 GiB
-    # of hash-agg spill deduping 260M raw collisions — 84 % of the
+    # per doc), the join co-locates both sets, and the whole verify
+    # runs inside the join condition — nothing heavier than surviving
+    # pairs is shuffled again.  The r1-r10 shape dedup'd candidates
+    # FIRST and then joined the per-doc sets to the candidate list,
+    # which shipped one set copy PER CANDIDATE through the pair-keyed
+    # exchanges: at sf10 (500k docs) the shuffle probe measured
+    # 13.5 GiB written on the second verify join plus 18.9 GiB of
+    # hash-agg spill deduping 260M raw collisions — 84 % of the
     # query's 16.5 GiB live-disk peak, and the single-box ENOSPC wall
     # at sf100.  Candidates scale linearly with the corpus (331k at
     # sf0.1 → 32.6M at sf10, measured), so per-candidate set shipping
-    # is O(corpus) with a ~40× constant vs the banded rows' bands×;
-    # inline verify trades it for one extra Jaccard evaluation per raw
-    # band collision (≤ bands× per pair, ~2 µs each, embarrassingly
-    # parallel).  Values are identical: same candidate set (pairs
-    # sharing ≥1 band), same exact Jaccard, same threshold; the
-    # pair-dedup just moves after the filter, where rows for one pair
-    # are exact duplicates.
+    # is O(corpus) with a ~40× constant vs the banded rows' bands×.
+    # Values are identical: same candidate set (pairs sharing ≥1
+    # band), same exact Jaccard, same threshold.
     #
     # Both join sides are CORPUS-sized with array payloads: pin
     # shuffle_hash so AQE can never broadcast-convert them — at a mid
     # scale the compressed shuffle bytes sit under the auto-broadcast
     # threshold while the driver-side HashedRelation build blows the
     # heap (r10: the first sf10 run died exactly there), and at 100 TB
-    # a corpus broadcast is fatal at any threshold.  The two sides are
-    # the same exchange after canonicalization, so ReusedExchange
-    # writes the banded frame once.
+    # a corpus broadcast is fatal at any threshold.  (ReuseExchange
+    # declines to share the two banded exchanges — collect_set under
+    # both defeats sameResult — so the banded frame is written once
+    # per side: 2×1.4 GiB at sf10, 3 % of the shape this replaced.)
     # Each banded row also carries the doc's 16 minhash columns (128 B,
     # ~+15 % on the banded exchange): a pair colliding in k bands
     # appears k times in the join, and the raw columns let each

@@ -73,7 +73,8 @@ def get_spark(app_name: str = "openplacereviews-db-spark",
         # probes that read per-stage shuffle metrics over the REST API
         # (scripts/shuffle_probe.py)
         .config("spark.ui.enabled",
-                "true" if os.environ.get("SPARK_GRAFT_UI") else "false")
+                "true" if os.environ.get("SPARK_GRAFT_UI", "0").lower()
+                not in ("", "0", "false") else "false")
         .config("spark.ui.showConsoleProgress", "false")
         # Generated plans here can be enormous (closed-form OLC / name
         # cascade expression trees); retained-execution metadata and

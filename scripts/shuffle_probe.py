@@ -40,19 +40,24 @@ def main() -> int:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     out_path = sys.argv[3] if len(sys.argv) > 3 else None
 
+    import os
+    # the per-stage REST metrics ARE this script's output — force the
+    # UI on unless the caller explicitly disabled it
+    os.environ.setdefault("SPARK_GRAFT_UI", "1")
+
     import __spark_entry__ as entrymod
     from openplacereviews_db_spark.session import get_spark
 
     # at sf100 the banded SHJ build sides want more, smaller partitions
     # (32 x 440 MB concurrent builds crowd even the 48 g auto heap)
-    import os
     nparts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    # snapshot the blockmgr dirs that already exist: stale dirs from
+    # crashed sessions must not count toward THIS query's live peak
+    local_root = Path("/tmp")
+    pre_existing = {str(p) for p in local_root.glob("blockmgr-*")}
     spark = get_spark("shuffle_probe", shuffle_partitions=nparts,
                       sf_dir=sf_dir)
     sc = spark.sparkContext
-    # the driver's DiskBlockManager roots (single-JVM: all executors share)
-    local_root = Path("/tmp")
-    blockmgrs = [str(p) for p in local_root.glob("blockmgr-*")]
 
     peak = {"bytes": 0, "t": 0.0}
     stop = threading.Event()
@@ -60,8 +65,9 @@ def main() -> int:
 
     def watch() -> None:
         while not stop.is_set():
-            dirs = [str(p) for p in local_root.glob("blockmgr-*")]
-            b = _du_bytes(dirs or blockmgrs)
+            dirs = [str(p) for p in local_root.glob("blockmgr-*")
+                    if str(p) not in pre_existing]
+            b = _du_bytes(dirs)
             if b > peak["bytes"]:
                 peak.update(bytes=b, t=time.time() - t0)
             stop.wait(0.5)

@@ -259,13 +259,17 @@ def test_minhash_single_shuffle_to_per_doc_state(spark, sf_dir):
 
     df = entrymod.queries()["dd_minhash_lsh"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    # the plan string repeats a cached subplan once per consumer, so
-    # count DISTINCT exchange nodes (the expr id identifies the node)
+    # count DISTINCT exchange nodes (the expr id identifies the node).
+    # The per-doc state is deliberately NOT cached (r11: the duplicate
+    # agg is cheaper than the corpus-sized InMemoryRelation build), so
+    # each self-join side carries its own copy of the stretch — one
+    # id-keyed exchange per side.  More than 2 means a distinct or a
+    # re-shuffled aggregate crept back into the stretch.
     id_exchanges = set(re.findall(
         r"Exchange hashpartitioning\(id#\d+L?, \d+\)", plan))
-    assert len(id_exchanges) == 1, (
-        f"expected exactly 1 distinct id-keyed exchange, found "
-        f"{len(id_exchanges)}: {sorted(id_exchanges)}")
+    assert 1 <= len(id_exchanges) <= 2, (
+        f"expected 1-2 distinct id-keyed exchanges (one per self-join "
+        f"side), found {len(id_exchanges)}: {sorted(id_exchanges)}")
 
 
 @pytest.mark.parametrize("name,allowed", [
