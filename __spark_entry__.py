@@ -26,97 +26,92 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
-#: evidence.  Round 11 executes the r10 verdict's rotation plan:
-#: (a) the 7 queries whose latest driver row is r6 — the oldest
-#: evidence left in the contract — lead; (b) this round's plan
-#: changes: j2_proximity_pairs / g11_triangle_count gained the
-#: density-constant per-100k-id longitude-box grid (values unchanged
-#: at driver scales — block 0 — but re-verified); (c) 41 of the 47
-#: r7-stale queries — after r11 no query's evidence predates r7, and
-#: the 5 deferred (trivial relational-kit plans, below the cut) lead
-#: the r12 rotation.
+#: evidence.  Round 12 finishes the evidence rotation (r11 verdict
+#: item 1): the 10 queries whose latest driver row is r7 (the oldest
+#: evidence in the contract) lead, and 40 of the 50 r8-cohort queries
+#: backfill the window — after this sample no query's evidence
+#: predates r8.  The 10 r8 queries deferred at the cut (trivial
+#: relational-kit plans) lead the r13 rotation, followed by the r9 /
+#: r10 / r11 cohorts in staleness order.
 _DRIVER_PRIORITY = [
-    # (a) the 7 queries whose latest driver evidence was r6 — the
-    # oldest in the contract after r10 (all trivial pure-column plans,
-    # deferred at r10's 50-cut; r10 verdict item 1)
-    "d1_date_kit", "t1_text_kit", "w1_running_total", "p10_name_tags",
-    "p12_mercator_tiles", "g3_tile_grid", "p2_main_element",
-    # (b) r11 plan changes: the j2/g11 synthetic point grid is now
-    # density-constant across decades (per-100k-id longitude boxes) —
-    # values unchanged at driver scales (block 0), re-verified anyway.
-    "j2_proximity_pairs", "g11_triangle_count",
-    # (b2) the r11 inline-verify redesign of minhash_lsh_pairs (exact
-    # Jaccard moved into the band self-join; values identical, plan
-    # reshaped) — every consumer of the shared function gets fresh
-    # driver evidence the round the plan changed
-    "dd_minhash_lsh", "dd_dup_groups", "dd_apply", "dd_apply_best",
-    "tx_group_split",
-    # (c) r7-stale cohort, 36 of 47 (next-stalest; heavy kernels and
-    # streaming first; 5 trivial relational-kit plans plus the 5
-    # displaced by block b2 lead the r12 rotation below the cut)
-    "emb_kmeans", "m11_asof_snapshot", "st_exact_dedup", "j13_interval_join",
-    "udf_expr_matchid", "g10_spatial_join", "dd_dup_spans_apply",
-    "history_report", "s6_osm_export", "tx_bpe_vocab", "tx_bpe_encode",
-    "emb_hard_negatives", "emb_rp_project", "st_stream_join",
-    "x63_compact_roundtrip", "tx_outlier_trim", "x64_bloom_prune",
-    "x65_hierarchy_flatten", "x66_ewma_features", "x69_ri_audit",
-    "x68_event_transitions", "st_enrich_join", "sk_hll_distinct",
-    "x71_scd2_build", "sk_kmv_setops", "x72_gapfill_locf",
-    "x74_partition_prune", "x75_smb_join", "x76_dynamic_prune",
-    "sk_hll_rollup", "emb_pq_encode", "s19_osm_datasource",
-    "sk_bottomk_rollup", "dd_incremental", "x81_scd2_asof",
-    "x82_bitmap_days",
-    # --- 50-slot cut line: 7 + 2 + 5 + 36 = 50.  r12 leads with the
-    # ten r7-stale queries below (5 displaced by block b2 + the 5
-    # relational-kit plans deferred at the original cut).
-    "g13_hex_bin", "st_hll_distinct",
-    "s1_osm_xml_roundtrip", "s5_staged_scan", "s2_diff_roundtrip",
-    "w4_range_frame", "w5_rank_kit", "a13_agg_kit", "a11_pivot_matrix",
-    "a12_unpivot_roundtrip",
-    # r10/r9/r8-green blocks (freshest evidence — yield their slots)
-    "id_bytes_roundtrip", "tx_token_counts", "tx_keyword_search",
-    "w2_event_deltas", "a4_place_types", "d3_aligned_windows", "dd_simhash",
-    "dd_simhash_pairs", "tx_fingerprints", "st_neardup_pairs", "dd_exact",
-    "dd_containment", "dd_dup_spans", "emb_neardup_lsh", "ann_cosine_topk",
-    "ann_knn_label", "ann_ivf_topk", "curate_corpus", "g2_proximity_groups",
-    "g9_pagerank", "g1_sessionize", "j1_argmax_join", "j4_match_cascade",
-    "j4_fuzzy_name_join", "j5_pick_merges", "j6_anti_join", "j7_semi_join",
-    "j10_latest_event", "m6_close_report", "m1m4_sync_ops",
-    "m10_tripadvisor_ops", "e1_snapshot_diff", "e9_extract_diff",
-    "e3_intersect_keys", "mm_decode_stats", "mm_feature_codes",
-    "mm_sample_frames", "tx_language_id", "tx_quality_score", "tx_bm25",
-    "a1_area_summary", "a2_images_size", "geoall_area_summary",
-    "p2_main_osm_element", "o1_distance_topk", "q3_segment_topk",
-    "q5_region_revenue", "s7_keys_scan", "s9_inverse_index_lookup",
-    "s17_schema_evolution", "st_scd2_upsert", "s20_orc_roundtrip",
-    "x77_salted_join", "p13_variant_kit", "s21_corrupt_quarantine",
-    "g15_border_zone", "mm_phash_dedup", "x92_retract_rollup",
-    "s18_format_roundtrip", "tx_url_canon", "mm_phash_groups",
-    "dd_ngram_jaccard", "dd_blocks", "emb_neardup_pairs",
-    "emb_semdedup", "emb_scalar_quant", "ann_quant_rerank", "mm_resize",
-    "q1_pricing_summary", "geo_tile_report", "sql_surface_report",
-    "j11_asof_join", "j12_range_join", "x22_bucketed_lookup", "g7_zorder",
-    "g8_zcell_scan", "sk_kmv_distinct", "sk_countmin",
-    "sk_bottomk_quantiles", "ev_funnel", "ev_retention", "ev_anomaly",
-    "d4_lenient_timestamps", "d5_multires_rollup", "d6_incremental_rollup",
-    "tx_pack_sequences", "tx_domain_cap", "tx_chunk_windows", "tx_bigram_lm",
-    "tx_classifier", "tx_weighted_sample", "tx_drift_report",
-    "tx_shard_manifest", "x84_twap", "o6_skyline", "x85_event_paths",
-    "x86_merkle_diff", "x87_window_dedup", "x88_benford",
-    "udtf_bigram_expand", "m12_fixture_verdicts", "sk_heavy_hitters",
-    "m9_apply_changelog", "m5_merge_ops", "m7_migrate_ids", "s14_pack_ops",
-    "s15_merge_upsert", "s13_geojson_features", "s4_adaptive_split",
-    "j3_border_correct", "j7_history_full_check", "p4_history_features",
-    "p6_change_classification", "p7_review_candidates",
-    "p11_json_extraction", "m8_placetype_ops", "a5_merge_counters",
-    "a7_first_last_wins", "a8_rollup_status_priority", "a9_cube_flags",
-    "a10_array_hof", "e2_config_delta", "e4_set_ops", "o4_topk_per_group",
-    "o5_orthogonal_distance", "d2_monthly_windows", "w3_percentiles",
+    # (a) r12 verdict item 1: the 10 queries whose latest driver
+    # evidence is r7 — the oldest left in the contract — lead the
+    # window (positions 0-9).
+    "g13_hex_bin", "st_hll_distinct", "s1_osm_xml_roundtrip",
+    "s5_staged_scan", "s2_diff_roundtrip", "w4_range_frame", "w5_rank_kit",
+    "a13_agg_kit", "a11_pivot_matrix", "a12_unpivot_roundtrip",
+    # (b) the r8 cohort backfills the window: 40 of its 50 queries
+    # (positions 10-49).  After r12 samples this window, no query's
+    # driver evidence predates r8.
+    "a10_array_hof", "a5_merge_counters", "e2_config_delta",
     "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",
-    "q6_revenue_delta", "q16_distinct_count", "q19_disjunctive_filter",
-    "st_event_rollup", "st_sessionize", "st_user_totals", "tx_boilerplate",
-    "tx_decontaminate", "tx_mix_weights", "tx_pii_scrub", "tx_repetition",
-    "tx_stratified_sample", "tx_tfidf_topk",
+    "j3_border_correct", "j7_history_full_check", "m12_fixture_verdicts",
+    "m5_merge_ops", "m7_migrate_ids", "m8_placetype_ops",
+    "m9_apply_changelog", "o6_skyline", "p11_json_extraction",
+    "p4_history_features", "p6_change_classification",
+    "p7_review_candidates", "q16_distinct_count", "s13_geojson_features",
+    "s14_pack_ops", "s15_merge_upsert", "s4_adaptive_split",
+    "sk_heavy_hitters", "st_event_rollup", "st_sessionize",
+    "st_user_totals", "tx_boilerplate", "tx_decontaminate",
+    "tx_mix_weights", "tx_pii_scrub", "tx_repetition",
+    "tx_stratified_sample", "tx_tfidf_topk", "udtf_bigram_expand",
+    "x84_twap", "x85_event_paths", "x86_merkle_diff", "x87_window_dedup",
+    "x88_benford",
+    # --- 50-slot cut line: 10 + 40 = 50.  The 10 r8 queries deferred
+    # at the cut (trivial pure-relational plans) lead the r13
+    # rotation.
+    "a7_first_last_wins", "a8_rollup_status_priority", "a9_cube_flags",
+    "e4_set_ops", "o4_topk_per_group", "o5_orthogonal_distance",
+    "d2_monthly_windows", "w3_percentiles", "q6_revenue_delta",
+    "q19_disjunctive_filter",
+    # r9-green cohort (next-stalest after the deferred r8 block)
+    "ann_quant_rerank", "d4_lenient_timestamps", "d5_multires_rollup",
+    "d6_incremental_rollup", "dd_blocks", "dd_ngram_jaccard",
+    "emb_neardup_pairs", "emb_scalar_quant", "emb_semdedup", "ev_anomaly",
+    "ev_funnel", "ev_retention", "g15_border_zone", "g7_zorder",
+    "g8_zcell_scan", "geo_tile_report", "j11_asof_join", "j12_range_join",
+    "mm_phash_dedup", "mm_phash_groups", "mm_resize", "p13_variant_kit",
+    "q1_pricing_summary", "s18_format_roundtrip", "s20_orc_roundtrip",
+    "s21_corrupt_quarantine", "sk_bottomk_quantiles", "sk_countmin",
+    "sk_kmv_distinct", "sql_surface_report", "st_scd2_upsert",
+    "tx_bigram_lm", "tx_chunk_windows", "tx_classifier", "tx_domain_cap",
+    "tx_drift_report", "tx_pack_sequences", "tx_shard_manifest",
+    "tx_url_canon", "tx_weighted_sample", "x22_bucketed_lookup",
+    "x77_salted_join", "x92_retract_rollup",
+    # r10-green cohort
+    "a1_area_summary", "a2_images_size", "a4_place_types",
+    "ann_cosine_topk", "ann_ivf_topk", "ann_knn_label", "curate_corpus",
+    "d3_aligned_windows", "dd_containment", "dd_dup_spans", "dd_exact",
+    "dd_simhash", "dd_simhash_pairs", "e1_snapshot_diff",
+    "e3_intersect_keys", "e9_extract_diff", "emb_neardup_lsh",
+    "g1_sessionize", "g2_proximity_groups", "g9_pagerank",
+    "geoall_area_summary", "id_bytes_roundtrip", "j10_latest_event",
+    "j1_argmax_join", "j4_fuzzy_name_join", "j4_match_cascade",
+    "j5_pick_merges", "j6_anti_join", "j7_semi_join",
+    "m10_tripadvisor_ops", "m1m4_sync_ops", "m6_close_report",
+    "mm_decode_stats", "mm_feature_codes", "mm_sample_frames",
+    "o1_distance_topk", "p2_main_osm_element", "q3_segment_topk",
+    "q5_region_revenue", "s17_schema_evolution", "s7_keys_scan",
+    "s9_inverse_index_lookup", "st_neardup_pairs", "tx_bm25",
+    "tx_fingerprints", "tx_keyword_search", "tx_language_id",
+    "tx_quality_score", "tx_token_counts", "w2_event_deltas",
+    # r11-green cohort (freshest evidence — yield their slots)
+    "d1_date_kit", "dd_apply", "dd_apply_best", "dd_dup_groups",
+    "dd_dup_spans_apply", "dd_incremental", "dd_minhash_lsh",
+    "emb_hard_negatives", "emb_kmeans", "emb_pq_encode", "emb_rp_project",
+    "g10_spatial_join", "g11_triangle_count", "g3_tile_grid",
+    "history_report", "j13_interval_join", "j2_proximity_pairs",
+    "m11_asof_snapshot", "p10_name_tags", "p12_mercator_tiles",
+    "p2_main_element", "s19_osm_datasource", "s6_osm_export",
+    "sk_bottomk_rollup", "sk_hll_distinct", "sk_hll_rollup",
+    "sk_kmv_setops", "st_enrich_join", "st_exact_dedup", "st_stream_join",
+    "t1_text_kit", "tx_bpe_encode", "tx_bpe_vocab", "tx_group_split",
+    "tx_outlier_trim", "udf_expr_matchid", "w1_running_total",
+    "x63_compact_roundtrip", "x64_bloom_prune", "x65_hierarchy_flatten",
+    "x66_ewma_features", "x68_event_transitions", "x69_ri_audit",
+    "x71_scd2_build", "x72_gapfill_locf", "x74_partition_prune",
+    "x75_smb_join", "x76_dynamic_prune", "x81_scd2_asof",
+    "x82_bitmap_days",
 ]
 
 

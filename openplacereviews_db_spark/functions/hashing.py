@@ -171,13 +171,18 @@ def jaccard_ge(a: Column, b: Column, threshold: float) -> Column:
     three array_intersect hash-set builds per candidate; here a
     ONE-intersect necessary bound short-circuits the exact check down
     to the near-threshold sliver.  The bound: round(j,6) ≥ t requires
-    j ≥ t − 5e-7, i.e. inter ≥ (t−5e-7)(|A|+|B|)/(1+t−5e-7); the
-    floor(·)−1 cutoff under-approximates that by ≪1 for any realistic
-    set sizes (slack 1 absorbs every double-rounding), so no true pair
-    is ever dropped and the And short-circuit keeps values identical."""
+    j ≥ t − 5e-7 =: t′, and j = i/(S−i) ≥ t′ ⇔ i ≥ t′·S/(1+t′) with
+    S = |A|+|B|.  The cutoff floor(t′·S/(1+t′)) − 1 is UNCONDITIONALLY
+    ≤ every admissible integer i (floor(x) ≤ x, and the slack 1 absorbs
+    the ≤1-ulp double error of t′·S/(1+t′) for any S < 2^52), so no
+    true pair is ever dropped at any set size.  (Computing the bound
+    from t instead of t′ is sound only while S·5e-7/(1+t)² < 1, i.e.
+    S ≲ 2e6 — r11 ADVICE; using t′ removes the limit.)  The And
+    short-circuit keeps values identical — the exact check decides."""
+    t_eff = threshold - 5e-7
     inter = F.size(F.array_intersect(a, b))
-    pre = inter >= (F.floor((F.size(a) + F.size(b)) * F.lit(threshold)
-                            / F.lit(1.0 + threshold)) - 1)
+    pre = inter >= (F.floor((F.size(a) + F.size(b)) * F.lit(t_eff)
+                            / F.lit(1.0 + t_eff)) - 1)
     return pre & (F.round(jaccard(a, b), 6) >= threshold)
 
 

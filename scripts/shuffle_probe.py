@@ -84,6 +84,7 @@ def main() -> int:
 
     ui = sc.uiWebUrl
     stages = []
+    app_id = None  # bound only if the /applications fetch succeeds
     try:
         with urllib.request.urlopen(f"{ui}/api/v1/applications") as r:
             app_id = json.load(r)[0]["id"]
@@ -117,6 +118,10 @@ def main() -> int:
     # to named operators (Exchange inputs, join probe rows, ...)
     sql_nodes = []
     try:
+        if app_id is None:
+            # the /applications fetch failed above; report THAT, not a
+            # misleading NameError from an unbound app_id (r11 ADVICE)
+            raise RuntimeError("skipped: stage fetch failed, app id unknown")
         with urllib.request.urlopen(
                 f"{ui}/api/v1/applications/{app_id}/sql?details=true"
                 "&planDescription=false&length=50") as r:

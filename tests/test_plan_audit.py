@@ -157,7 +157,10 @@ def test_verify_joins_never_broadcast(name, min_shj, spark, sf_dir):
     # match attribute TOKENS (name#id), not bare substrings — an
     # unrelated attribute merely containing "s_a" must not trip the
     # audit (r10 ADVICE)
-    attr = re.compile(r"\b(sh_a|sh_b|s_a|s_b|sh_n|sh_o)#\d+")
+    # 'shingles' covers the r11 inline band self-join, whose set
+    # payloads keep the source column name (r11 ADVICE: without it the
+    # broadcast assertion was vacuous for dd_minhash_lsh)
+    attr = re.compile(r"\b(sh_a|sh_b|s_a|s_b|sh_n|sh_o|shingles)#\d+")
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert not attr.search(line), (

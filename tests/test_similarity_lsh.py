@@ -364,3 +364,53 @@ def test_pq_codebook_vectors_encode_to_zero_error(spark):
         assert r["sqerr"] >= 0
         if r["id"] < 16:
             assert r["sqerr"] == 0, (r["id"], r["sqerr"])
+
+
+def test_jaccard_ge_prebound_unconditionally_sound():
+    """The jaccard_ge one-intersect pre-bound must never exceed the
+    true minimum intersection admitted by round(j,6) >= t — at ANY
+    combined set size S (r11 ADVICE: the old bound, computed from t
+    instead of t' = t-5e-7, silently over-cut beyond S ~ 2e6).
+
+    Soundness reduces to: cutoff(S) <= exact t'*S/(1+t') for all S,
+    because any admissible intersection i satisfies j >= t-5e-7 and
+    hence i >= t'*S/(1+t') (j = i/(S-i) is increasing in i).  The
+    cutoff mirrors hashing.jaccard_ge exactly: double-arithmetic
+    floor(S*t'/(1+t')) - 1."""
+    import math
+    from fractions import Fraction
+
+    for t_str in ("0.1", "0.4", "0.5", "0.7", "0.9"):
+        t = float(t_str)
+        t_eff = t - 5e-7
+        t_exact = Fraction(t_str) - Fraction(5, 10**7)
+        old_unsound_at = None
+        for exp in range(1, 13):  # S from 10 to 1e12
+            for mult in (1, 3, 7):
+                s = mult * 10**exp
+                cutoff = math.floor(s * t_eff / (1.0 + t_eff)) - 1
+                exact_min = t_exact * s / (1 + t_exact)
+                assert cutoff <= exact_min, (t, s, cutoff, float(exact_min))
+                old_cutoff = math.floor(s * t / (1.0 + t)) - 1
+                if old_cutoff > exact_min and old_unsound_at is None:
+                    old_unsound_at = s
+        # the test has teeth: the pre-fix bound really was unsound
+        # somewhere in the sweep (first failure ~ 2e6/(1+t)^2 sets)
+        assert old_unsound_at is not None, t
+
+
+def test_jaccard_ge_exact_threshold_boundary(spark):
+    """A pair sitting EXACTLY on the threshold (j == t) must be
+    admitted, and one strictly below must not — the And short-circuit
+    may only ever prune below the exact check."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions import hashing as H
+
+    df = spark.createDataFrame(
+        [(["a", "b", "c"], ["a", "b", "d"]),   # inter=2 S=6 j=2/4=0.5
+         (["a", "x", "y"], ["a", "p", "q"])],  # inter=1 S=6 j=1/5=0.2
+        "sa array<string>, sb array<string>")
+    got = [r[0] for r in df.select(
+        H.jaccard_ge(F.col("sa"), F.col("sb"), 0.5)).collect()]
+    assert got == [True, False]
