@@ -40,7 +40,12 @@ _DRIVER_PRIORITY = [
     "g13_hex_bin", "st_hll_distinct", "s1_osm_xml_roundtrip",
     "s5_staged_scan", "s2_diff_roundtrip", "w4_range_frame", "w5_rank_kit",
     "a13_agg_kit", "a11_pivot_matrix", "a12_unpivot_roundtrip",
-    # (b) the r8 cohort backfills the window: 40 of its 50 queries
+    # (a2) m11_asof_snapshot's plan changed this round (the X53 as-of
+    # fold now reads the block-partitioned staged op log so the as-of
+    # predicate is a real PartitionFilters prune — values identical);
+    # plan changes get fresh driver evidence the round they land
+    "m11_asof_snapshot",
+    # (b) the r8 cohort backfills the window: 39 of its 50 queries
     # (positions 10-49).  After r12 samples this window, no query's
     # driver evidence predates r8.
     "a10_array_hof", "a5_merge_counters", "e2_config_delta",
@@ -56,10 +61,10 @@ _DRIVER_PRIORITY = [
     "tx_mix_weights", "tx_pii_scrub", "tx_repetition",
     "tx_stratified_sample", "tx_tfidf_topk", "udtf_bigram_expand",
     "x84_twap", "x85_event_paths", "x86_merkle_diff", "x87_window_dedup",
-    "x88_benford",
-    # --- 50-slot cut line: 10 + 40 = 50.  The 10 r8 queries deferred
-    # at the cut (trivial pure-relational plans) lead the r13
+    # --- 50-slot cut line: 10 + 1 + 39 = 50.  The 11 r8 queries
+    # deferred at the cut (trivial pure-relational plans) lead the r13
     # rotation.
+    "x88_benford",
     "a7_first_last_wins", "a8_rollup_status_priority", "a9_cube_flags",
     "e4_set_ops", "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles", "q6_revenue_delta",
@@ -101,7 +106,7 @@ _DRIVER_PRIORITY = [
     "emb_hard_negatives", "emb_kmeans", "emb_pq_encode", "emb_rp_project",
     "g10_spatial_join", "g11_triangle_count", "g3_tile_grid",
     "history_report", "j13_interval_join", "j2_proximity_pairs",
-    "m11_asof_snapshot", "p10_name_tags", "p12_mercator_tiles",
+    "p10_name_tags", "p12_mercator_tiles",
     "p2_main_element", "s19_osm_datasource", "s6_osm_export",
     "sk_bottomk_rollup", "sk_hll_distinct", "sk_hll_rollup",
     "sk_kmv_setops", "st_enrich_join", "st_exact_dedup", "st_stream_join",

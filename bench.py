@@ -146,7 +146,7 @@ def main() -> None:
                   "s1_osm_xml_roundtrip", "x74_partition_prune",
                   "s2_diff_roundtrip", "x63_compact_roundtrip",
                   "s18_format_roundtrip", "s20_orc_roundtrip",
-                  "dd_incremental"):
+                  "dd_incremental", "m9_apply_changelog"):
         fn = entrymod.queries().get(qname)
         if fn is None:
             continue

@@ -15,12 +15,15 @@ tables:
 
 from __future__ import annotations
 
+import os
+import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import changelog as C
+from ..sources import staging
 from ..sources.testdata import load_table
 
 
@@ -29,14 +32,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def m9_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fold a synthetic changelog (create/edit/delete) and project the
+    """Fold the staged changelog (create/edit/delete) and project the
     snapshot; differential for apply_operations (M9).
 
     block 0: every order creates ``{"status": ..., "lines": {}}``;
     block 1: every lineitem edits ``lines.{linenumber} := quantity``;
     block 2: 'F'-status orders are deleted.
+
+    The log is read from the block-partitioned staged layout (see
+    ``_oplog_stage``) — the reference's op log IS a stored table
+    (OpBlockChain persisted block by block, OpBlockchainRules.java
+    block replay), so the fold's input is a parquet scan, not an
+    on-the-fly reshape of the driver tables.
     """
-    return _fold_and_project(spark, _synthetic_oplog(spark, sf_dir))
+    return _fold_and_project(spark, spark.read.parquet(
+        _oplog_stage(spark, sf_dir)))
 
 
 def _synthetic_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -76,16 +86,39 @@ def _synthetic_oplog(spark: SparkSession, sf_dir: str) -> DataFrame:
     return creates.unionByName(edits).unionByName(deletes)
 
 
+def _oplog_stage(spark: SparkSession, sf_dir: str) -> str:
+    """Write-once staged op log, hive-partitioned by ``block_id``
+    (``block_id=<n>/`` dirs) — the storage layout a 100 TB versioned
+    object log lives in (the reference persists OpBlockChain block by
+    block; a block IS a partition).  Keyed on BOTH source parquets'
+    mtime+size (stale-cache rule: driver testdata drifts between
+    rounds).  Returns the layout directory; readers scan parquet and
+    as-of readers get metadata-time partition pruning for free."""
+    fp = (f"{staging.source_fingerprint(sf_dir, 'orders')}_"
+          f"{staging.source_fingerprint(sf_dir, 'lineitem')}")
+    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
+    data_dir = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
+                            f"oplog_{tag}", "data")
+    if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
+        (_synthetic_oplog(spark, sf_dir)
+         .write.mode("overwrite").partitionBy("block_id")
+         .parquet(data_dir))
+    return data_dir
+
+
 def m11_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X53 time-travel read of the versioned op log: the SAME fold as
     ``m9_apply_changelog`` restricted to ``block_id <= 1`` — the state
     as of block 1, BEFORE block 2's deletes ran (the reference's object
     log is versioned by block and historical state is re-derivable from
-    a block-bounded fold, OpBlockChain semantics).  At 100 TB the as-of
-    predicate prunes whole block partitions before the fold shuffles
-    anything — time travel costs a partition filter, not a second copy
-    of the data."""
-    ops = _synthetic_oplog(spark, sf_dir).where(F.col("block_id") <= 1)
+    a block-bounded fold, OpBlockChain semantics).  The as-of predicate
+    lands in the staged layout's scan as a PartitionFilter — block 2's
+    directory is pruned at metadata time, before any IO or shuffle
+    (tests/test_changelog.py::test_m11_asof_prunes_block_partitions
+    asserts the filter reaches the scan node) — so time travel costs a
+    partition filter, not a second copy of the data."""
+    ops = (spark.read.parquet(_oplog_stage(spark, sf_dir))
+           .where(F.col("block_id") <= 1))
     return _fold_and_project(spark, ops)
 
 

@@ -215,3 +215,36 @@ def test_dumps_sorted_impl_agreement():
     except ImportError:
         return
     assert orjson.dumps(doc, option=orjson.OPT_SORT_KEYS).decode() == stdlib
+
+
+def test_m11_asof_prunes_block_partitions(spark, sf_dir):
+    """X53 time travel must be a metadata-time prune, not a filtered
+    full scan: the as-of predicate (block_id <= 1) appears in the op-log
+    scan's PartitionFilters, the staged layout really holds MORE blocks
+    than the as-of bound (so the prune is non-trivial), and m9's
+    unpruned scan of the same layout carries no block filter."""
+    from openplacereviews_db_spark.plans import oplog
+
+    data_dir = oplog._oplog_stage(spark, sf_dir)
+    import os
+    block_dirs = sorted(d for d in os.listdir(data_dir)
+                        if d.startswith("block_id="))
+    assert block_dirs == ["block_id=0", "block_id=1", "block_id=2"]
+
+    plan = (oplog.m11_asof_snapshot(spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString())
+    scan = plan[plan.index("FileScan"):]
+    pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
+    assert "block_id" in pf and "1" in pf, pf
+
+    m9_plan = (oplog.m9_apply_changelog(spark, sf_dir)
+               ._jdf.queryExecution().executedPlan().toString())
+    m9_scan = m9_plan[m9_plan.index("FileScan"):]
+    m9_pf = m9_scan[m9_scan.index("PartitionFilters"):].split("]", 1)[0]
+    assert "block_id" not in m9_pf, m9_pf
+
+    # the prune is real: the as-of fold never sees block 2's deletes,
+    # so every folded object is live (m9 drops the 'F' orders)
+    n_asof = oplog.m11_asof_snapshot(spark, sf_dir).count()
+    n_now = oplog.m9_apply_changelog(spark, sf_dir).count()
+    assert n_asof > n_now > 0

@@ -203,6 +203,9 @@ EAGER_BUILD_OK = {"dd_dup_groups",  # live CC loop (the contraction demo)
                   "s18_format_roundtrip",  # write-once CSV/JSON stage
                   "x74_partition_prune",  # write-once partitioned
                   # layout + 1-row min-day sidecar at staging
+                  "m9_apply_changelog", "m11_asof_snapshot",
+                  # ^ shared write-once block-partitioned op-log stage
+                  # (m11's as-of prune needs a real partitioned scan)
                   "x76_dynamic_prune",  # same shared partitioned stage
                   "emb_pq_encode",  # 16-row codebook collect at build
                   "dd_incremental",  # write-once band-index stage
