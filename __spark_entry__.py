@@ -45,7 +45,11 @@ _DRIVER_PRIORITY = [
     # predicate is a real PartitionFilters prune — values identical);
     # plan changes get fresh driver evidence the round they land
     "m11_asof_snapshot",
-    # (b) the r8 cohort backfills the window: 39 of its 50 queries
+    # (a3) emb_neardup_hi is NEW this round (r11 verdict item 3: the
+    # production-threshold near-dup census over the planted-structure
+    # corpus) — new queries sample the round they land
+    "emb_neardup_hi",
+    # (b) the r8 cohort backfills the window: 38 of its 50 queries
     # (positions 10-49).  After r12 samples this window, no query's
     # driver evidence predates r8.
     "a10_array_hof", "a5_merge_counters", "e2_config_delta",
@@ -58,13 +62,13 @@ _DRIVER_PRIORITY = [
     "s14_pack_ops", "s15_merge_upsert", "s4_adaptive_split",
     "sk_heavy_hitters", "st_event_rollup", "st_sessionize",
     "st_user_totals", "tx_boilerplate", "tx_decontaminate",
-    "tx_mix_weights", "tx_pii_scrub", "tx_repetition",
+    "tx_pii_scrub", "tx_repetition",
     "tx_stratified_sample", "tx_tfidf_topk", "udtf_bigram_expand",
     "x84_twap", "x85_event_paths", "x86_merkle_diff", "x87_window_dedup",
-    # --- 50-slot cut line: 10 + 1 + 39 = 50.  The 11 r8 queries
+    # --- 50-slot cut line: 10 + 2 + 38 = 50.  The 12 r8 queries
     # deferred at the cut (trivial pure-relational plans) lead the r13
     # rotation.
-    "x88_benford",
+    "x88_benford", "tx_mix_weights",
     "a7_first_last_wins", "a8_rollup_status_priority", "a9_cube_flags",
     "e4_set_ops", "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles", "q6_revenue_delta",

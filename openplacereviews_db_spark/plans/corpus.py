@@ -194,6 +194,26 @@ def _parquet_num_rows(sf_dir: str, name: str) -> int | None:
         return None
 
 
+def emb_neardup_hi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup census at the PRODUCTION threshold (cos >=
+    0.90 — real corpora dedup at ~0.9+, not the 0.40 contract-tail
+    regime emb_neardup_pairs measures): one row of (n_pairs, max_sim)
+    from the exact chunk-pair GEMM kernel.  On the driver's isotropic
+    corpus the census is empty by construction (zero structure above
+    cos 0.7 — BASELINE.md r11 root-cause) and the oracle confirms the
+    0; on the scale corpora the r12 generator PLANTS (copies-1) *
+    floor(n/100) perturbed duplicates at cos 0.95
+    (scripts/make_sf1.py), so the same query counts exactly the
+    planted structure — linear decade over decade, the measurable
+    third decade the r11 verdict asked for."""
+    pairs = similarity.cosine_pairs_blocked(
+        _embs(spark, sf_dir), threshold=0.90,
+        n_hint=_parquet_num_rows(sf_dir, "embeddings"))
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.max("sim").alias("max_sim"))
+
+
 def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (threshold tuned to the
     synthetic corpus' similarity distribution), via the distributed
@@ -241,6 +261,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_knn_label": ann_knn_label,
     "emb_neardup_pairs": emb_neardup_pairs,
+    "emb_neardup_hi": emb_neardup_hi,
     "tx_language_id": tx_language_id,
     "tx_quality_score": tx_quality_score,
     "tx_token_counts": tx_token_counts,
@@ -601,6 +622,20 @@ ORACLES: dict[str, str] = {
           AND round(list_dot_product(a.v, b.v)
                     / (sqrt(list_dot_product(a.v, a.v))
                        * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.40
+    """,
+    "emb_neardup_hi": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs, MAX(sim) AS max_sim
+        FROM (
+            SELECT round(list_dot_product(a.v, b.v)
+                         / (sqrt(list_dot_product(a.v, a.v))
+                            * sqrt(list_dot_product(b.v, b.v))), 4) AS sim
+            FROM e a, e b
+            WHERE a.vec_id < b.vec_id
+              AND round(list_dot_product(a.v, b.v)
+                        / (sqrt(list_dot_product(a.v, a.v))
+                           * sqrt(list_dot_product(b.v, b.v))), 4) >= 0.90
+        )
     """,
     "tx_language_id": f"""
         WITH base AS (

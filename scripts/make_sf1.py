@@ -61,15 +61,38 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from openplacereviews_db_spark.operators.textstats import STOPWORDS  # noqa: E402
 
 
+#: planted near-dup fraction per copy (c >= 1): 1% of each copy's rows
+#: are re-emitted as ANGULAR PERTURBATIONS of a disjoint 1% partner set
+#: at exactly cos = PLANT_COS — real near-duplicate structure in the
+#: production-threshold regime (r11 verdict item 3: the isotropic
+#: corpus has zero structure above cos 0.7, so a cos>=0.9 dedup pass
+#: had nothing measurable to find; a real pipeline dedups at ~0.9+).
+#: Planted pairs per copy = floor(n_vecs/100); copy 0 stays verbatim,
+#: so a corpus of C copies contains exactly (C-1)*floor(n/100) pairs
+#: with cos >= 0.9 (the random tail at 0.9 in d=64 is ~0: measured 0
+#: source pairs above 0.7) — countable, linear in C, decade over
+#: decade.
+PLANT_FRAC = 0.01
+PLANT_COS = 0.95
+
+
 def _write_rotated_embeddings(src: str, dest: Path, n_copies: int,
                               n_vecs: int) -> None:
-    """Replicate embeddings with a per-copy random orthogonal rotation.
+    """Replicate embeddings with a per-copy random orthogonal rotation
+    and planted near-dup structure.
 
     Copy 0 is the identity (source rows verbatim); copy c>0 multiplies
     every vector by Q_c from a seeded QR of a Gaussian matrix
-    (sign-fixed so Q is the unique QR factor).  Written incrementally,
-    one copy per row group, so sf100 (2M × 64 floats) never holds more
-    than one copy in flight beyond the float64 source matrix.
+    (sign-fixed so Q is the unique QR factor), then REPLACES a seeded
+    1% of its rows with perturbed partners: row t_i's vector becomes
+    ``|v_s| * (PLANT_COS * u + sqrt(1-PLANT_COS^2) * w)`` where u is
+    partner row s_i's unit vector and w a seeded unit vector orthogonal
+    to u — cos(t_i, s_i) = PLANT_COS exactly in float64 (~1e-7 off in
+    float32).  Targets and partners are disjoint and partners are used
+    once, so the planted pairs are exactly {(t_i, s_i)} with no
+    transitive chains.  Written incrementally, one copy per row group,
+    so sf100 (2M × 64 floats) never holds more than one copy in flight
+    beyond the float64 source matrix.
     """
     import numpy as np
     import pyarrow as pa
@@ -82,6 +105,7 @@ def _write_rotated_embeddings(src: str, dest: Path, n_copies: int,
     emb = np.array(src_tbl.column("embedding").to_pylist(),
                    dtype=np.float64)
     d = emb.shape[1]
+    n_plant = int(len(emb) * PLANT_FRAC)
     schema = pa.schema([
         pa.field("vec_id", pa.int64()),
         pa.field("embedding", pa.list_(pa.float32())),
@@ -97,6 +121,21 @@ def _write_rotated_embeddings(src: str, dest: Path, n_copies: int,
                 q, r = np.linalg.qr(rng.standard_normal((d, d)))
                 q *= np.sign(np.diag(r))  # unique factor, det-stable
                 rot = emb @ q.T
+                if n_plant:
+                    # disjoint target/partner index sets, partners
+                    # used once each -> exactly n_plant planted pairs
+                    pick = rng.choice(len(emb), size=2 * n_plant,
+                                      replace=False)
+                    targets, partners = pick[:n_plant], pick[n_plant:]
+                    v = rot[partners]
+                    norm = np.linalg.norm(v, axis=1, keepdims=True)
+                    u = v / norm
+                    w = rng.standard_normal((n_plant, d))
+                    w -= (w * u).sum(axis=1, keepdims=True) * u
+                    w /= np.linalg.norm(w, axis=1, keepdims=True)
+                    rot[targets] = norm * (
+                        PLANT_COS * u
+                        + np.sqrt(1.0 - PLANT_COS ** 2) * w)
             flat = rot.astype(np.float32).reshape(-1)
             arr = pa.ListArray.from_arrays(
                 pa.array(np.arange(len(emb) + 1) * d, type=pa.int32()),
@@ -109,11 +148,25 @@ def _write_rotated_embeddings(src: str, dest: Path, n_copies: int,
 
 
 def main() -> None:
-    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    dest = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/opr_sf1")
-    n_copies = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+    args = [a for a in sys.argv[1:] if a != "--only-embeddings"]
+    only_embeddings = "--only-embeddings" in sys.argv[1:]
+    src = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    dest = Path(args[1] if len(args) > 1 else "/tmp/opr_sf1")
+    n_copies = int(args[2]) if len(args) > 2 else 10
     dest.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
+    if only_embeddings:
+        # regenerate just the embedding corpus in place (generator
+        # change, e.g. the r12 planted near-dups) without re-copying
+        # the 15 GB relational tables
+        n_vecs = con.execute(
+            f"SELECT max(vec_id) + 1 FROM '{src}/embeddings.parquet'"
+        ).fetchone()[0]
+        _write_rotated_embeddings(src, dest, n_copies, n_vecs)
+        n = con.execute(
+            f"SELECT count(*) FROM '{dest}/embeddings.parquet'").fetchone()
+        print("embeddings", n[0], "rows ->", dest / "embeddings.parquet")
+        return
     # stream the big COPYs: with insertion order preserved DuckDB
     # buffers the whole replicated result before flushing — the sf100
     # lineitem (600M rows) held >100 GB RSS and OOM'd the box.  Row
