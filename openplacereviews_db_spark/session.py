@@ -93,3 +93,71 @@ def get_spark(app_name: str = "openplacereviews-db-spark",
         .config("spark.sql.codegen.cache.maxEntries", "10000")
     )
     return builder.getOrCreate()
+
+
+def blockmgr_bytes(spark: SparkSession) -> int:
+    """Bytes currently on disk in THIS JVM's block-manager local dirs
+    (shuffle files + disk-persisted blocks)."""
+    dirs = (spark.sparkContext._jvm.org.apache.spark.SparkEnv
+            .get().blockManager().diskBlockManager().localDirs())
+    total = 0
+    for d in dirs:
+        root = d.getAbsolutePath()
+        for base, _subdirs, files in os.walk(root):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(base, f))
+                except OSError:
+                    pass
+    return total
+
+
+def release_shuffles(spark: SparkSession, settle_s: float = 20.0,
+                     poll_s: float = 0.5) -> int:
+    """Free the shuffle files of FINISHED queries inside a live JVM.
+
+    ``clearCache``/``unpersist`` drop cached blocks, but each query's
+    shuffle output stays on /tmp until the ContextCleaner sees its
+    ShuffleDependency become unreachable — which takes a JVM GC (the
+    cleaner is weak-reference driven and only forces its own GC every
+    30 min).  A multi-query at-scale session therefore accumulates
+    every query's shuffle bytes until ENOSPC (r11: the sf100 wave-2
+    session died after 14 kernels).  Callers must drop their Python
+    DataFrame references first (Py4J holds the JVM plan alive), then
+    this: Python GC → JVM ``System.gc()`` → poll the block-manager
+    dirs until the async cleaner thread settles.  Returns bytes freed.
+
+    On a real cluster the same mechanism runs per executor via the
+    driver's cleaner RPCs; the single-JVM harness just has to trigger
+    it explicitly between queries instead of relying on driver heap
+    pressure to GC for us.
+    """
+    import gc
+    import time
+
+    spark.catalog.clearCache()
+    it = (spark.sparkContext._jsc.sc()
+          .getPersistentRDDs().values().iterator())
+    while it.hasNext():
+        it.next().unpersist(False)
+    before = blockmgr_bytes(spark)
+    # two GC rounds minimum: the first collects the Py4J proxies and
+    # enqueues the JVM weak refs, the second lets the cleaner thread's
+    # unregister actually delete files (measured: round 1 frees 0,
+    # round 2 frees everything)
+    deadline = time.time() + settle_s
+    last = before
+    flat_rounds = 0
+    while time.time() < deadline and flat_rounds < 3:
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(poll_s)
+        cur = blockmgr_bytes(spark)
+        if cur < last:
+            last = cur
+            flat_rounds = 0  # draining — go around again
+        else:
+            flat_rounds += 1
+        if cur == 0 or (before - cur > 0 and flat_rounds >= 1):
+            break  # settled (something freed, or nothing left)
+    return before - blockmgr_bytes(spark)

@@ -142,6 +142,14 @@ def main() -> int:
     except Exception as e:
         sql_nodes = [{"error": str(e)}]
 
+    # freed-bytes check (r11 verdict item 4): after the query, the
+    # session must be able to hand its shuffle files back — this is
+    # what makes multi-query at-scale sessions disk-safe
+    from openplacereviews_db_spark.session import (blockmgr_bytes,
+                                                   release_shuffles)
+    resident_mb = round(blockmgr_bytes(spark) / 2**20, 1)
+    freed_mb = round(release_shuffles(spark) / 2**20, 1)
+
     result = {
         "query": name, "sf_dir": sf_dir, "rows": n_rows,
         "wall_s": round(wall, 1),
@@ -149,6 +157,9 @@ def main() -> int:
         "peak_at_s": round(peak["t"], 1),
         "total_write_mb": round(
             sum(s.get("write_mb", 0) or 0 for s in stages), 1),
+        "resident_after_mb": resident_mb,
+        "freed_mb": freed_mb,
+        "resident_final_mb": round(blockmgr_bytes(spark) / 2**20, 1),
         "stages": stages[:20],
         "sql_nodes": sql_nodes,
     }
