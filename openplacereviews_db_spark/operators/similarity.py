@@ -485,11 +485,34 @@ def cosine_topk_lsh(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", w).where(F.col("rank") <= k)
 
 
+#: bucket-size target for auto-sized hyperplane signatures: per-bucket
+#: GEMM work is O(bucket²), so buckets should stay ~4k rows regardless
+#: of corpus size
+_LSH_TARGET_BUCKET_ROWS = 4096
+
+
+def _auto_planes(n_hint: int | None, floor: int = 3) -> int:
+    """Size the per-band signature width from a row-count HINT (no
+    Spark job): ``2^planes`` buckets per band, aimed at
+    ``_LSH_TARGET_BUCKET_ROWS`` rows per bucket.  With no hint, the
+    small-SF default 3 (8 buckets/band — the shape that benched best at
+    driver scale).  The r12 find: at 2M rows the fixed default left
+    250k-row buckets — ~100x the GEMM flops of the 8-plane signature
+    the r11 sf100 probe used; planes MUST grow log2 with the corpus or
+    the per-bucket quadratic eats the banding's entire point."""
+    import math
+
+    if not n_hint or n_hint <= _LSH_TARGET_BUCKET_ROWS:
+        return floor
+    return max(floor, math.ceil(math.log2(n_hint / _LSH_TARGET_BUCKET_ROWS)))
+
+
 def cosine_pairs_lsh(embs: DataFrame, threshold: float,
                      vec_col: str = "embedding", id_col: str = "vec_id",
-                     planes: int = 3, bands: int = 6,
+                     planes: int | None = None, bands: int = 6,
                      round_digits: int = 4,
-                     slice_elems: int = _GEMM_SLICE_ELEMS) -> DataFrame:
+                     slice_elems: int = _GEMM_SLICE_ELEMS,
+                     n_hint: int | None = None) -> DataFrame:
     """All-pairs near-duplicate search that scales: ``bands``
     independent random-hyperplane signatures of ``planes`` bits each;
     a pair is a candidate if it collides in ANY band (minhash-style
@@ -500,10 +523,17 @@ def cosine_pairs_lsh(embs: DataFrame, threshold: float,
     to the driver: the single shuffle key is (band, bucket), and each
     bucket multiplies its own matrix inside ``applyInPandas``.  Recall
     < 1 by design; bands raise recall (1-(1-p^planes)^bands), planes
-    shrink buckets.
+    shrink buckets.  ``planes=None`` auto-sizes from ``n_hint`` (take
+    it from the parquet footer for free) via :func:`_auto_planes`, so
+    per-bucket GEMMs stay ~``_LSH_TARGET_BUCKET_ROWS``² at any corpus
+    size; at driver scales the auto value IS the old default 3, so
+    contract values are unchanged.
     """
     import numpy as np
     import pandas as pd
+
+    if planes is None:
+        planes = _auto_planes(n_hint)
 
     src = banded_hyperplane_buckets(embs, planes, bands, vec_col, id_col)
 

@@ -715,7 +715,9 @@ def emb_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity_lsh.py).  Production uses the pair stream
     directly; this contract query is the harness form."""
     embs = _embs(spark, sf_dir)
-    lsh = similarity.cosine_pairs_lsh(embs, threshold=0.40)
+    lsh = similarity.cosine_pairs_lsh(
+        embs, threshold=0.40,
+        n_hint=_parquet_num_rows(sf_dir, "embeddings"))
     exact = similarity.cosine_pairs_blocked(
         embs, threshold=0.40,
         n_hint=_parquet_num_rows(sf_dir, "embeddings"))

@@ -61,9 +61,13 @@ def main() -> None:
                      "load_start": [round(x, 2) for x in os.getloadavg()],
                      "kernels": []}
 
+    from openplacereviews_db_spark.plans.corpus import _parquet_num_rows
+
     def lsh90(sf: str):
         embs = load_table(spark, "embeddings", sf)
-        return similarity.cosine_pairs_lsh(embs, threshold=0.90)
+        return similarity.cosine_pairs_lsh(
+            embs, threshold=0.90,
+            n_hint=_parquet_num_rows(sf, "embeddings"))
 
     def run(name: str, fn, sf: str, first_row: bool = False) -> None:
         t0 = time.time()

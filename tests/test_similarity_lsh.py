@@ -477,3 +477,25 @@ def test_generator_plants_neardup_structure(spark, tmp_path):
     df = spark.read.parquet(str(tmp_path / "embeddings.parquet"))
     got = cosine_pairs_blocked(df, threshold=0.90, n_hint=len(emb)).count()
     assert got == total_hi
+
+
+def test_auto_planes_scales_log2_with_corpus():
+    """Hyperplane signature width must grow log2 with the corpus so
+    per-bucket GEMMs stay ~target² (r12 find: the fixed 3-plane default
+    left 250k-row buckets at 2M vectors — ~100x the flops of the
+    8-plane signature).  At driver scales the auto value IS the old
+    default, so contract values are unchanged."""
+    from openplacereviews_db_spark.operators.similarity import (
+        _LSH_TARGET_BUCKET_ROWS, _auto_planes)
+
+    assert _auto_planes(None) == 3
+    assert _auto_planes(0) == 3
+    assert _auto_planes(200) == 3          # sf0.01 driver scale
+    assert _auto_planes(2_000) == 3        # sf0.1
+    assert _auto_planes(_LSH_TARGET_BUCKET_ROWS) == 3
+    assert _auto_planes(200_000) == 6      # sf10: ~3.1k-row buckets
+    assert _auto_planes(2_000_000) == 9    # sf100: ~3.9k-row buckets
+    # monotone non-decreasing across a sweep
+    vals = [_auto_planes(n) for n in
+            (10, 10**3, 10**4, 10**5, 10**6, 10**7, 10**8)]
+    assert vals == sorted(vals)
