@@ -399,10 +399,47 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                       + F.least(F.col("n_a") - F.col("rk_a"),
                                 F.col("n_b") - F.col("rk_b")) >= t_a))
             .select("id_a", "id_b").dropDuplicates())
-    # corpus-sized array side: shuffle_hash hint, never AQE-broadcast
-    # (see minhash_lsh_pairs); built from the persisted ranked frame
+    # Two-tier exact verify.  Tier 1 ships INT32 projections of the
+    # shingle-id sets through the per-candidate exchanges — the
+    # per-candidate set payload IS the one-box disk wall (r12: 20M sf10
+    # candidates x both int64 sets = 5.0 GiB exchange -> ~60 GB live at
+    # sf100 = ENOSPC; random xxhash64 payloads are incompressible, zstd
+    # bought 12%).  The low-32-bit projection HALVES those bytes and
+    # its intersection count is a STRICT UPPER BOUND on the true one
+    # whenever both sets are internally collision-free under the
+    # projection (then distinct images preserve per-set counts, and
+    # every true common sid contributes a common image): pairs failing
+    # tau on the bound are safely dropped; the rare internally-
+    # colliding doc (P ~ n^2/2^33 per doc) bypasses the filter via the
+    # size guard.  Tier 2 re-verifies the tiny survivor set (output
+    # pairs + boundary false-passes) against the full int64 sets —
+    # values identical, proven by the brute-force oracle.
+    # Corpus-sized array sides: shuffle_hash hints, never AQE-broadcast
+    # (see minhash_lsh_pairs); all built from the persisted rank frame.
+    # sign-extending low-32 projection (shiftleft then arithmetic
+    # shiftright keeps the value in INT range; a bare & 0xFFFFFFFF
+    # overflows the ANSI int cast)
+    sid32 = F.shiftright(F.shiftleft(F.col("sid"), 32), 32).cast("int")
+    sets32 = ranked_n.groupBy("id").agg(
+        F.collect_set(sid32).alias("s32"),
+        F.count(F.lit(1)).alias("n_true"))
+    surv = (cand
+            .join(sets32.select(F.col("id").alias("id_a"),
+                                F.col("s32").alias("s32_a"),
+                                F.col("n_true").alias("n_a"))
+                  .hint("shuffle_hash"), "id_a")
+            .join(sets32.select(F.col("id").alias("id_b"),
+                                F.col("s32").alias("s32_b"),
+                                F.col("n_true").alias("n_b_true"))
+                  .hint("shuffle_hash"), "id_b")
+            .where((F.size("s32_a") < F.col("n_a"))
+                   | (F.size("s32_b") < F.col("n_b_true"))
+                   | (F.lit(tau_den)
+                      * F.size(F.array_intersect("s32_a", "s32_b"))
+                      >= F.lit(tau_num) * F.col("n_a")))
+            .select("id_a", "id_b"))
     sets = ranked_n.groupBy("id").agg(F.collect_set("sid").alias("sids"))
-    return (cand
+    return (surv
             .join(sets.select(F.col("id").alias("id_a"),
                               F.col("sids").alias("s_a"))
                   .hint("shuffle_hash"), "id_a")
