@@ -66,14 +66,16 @@ def get_spark(app_name: str = "openplacereviews-db-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # zstd shuffle/spill compression (level 1): ~1.5x better ratio
-        # than lz4 on this engine's array-heavy verify exchanges at
-        # comparable speed — dd_containment's sf100 live shuffle is
-        # disk-bound on one box (r12: 59 GB live at lz4's 1.86x ratio
-        # = ENOSPC), and at 1000 executors smaller shuffle bytes are
-        # pure win.  SPARK_GRAFT_IO_CODEC=lz4 restores the old codec.
+        # Shuffle/spill codec is a measured DEPLOY knob, not a free win:
+        # r12 A/B'd zstd as the default and reverted — on this engine's
+        # dominant traffic (xxhash64 ids, near-incompressible) zstd
+        # bought only 12% bytes while costing shuffle-heavy queries
+        # 20-40% wall (g11_triangle_count 5.8-6.3 s lz4 vs 7.2-9.2 s
+        # zstd, interleaved JVMs).  SPARK_GRAFT_IO_CODEC=zstd remains
+        # the right setting for DISK-BOUND at-scale runs (the sf100
+        # one-box sessions) and for network-constrained clusters.
         .config("spark.io.compression.codec",
-                os.environ.get("SPARK_GRAFT_IO_CODEC", "zstd"))
+                os.environ.get("SPARK_GRAFT_IO_CODEC", "lz4"))
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", driver_mem_for(sf_dir))
         # default off (a 200-query bench session pays UI bookkeeping for

@@ -52,6 +52,9 @@ def main() -> None:
 
     # sf100 heavies want more, smaller shuffle partitions (r11 probe
     # finding: 32 concurrent 440 MB SHJ builds crowd the 48 g heap)
+    # and the zstd codec (disk-bound regime: bytes beat the 20-40%
+    # compress-wall the bench-scale default avoids)
+    os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
     nparts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
     spark = get_spark("r12_sf100", shuffle_partitions=nparts,
                       sf_dir=sf100)

@@ -42,8 +42,11 @@ def main() -> int:
 
     import os
     # the per-stage REST metrics ARE this script's output — force the
-    # UI on unless the caller explicitly disabled it
+    # UI on unless the caller explicitly disabled it; at-scale probes
+    # run disk-bound, so default the shuffle codec to zstd (bytes beat
+    # the compress-wall the bench-scale lz4 default avoids)
     os.environ.setdefault("SPARK_GRAFT_UI", "1")
+    os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
 
     import __spark_entry__ as entrymod
     from openplacereviews_db_spark.session import get_spark
