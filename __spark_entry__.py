@@ -28,11 +28,12 @@ def entry(spark: SparkSession) -> DataFrame:
 #: insertion order decides which queries get driver-grade correctness
 #: evidence.  Round 12 finishes the evidence rotation (r11 verdict
 #: item 1): the 10 queries whose latest driver row is r7 (the oldest
-#: evidence in the contract) lead, and 40 of the 50 r8-cohort queries
-#: backfill the window — after this sample no query's evidence
-#: predates r8.  The 10 r8 queries deferred at the cut (trivial
-#: relational-kit plans) lead the r13 rotation, followed by the r9 /
-#: r10 / r11 cohorts in staleness order.
+#: evidence in the contract) lead, then the two r12 plan-changed /
+#: new queries (m11_asof_snapshot, emb_neardup_hi), then 38 of the 50
+#: r8-cohort queries backfill the window — after this sample no
+#: query's evidence predates r8.  The 12 r8 queries deferred at the
+#: cut (trivial pure-relational plans) lead the r13 rotation,
+#: followed by the r9 / r10 / r11 cohorts in staleness order.
 _DRIVER_PRIORITY = [
     # (a) r12 verdict item 1: the 10 queries whose latest driver
     # evidence is r7 — the oldest left in the contract — lead the
@@ -50,7 +51,7 @@ _DRIVER_PRIORITY = [
     # corpus) — new queries sample the round they land
     "emb_neardup_hi",
     # (b) the r8 cohort backfills the window: 38 of its 50 queries
-    # (positions 10-49).  After r12 samples this window, no query's
+    # (positions 12-49).  After r12 samples this window, no query's
     # driver evidence predates r8.
     "a10_array_hof", "a5_merge_counters", "e2_config_delta",
     "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",

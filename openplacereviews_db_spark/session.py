@@ -168,6 +168,12 @@ def release_shuffles(spark: SparkSession, settle_s: float = 20.0,
             flat_rounds = 0  # draining — go around again
         else:
             flat_rounds += 1
-        if cur == 0 or (before - cur > 0 and flat_rounds >= 1):
-            break  # settled (something freed, or nothing left)
+        if cur == 0:
+            break  # nothing left to free
+        # NOTE: do NOT break early just because something freed — the
+        # cleaner unregisters shuffles one RPC at a time, so a single
+        # quiet poll mid-drain is normal; only 3 consecutive flat
+        # rounds (loop condition) or the deadline end the wait
+        # (review r12: the early break returned with tens of GB still
+        # draining, defeating the ENOSPC protection)
     return before - blockmgr_bytes(spark)

@@ -235,7 +235,10 @@ def test_m11_asof_prunes_block_partitions(spark, sf_dir):
             ._jdf.queryExecution().executedPlan().toString())
     scan = plan[plan.index("FileScan"):]
     pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
-    assert "block_id" in pf and "1" in pf, pf
+    # match the literal predicate — exprIds like block_id#123 contain
+    # digits, so a bare '1 in pf' check would pass on a wrong bound
+    import re
+    assert re.search(r"block_id#\d+\s*<=\s*1\b", pf), pf
 
     m9_plan = (oplog.m9_apply_changelog(spark, sf_dir)
                ._jdf.queryExecution().executedPlan().toString())
