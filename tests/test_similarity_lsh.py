@@ -499,3 +499,30 @@ def test_auto_planes_scales_log2_with_corpus():
     vals = [_auto_planes(n) for n in
             (10, 10**3, 10**4, 10**5, 10**6, 10**7, 10**8)]
     assert vals == sorted(vals)
+
+
+def test_auto_bands_holds_design_recall():
+    """Band count must grow with signature width so the design-point
+    recall stays constant per decade (r12 review: fixed bands=6 shed
+    recall 98.9% -> 94.5% between sf10 and sf100 on the planted
+    cos-0.95 pairs)."""
+    import math
+
+    from openplacereviews_db_spark.operators.similarity import _auto_bands
+
+    def recall(planes, bands, sim=0.95):
+        p = 1 - math.acos(sim) / math.pi
+        return 1 - (1 - p ** planes) ** bands
+
+    # driver/sf10 scales stay at the design default (floor)
+    assert _auto_bands(3, 0.95, 0.98) == 6
+    assert _auto_bands(6, 0.95, 0.98) == 6
+    # sf100's 9-plane signature needs more bands to hold 98%
+    b9 = _auto_bands(9, 0.95, 0.98)
+    assert b9 > 6 and recall(9, b9) >= 0.98, (b9, recall(9, b9))
+    # held-recall property across the auto-planes sweep
+    for planes in (3, 6, 9, 12):
+        b = _auto_bands(planes, 0.95, 0.98)
+        assert recall(planes, b) >= 0.98 or b == 24  # cap reached
+    # degenerate design point never divides by log(0)
+    assert _auto_bands(3, 1.0, 0.98) == 6
