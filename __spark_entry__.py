@@ -26,55 +26,26 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
-#: evidence.  Round 12 finishes the evidence rotation (r11 verdict
-#: item 1): the 10 queries whose latest driver row is r7 (the oldest
-#: evidence in the contract) lead, then the two r12 plan-changed /
-#: new queries (m11_asof_snapshot, emb_neardup_hi), then 38 of the 50
-#: r8-cohort queries backfill the window — after this sample no
-#: query's evidence predates r8.  The 12 r8 queries deferred at the
-#: cut (trivial pure-relational plans) lead the r13 rotation,
-#: followed by the r9 / r10 / r11 cohorts in staleness order.
+#: evidence.  Round 13 continues the rotation (r12 verdict item 1):
+#: the 12 r8-stale queries deferred at the r12 cut lead the window,
+#: then 38 of the 43 r9-cohort queries backfill it — after this
+#: sample no query's evidence predates r9.  The 5 r9 queries deferred
+#: at the cut (tx_url_canon, tx_weighted_sample, x22_bucketed_lookup,
+#: x77_salted_join, x92_retract_rollup — trivial-plan tail of the
+#: cohort) lead the r14 rotation, followed by r10 / r11 / r12 cohorts
+#: in staleness order.
 _DRIVER_PRIORITY = [
-    # (a) r12 verdict item 1: the 10 queries whose latest driver
-    # evidence is r7 — the oldest left in the contract — lead the
-    # window (positions 0-9).
-    "g13_hex_bin", "st_hll_distinct", "s1_osm_xml_roundtrip",
-    "s5_staged_scan", "s2_diff_roundtrip", "w4_range_frame", "w5_rank_kit",
-    "a13_agg_kit", "a11_pivot_matrix", "a12_unpivot_roundtrip",
-    # (a2) m11_asof_snapshot's plan changed this round (the X53 as-of
-    # fold now reads the block-partitioned staged op log so the as-of
-    # predicate is a real PartitionFilters prune — values identical);
-    # plan changes get fresh driver evidence the round they land
-    "m11_asof_snapshot",
-    # (a3) emb_neardup_hi is NEW this round (r11 verdict item 3: the
-    # production-threshold near-dup census over the planted-structure
-    # corpus) — new queries sample the round they land
-    "emb_neardup_hi",
-    # (b) the r8 cohort backfills the window: 38 of its 50 queries
-    # (positions 12-49).  After r12 samples this window, no query's
-    # driver evidence predates r8.
-    "a10_array_hof", "a5_merge_counters", "e2_config_delta",
-    "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",
-    "j3_border_correct", "j7_history_full_check", "m12_fixture_verdicts",
-    "m5_merge_ops", "m7_migrate_ids", "m8_placetype_ops",
-    "m9_apply_changelog", "o6_skyline", "p11_json_extraction",
-    "p4_history_features", "p6_change_classification",
-    "p7_review_candidates", "q16_distinct_count", "s13_geojson_features",
-    "s14_pack_ops", "s15_merge_upsert", "s4_adaptive_split",
-    "sk_heavy_hitters", "st_event_rollup", "st_sessionize",
-    "st_user_totals", "tx_boilerplate", "tx_decontaminate",
-    "tx_pii_scrub", "tx_repetition",
-    "tx_stratified_sample", "tx_tfidf_topk", "udtf_bigram_expand",
-    "x84_twap", "x85_event_paths", "x86_merkle_diff", "x87_window_dedup",
-    # --- 50-slot cut line: 10 + 2 + 38 = 50.  The 12 r8 queries
-    # deferred at the cut (trivial pure-relational plans) lead the r13
-    # rotation.
+    # (a) r12 verdict item 1: the 12 queries whose latest driver
+    # evidence is r8 — the oldest left in the contract — lead the
+    # window (positions 0-11).
     "x88_benford", "tx_mix_weights",
     "a7_first_last_wins", "a8_rollup_status_priority", "a9_cube_flags",
     "e4_set_ops", "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles", "q6_revenue_delta",
     "q19_disjunctive_filter",
-    # r9-green cohort (next-stalest after the deferred r8 block)
+    # (b) the r9 cohort backfills the window: 38 of its 43 queries
+    # (positions 12-49).  After r13 samples this window, no query's
+    # driver evidence predates r9.
     "ann_quant_rerank", "d4_lenient_timestamps", "d5_multires_rollup",
     "d6_incremental_rollup", "dd_blocks", "dd_ngram_jaccard",
     "emb_neardup_pairs", "emb_scalar_quant", "emb_semdedup", "ev_anomaly",
@@ -86,6 +57,8 @@ _DRIVER_PRIORITY = [
     "sk_kmv_distinct", "sql_surface_report", "st_scd2_upsert",
     "tx_bigram_lm", "tx_chunk_windows", "tx_classifier", "tx_domain_cap",
     "tx_drift_report", "tx_pack_sequences", "tx_shard_manifest",
+    # --- 50-slot cut line: 12 + 38 = 50.  The 5 r9 queries deferred
+    # at the cut lead the r14 rotation.
     "tx_url_canon", "tx_weighted_sample", "x22_bucketed_lookup",
     "x77_salted_join", "x92_retract_rollup",
     # r10-green cohort
@@ -122,6 +95,24 @@ _DRIVER_PRIORITY = [
     "x71_scd2_build", "x72_gapfill_locf", "x74_partition_prune",
     "x75_smb_join", "x76_dynamic_prune", "x81_scd2_asof",
     "x82_bitmap_days",
+    # r12-green cohort (freshest evidence — yield their slots)
+    "g13_hex_bin", "st_hll_distinct", "s1_osm_xml_roundtrip",
+    "s5_staged_scan", "s2_diff_roundtrip", "w4_range_frame", "w5_rank_kit",
+    "a13_agg_kit", "a11_pivot_matrix", "a12_unpivot_roundtrip",
+    "m11_asof_snapshot", "emb_neardup_hi",
+    "a10_array_hof", "a5_merge_counters", "e2_config_delta",
+    "g4_simplify_ways", "g5_way_stats", "g6_points_in_triangle",
+    "j3_border_correct", "j7_history_full_check", "m12_fixture_verdicts",
+    "m5_merge_ops", "m7_migrate_ids", "m8_placetype_ops",
+    "m9_apply_changelog", "o6_skyline", "p11_json_extraction",
+    "p4_history_features", "p6_change_classification",
+    "p7_review_candidates", "q16_distinct_count", "s13_geojson_features",
+    "s14_pack_ops", "s15_merge_upsert", "s4_adaptive_split",
+    "sk_heavy_hitters", "st_event_rollup", "st_sessionize",
+    "st_user_totals", "tx_boilerplate", "tx_decontaminate",
+    "tx_pii_scrub", "tx_repetition",
+    "tx_stratified_sample", "tx_tfidf_topk", "udtf_bigram_expand",
+    "x84_twap", "x85_event_paths", "x86_merkle_diff", "x87_window_dedup",
 ]
 
 

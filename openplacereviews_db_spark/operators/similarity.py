@@ -509,6 +509,13 @@ def _auto_bands(planes: int, design_sim: float, target_recall: float,
     per_band = p ** planes
     if per_band >= 1.0:
         return floor
+    if per_band <= 0.0 or 1.0 - per_band == 1.0:
+        # per-band collision probability underflowed (low design_sim ×
+        # wide auto signature): log(1-p) is 0.0 and the division below
+        # would ZeroDivisionError.  Even `cap` bands cannot hold the
+        # recall target here, so return the cap — the most bands the
+        # budget allows — rather than crash (r12 ADVICE).
+        return cap
     b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - per_band))
     return min(cap, max(floor, b))
 
@@ -527,6 +534,30 @@ def _auto_planes(n_hint: int | None, floor: int = 3) -> int:
     if not n_hint or n_hint <= _LSH_TARGET_BUCKET_ROWS:
         return floor
     return max(floor, math.ceil(math.log2(n_hint / _LSH_TARGET_BUCKET_ROWS)))
+
+
+def _resolve_lsh_shape(planes: int | None, bands: int | None,
+                       n_hint: int | None, design_sim: float | None,
+                       threshold: float,
+                       target_recall: float) -> tuple[int, int]:
+    """Resolve the (planes, bands) signature shape for
+    :func:`cosine_pairs_lsh`.  Explicit values always win.  ``planes``
+    auto-sizes from ``n_hint`` via :func:`_auto_planes`; when that
+    auto-grows the signature ABOVE the small-SF default and the caller
+    gave no design point, the design point defaults to the verify
+    ``threshold`` — the weakest pair the caller asked for — because a
+    caller passing ``n_hint`` opted into scale behavior and a silently
+    fixed band count reproduces the exact per-decade recall decay the
+    auto-sizing exists to fix (98.9% → 94.5% between sf10 and sf100
+    for the planted cos-0.95 pairs; r12 ADVICE)."""
+    if planes is None:
+        planes = _auto_planes(n_hint)
+        if planes > _auto_planes(None) and bands is None and design_sim is None:
+            design_sim = threshold
+    if bands is None:
+        bands = (_auto_bands(planes, design_sim, target_recall)
+                 if design_sim is not None else 6)
+    return planes, bands
 
 
 def cosine_pairs_lsh(embs: DataFrame, threshold: float,
@@ -561,11 +592,8 @@ def cosine_pairs_lsh(embs: DataFrame, threshold: float,
     import numpy as np
     import pandas as pd
 
-    if planes is None:
-        planes = _auto_planes(n_hint)
-    if bands is None:
-        bands = (_auto_bands(planes, design_sim, target_recall)
-                 if design_sim is not None else 6)
+    planes, bands = _resolve_lsh_shape(planes, bands, n_hint, design_sim,
+                                       threshold, target_recall)
 
     src = banded_hyperplane_buckets(embs, planes, bands, vec_col, id_col)
 

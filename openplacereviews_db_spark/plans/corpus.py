@@ -876,9 +876,9 @@ def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split-stager v2_ lesson applied preemptively).  The SAME dict
     # (_DUP_GROUP_KNOBS) feeds the key and the computation — they
     # cannot drift.
-    cid = (f"dupgroups_{_knobs_cid(_DUP_GROUP_KNOBS)}_"
-           f"{os.path.basename(os.path.normpath(sf_dir))}"
-           f"_{staging.source_fingerprint(sf_dir, 'documents')}")
+    prefix = (f"dupgroups_{_knobs_cid(_DUP_GROUP_KNOBS)}_"
+              f"{os.path.basename(os.path.normpath(sf_dir))}_")
+    cid = prefix + staging.source_fingerprint(sf_dir, "documents")
 
     def build() -> DataFrame:
         pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
@@ -887,7 +887,8 @@ def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return staging.stage_raw(
         spark, build,
-        os.path.join(tempfile.gettempdir(), "opr_spark_stage"), cid)
+        os.path.join(tempfile.gettempdir(), "opr_spark_stage"), cid,
+        prune_prefix=prefix)
 
 
 def dd_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2052,8 +2053,9 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bands_of(pd: DataFrame) -> DataFrame:
         return dd.lsh_band_rows(pd, num_hashes, bands_n)
 
-    idx_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
-                            f"ndindex2_{tag}")
+    stage_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
+    idx_name = f"ndindex2_{tag}"
+    idx_root = os.path.join(stage_root, idx_name)
     bands_dir = os.path.join(idx_root, "bands")
     sets_dir = os.path.join(idx_root, "sets")
     if not (os.path.isfile(os.path.join(bands_dir, "_SUCCESS"))
@@ -2062,6 +2064,10 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_of(per_old).write.mode("overwrite").parquet(bands_dir)
         per_old.select("id", "sids").write.mode("overwrite") \
             .parquet(sets_dir)
+        staging.prune_stale_siblings(
+            stage_root,
+            f"ndindex2_{os.path.basename(os.path.normpath(sf_dir))}_",
+            idx_name)
     # the ingest batch is banded + shingle-id'd in ONE pass, reused by
     # blocking and verify (eager once; dd_incremental is EAGER_BUILD_OK)
     per_new = per_doc(d.where(is_new)).localCheckpoint()

@@ -96,13 +96,17 @@ def _oplog_stage(spark: SparkSession, sf_dir: str) -> str:
     as-of readers get metadata-time partition pruning for free."""
     fp = (f"{staging.source_fingerprint(sf_dir, 'orders')}_"
           f"{staging.source_fingerprint(sf_dir, 'lineitem')}")
-    tag = f"{os.path.basename(os.path.normpath(sf_dir))}_{fp}"
-    data_dir = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
-                            f"oplog_{tag}", "data")
+    base = os.path.basename(os.path.normpath(sf_dir))
+    root = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
+    name = f"oplog_{base}_{fp}"
+    data_dir = os.path.join(root, name, "data")
     if not os.path.isfile(os.path.join(data_dir, "_SUCCESS")):
         (_synthetic_oplog(spark, sf_dir)
          .write.mode("overwrite").partitionBy("block_id")
          .parquet(data_dir))
+        # a fresh build means every other fingerprint of this sf is a
+        # superseded full op-log copy leaking on /tmp (r12 ADVICE)
+        staging.prune_stale_siblings(root, f"oplog_{base}_", name)
     return data_dir
 
 

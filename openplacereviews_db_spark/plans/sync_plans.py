@@ -38,6 +38,17 @@ _CLUST_LAT = "(50.0 + (event_id % 50) / 1000.0)"
 _CLUST_LON = "(7.0 + (event_id % 70) / 1000.0)"
 
 
+def _prune_stage(family: str, sf_dir: str, keep: str) -> None:
+    """Drop superseded write-once stages of ``family`` for this sf dir
+    (names are ``{family}_{sfbase}_{mtime}_{size}[...]``): a fresh
+    build proves every other fingerprint is a stale full copy leaking
+    on /tmp (r12 ADVICE; see staging.prune_stale_siblings)."""
+    staging.prune_stale_siblings(
+        os.path.join(tempfile.gettempdir(), "opr_spark_stage"),
+        f"{family}_{os.path.basename(os.path.normpath(sf_dir))}_",
+        keep)
+
+
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
     k = F.col("event_id")
@@ -123,7 +134,9 @@ def s5_staged_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         return load_table(spark, "events", sf_dir).select(
             "event_id", "event_type", "user_id")
 
-    staged = staging.stage_raw(spark, fetch, cache_dir, cid)
+    base = os.path.basename(os.path.normpath(sf_dir))
+    staged = staging.stage_raw(spark, fetch, cache_dir, cid,
+                               prune_prefix=f"req_events-{base}-")
     return (
         staged.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n"),
@@ -338,6 +351,7 @@ def _osm_stage_file(sf_dir: str) -> str:
                 f.write("  </node>\n")
             f.write("</osm>\n")
         os.replace(tmp, path)
+        _prune_stage("osm_src", sf_dir, os.path.basename(path))
     return path
 
 
@@ -449,6 +463,7 @@ def s2_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f.write('    </old>\n  </action>\n')
             f.write("</osm>\n")
         os.replace(tmp, path)
+        _prune_stage("osm_diff", sf_dir, os.path.basename(path))
     ents = osm_xml.read_osm_xml(spark, path)
     d = osm_xml.diff_pairs(ents)
     return d.select(
@@ -606,6 +621,7 @@ def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                        os.path.join(root, "batch_a.parquet"))
         pq.write_table(t.filter(pc.invert(even)),
                        os.path.join(root, "batch_b.parquet"))
+        _prune_stage("schema_evo", sf_dir, os.path.basename(root))
     merged = spark.read.option("mergeSchema", "true").parquet(root)
     return (merged.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -748,6 +764,7 @@ def x63_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isfile(os.path.join(packed, "_SUCCESS")):
         staging.compact_dir(spark, small, packed,
                             target_bytes=1024 * 1024)
+        _prune_stage("compact", sf_dir, os.path.basename(root))
     return (spark.read.parquet(packed)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -792,6 +809,7 @@ def _partgrid_stage(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         os.makedirs(root, exist_ok=True)
         with open(meta_path, "w") as fh:
             json.dump({"min_day": int(min_day)}, fh)
+        _prune_stage("partgrid", sf_dir, os.path.basename(root))
     with open(meta_path) as fh:
         return data_dir, json.load(fh)["min_day"]
 
@@ -996,6 +1014,7 @@ def s18_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.write.mode("overwrite").option("header", True).csv(csv_dir)
     if not os.path.isfile(os.path.join(json_dir, "_SUCCESS")):
         cust.write.mode("overwrite").json(json_dir)
+        _prune_stage("formats", sf_dir, os.path.basename(root))
     # multiLine: a quoted field carrying a NEWLINE is torn into two
     # corrupt records by the default line-splitting reader (pinned by
     # tests/test_sync_infra.py hostile-content roundtrip).  Cost: a
@@ -1075,6 +1094,7 @@ def s20_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     if not os.path.isfile(os.path.join(orc_dir, "_SUCCESS")):
         cust.write.mode("overwrite").orc(orc_dir)
+        _prune_stage("orc", sf_dir, os.path.basename(orc_dir))
     orc_rt = (spark.read.schema(_S18_SCHEMA).orc(orc_dir)
               .select("c_custkey",
                       F.col("c_name").alias("o_name"),
@@ -1145,6 +1165,8 @@ def s21_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     line = "{X" + line[1:]  # unparseable, text preserved
                 fh.write(line + "\n")
         os.replace(tmp, path)
+        _prune_stage("badjson", sf_dir,
+                     os.path.basename(os.path.dirname(path)))
     schema = (_S18_SCHEMA + ", _corrupt_record string")
     rows = (spark.read.schema(schema)
             .option("mode", "PERMISSIVE")

@@ -143,6 +143,7 @@ def release_shuffles(spark: SparkSession, settle_s: float = 20.0,
     pressure to GC for us.
     """
     import gc
+    import math
     import time
 
     spark.catalog.clearCache()
@@ -157,8 +158,15 @@ def release_shuffles(spark: SparkSession, settle_s: float = 20.0,
     # round 2 frees everything)
     deadline = time.time() + settle_s
     last = before
+    # "settled" = ~3 s of continuous quiet, not 3 polls: with the
+    # default 0.5 s poll, 3 flat polls is only 1.5 s, and the async
+    # cleaner routinely pauses longer than that mid-drain under load —
+    # returning then leaves tens of GB undrained, defeating the ENOSPC
+    # protection (r12 ADVICE).  Scale the flat-round requirement with
+    # poll_s so the quiet window is time-based.
+    flat_needed = max(3, math.ceil(3.0 / poll_s))
     flat_rounds = 0
-    while time.time() < deadline and flat_rounds < 3:
+    while time.time() < deadline:
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         time.sleep(poll_s)
@@ -172,8 +180,18 @@ def release_shuffles(spark: SparkSession, settle_s: float = 20.0,
             break  # nothing left to free
         # NOTE: do NOT break early just because something freed — the
         # cleaner unregisters shuffles one RPC at a time, so a single
-        # quiet poll mid-drain is normal; only 3 consecutive flat
-        # rounds (loop condition) or the deadline end the wait
-        # (review r12: the early break returned with tens of GB still
-        # draining, defeating the ENOSPC protection)
+        # quiet poll mid-drain is normal; only the quiet window
+        # (flat_needed consecutive flat polls) or the deadline end the
+        # wait (review r12: the early break returned with tens of GB
+        # still draining, defeating the ENOSPC protection)
+        if flat_rounds >= flat_needed:
+            # one final longer sleep + re-check before trusting the
+            # quiet window: a cleaner pause can outlast it under load
+            time.sleep(min(2.0, max(0.0, deadline - time.time())))
+            cur = blockmgr_bytes(spark)
+            if cur < last:
+                last = cur
+                flat_rounds = 0  # still draining — keep waiting
+            else:
+                break
     return before - blockmgr_bytes(spark)

@@ -53,8 +53,39 @@ def source_fingerprint(sf_dir: str, table: str) -> str:
     return f"{int(st.st_mtime)}_{st.st_size}"
 
 
+def prune_stale_siblings(root: str, prefix: str, keep: str) -> None:
+    """Remove superseded write-once staging entries: every child of
+    ``root`` whose name starts with ``prefix`` but is not ``keep``.
+
+    Staged dirs are keyed on their source parquet's mtime+size, so a
+    driver-round testdata refresh makes a NEW sibling and orphans the
+    old one — each orphan is a full staged copy leaking on /tmp (the
+    same disk-pressure class ``release_shuffles`` exists to fight; r12
+    ADVICE).  Call this right after a fresh build: freshness proves
+    every other fingerprint is stale.  Handles files and directories
+    (the s1 ``osm_src_*.osm`` stage is a file)."""
+    import shutil
+
+    try:
+        names = os.listdir(root)
+    except OSError:
+        return
+    for name in names:
+        if not name.startswith(prefix) or name == keep:
+            continue
+        path = os.path.join(root, name)
+        try:
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+            else:
+                os.remove(path)
+        except OSError:
+            pass  # concurrent session may have pruned it first
+
+
 def stage_raw(spark: SparkSession, fetch: Callable[[], DataFrame],
-              cache_dir: str, cid: str) -> DataFrame:
+              cache_dir: str, cid: str,
+              prune_prefix: str | None = None) -> DataFrame:
     """Write-once staging: if ``cache_dir/cid`` holds a completed
     parquet write (``_SUCCESS`` marker), read it; otherwise run
     ``fetch()`` once, stage its result, and read the staged copy.
@@ -64,9 +95,12 @@ def stage_raw(spark: SparkSession, fetch: Callable[[], DataFrame],
     was — the exact role of the reference's .osm.gz cache, minus its
     single-reader gzip bottleneck.
     """
-    path = os.path.join(cache_dir, cid.replace("/", "_"))
+    name = cid.replace("/", "_")
+    path = os.path.join(cache_dir, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         fetch().write.mode("overwrite").parquet(path)
+        if prune_prefix is not None:
+            prune_stale_siblings(cache_dir, prune_prefix, name)
     return spark.read.parquet(path)
 
 

@@ -418,6 +418,7 @@ def _stage_time_nsplit(sf_dir: str, prefix: str, n: int) -> tuple[str, str]:
         pq.write_table(flush, p)
         paths.append(p)
         _pin_batch_order(*paths)
+        _prune_stale_stage(root, tag)
     return root, src
 
 
@@ -511,7 +512,25 @@ def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         pq.write_table(t.filter(even), a)
         pq.write_table(t.filter(pc.invert(even)), b)
         _pin_batch_order(a, b)
+        _prune_stale_stage(root, tag)
     return root, src
+
+
+def _prune_stale_stage(root: str, tag: str) -> None:
+    """Drop superseded write-once split stages: ``root`` is
+    ``/tmp/opr_spark_stage/{prefix}_{tag}`` with ``tag`` ending in the
+    source parquet's ``{mtime}_{size}`` fingerprint; a fresh build
+    proves every same-prefix sibling with a different fingerprint is a
+    stale full copy of the staged feed leaking on /tmp (r12 ADVICE —
+    the disk-pressure class release_shuffles exists to fight)."""
+    import os
+
+    from ..sources import staging
+
+    name = os.path.basename(root)
+    fp = "_".join(tag.split("_")[-2:])  # "<mtime>_<size>"
+    staging.prune_stale_siblings(
+        os.path.dirname(root), name[: len(name) - len(fp)], name)
 
 
 def _pin_batch_order(*paths: str) -> None:
@@ -803,6 +822,7 @@ def _stage_events_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         pq.write_table(t.filter(even), a)
         pq.write_table(t.filter(pc.invert(even)), b)
         _pin_batch_order(a, b)
+        _prune_stale_stage(root, tag)
     return root, src
 
 
@@ -978,6 +998,7 @@ def _stage_time_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         pq.write_table(t.filter(early), a)
         pq.write_table(t.filter(pc.invert(early)), b)
         _pin_batch_order(a, b)
+        _prune_stale_stage(root, tag)
     return root, src
 
 

@@ -526,3 +526,32 @@ def test_auto_bands_holds_design_recall():
         assert recall(planes, b) >= 0.98 or b == 24  # cap reached
     # degenerate design point never divides by log(0)
     assert _auto_bands(3, 1.0, 0.98) == 6
+    # tiny per-band collision probability (low design_sim x wide auto
+    # signature) underflows 1-p to 1.0 — must return the cap, never
+    # ZeroDivisionError (r12 ADVICE)
+    assert _auto_bands(512, 0.05, 0.98) == 24
+    assert _auto_bands(2048, 0.5, 0.98) == 24
+    assert _auto_bands(64, -1.0, 0.98) == 24  # p == 0 exactly
+
+
+def test_resolve_lsh_shape_defaults_design_point_at_scale():
+    """cosine_pairs_lsh(n_hint=...) without design_sim must not
+    silently keep bands=6 once planes auto-grow (r12 ADVICE): the
+    design point defaults to the verify threshold so recall at the
+    emitted boundary holds by construction."""
+    from openplacereviews_db_spark.operators.similarity import (
+        _auto_bands, _resolve_lsh_shape)
+
+    # explicit values always win
+    assert _resolve_lsh_shape(8, 6, 2_000_000, None, 0.9, 0.98) == (8, 6)
+    # small-SF: auto planes stay at the floor, bands stay the default
+    assert _resolve_lsh_shape(None, None, None, None, 0.4, 0.98) == (3, 6)
+    assert _resolve_lsh_shape(None, None, 1000, None, 0.4, 0.98) == (3, 6)
+    # at-scale n_hint without design_sim: bands derive from threshold
+    p, b = _resolve_lsh_shape(None, None, 2_000_000, None, 0.9, 0.98)
+    assert p == 9 and b == _auto_bands(9, 0.9, 0.98) and b > 6
+    # an explicit design point still wins over the threshold default
+    p2, b2 = _resolve_lsh_shape(None, None, 2_000_000, 0.95, 0.9, 0.98)
+    assert p2 == 9 and b2 == _auto_bands(9, 0.95, 0.98)
+    # explicit bands suppress the defaulting entirely
+    assert _resolve_lsh_shape(None, 6, 2_000_000, None, 0.9, 0.98) == (9, 6)

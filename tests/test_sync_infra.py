@@ -31,6 +31,46 @@ def test_stage_raw_write_once(spark, tmp_path):
     assert len(calls) == 1  # second read served from the staged zone
 
 
+def test_prune_stale_siblings(tmp_path):
+    """A fresh write-once build must drop superseded-fingerprint
+    siblings (full staged copies leaking on /tmp, r12 ADVICE) — dirs
+    AND files — while never touching other families or the kept
+    entry."""
+    import os
+
+    root = tmp_path / "stage"
+    root.mkdir()
+    (root / "oplog_sf0.01_100_1").mkdir()  # stale dir
+    (root / "oplog_sf0.01_200_2").mkdir()  # fresh (keep)
+    (root / "oplog_sf0.1_100_1").mkdir()   # other sf — different prefix
+    (root / "osm_src_sf0.01_100_1.osm").write_text("old")  # stale file
+    (root / "osm_src_sf0.01_200_2.osm").write_text("new")
+    staging.prune_stale_siblings(str(root), "oplog_sf0.01_",
+                                 "oplog_sf0.01_200_2")
+    staging.prune_stale_siblings(str(root), "osm_src_sf0.01_",
+                                 "osm_src_sf0.01_200_2.osm")
+    left = sorted(os.listdir(root))
+    assert left == ["oplog_sf0.01_200_2", "oplog_sf0.1_100_1",
+                    "osm_src_sf0.01_200_2.osm"]
+    # missing root is a no-op, never a crash
+    staging.prune_stale_siblings(str(tmp_path / "nope"), "x_", "x_1")
+
+
+def test_stage_raw_prunes_superseded_fingerprints(spark, tmp_path):
+    """stage_raw(prune_prefix=...) removes the older fingerprint's
+    staged copy after a fresh build."""
+    import os
+
+    def fetch():
+        return spark.range(3).selectExpr("id")
+
+    staging.stage_raw(spark, fetch, str(tmp_path), "fam_a_100_1",
+                      prune_prefix="fam_a_")
+    staging.stage_raw(spark, fetch, str(tmp_path), "fam_a_200_2",
+                      prune_prefix="fam_a_")
+    assert sorted(os.listdir(tmp_path)) == ["fam_a_200_2"]
+
+
 def test_split_factors_schedule():
     # OsmSyncBot.java:505-514: world 36x18, shallow 4x4, deep 2x2
     assert AS.split_factors(0, 360.0, 180.0) == (36, 18)
