@@ -43,8 +43,13 @@ _DRIVER_PRIORITY = [
     "e4_set_ops", "o4_topk_per_group", "o5_orthogonal_distance",
     "d2_monthly_windows", "w3_percentiles", "q6_revenue_delta",
     "q19_disjunctive_filter",
-    # (b) the r9 cohort backfills the window: 38 of its 43 queries
-    # (positions 12-49).  After r13 samples this window, no query's
+    # (a2) dd_containment's plan changed this round (tier-1 verify now
+    # ships int16 set projections — the r12 45.9 GB sf100 exchange
+    # halved; values identical, brute-force oracle) — plan changes get
+    # fresh driver evidence the round they land
+    "dd_containment",
+    # (b) the r9 cohort backfills the window: 37 of its 43 queries
+    # (positions 13-49).  After r13 samples this window, no query's
     # driver evidence predates r9.
     "ann_quant_rerank", "d4_lenient_timestamps", "d5_multires_rollup",
     "d6_incremental_rollup", "dd_blocks", "dd_ngram_jaccard",
@@ -56,15 +61,15 @@ _DRIVER_PRIORITY = [
     "s21_corrupt_quarantine", "sk_bottomk_quantiles", "sk_countmin",
     "sk_kmv_distinct", "sql_surface_report", "st_scd2_upsert",
     "tx_bigram_lm", "tx_chunk_windows", "tx_classifier", "tx_domain_cap",
-    "tx_drift_report", "tx_pack_sequences", "tx_shard_manifest",
-    # --- 50-slot cut line: 12 + 38 = 50.  The 5 r9 queries deferred
-    # at the cut lead the r14 rotation.
-    "tx_url_canon", "tx_weighted_sample", "x22_bucketed_lookup",
-    "x77_salted_join", "x92_retract_rollup",
+    "tx_drift_report", "tx_pack_sequences",
+    # --- 50-slot cut line: 12 + 1 + 37 = 50.  The 6 r9 queries
+    # deferred at the cut lead the r14 rotation.
+    "tx_shard_manifest", "tx_url_canon", "tx_weighted_sample",
+    "x22_bucketed_lookup", "x77_salted_join", "x92_retract_rollup",
     # r10-green cohort
     "a1_area_summary", "a2_images_size", "a4_place_types",
     "ann_cosine_topk", "ann_ivf_topk", "ann_knn_label", "curate_corpus",
-    "d3_aligned_windows", "dd_containment", "dd_dup_spans", "dd_exact",
+    "d3_aligned_windows", "dd_dup_spans", "dd_exact",
     "dd_simhash", "dd_simhash_pairs", "e1_snapshot_diff",
     "e3_intersect_keys", "e9_extract_diff", "emb_neardup_lsh",
     "g1_sessionize", "g2_proximity_groups", "g9_pagerank",

@@ -325,7 +325,8 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
 
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_words: int = 3,
-                      tau_num: int = 4, tau_den: int = 5) -> DataFrame:
+                      tau_num: int = 4, tau_den: int = 5,
+                      stage_dir: str | None = None) -> DataFrame:
     """EXACT one-sided containment join: every ordered pair (a, b) with
     ``|S(a) ∩ S(b)| / |S(a)| >= tau_num/tau_den`` over distinct word
     shingles — the "document a is mostly inside document b" dedup that
@@ -358,7 +359,7 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
           .select("id", F.xxhash64("s").alias("sid")))
     freq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("id").orderBy("df", "sid")
-    # ONE persisted frame feeds the a-side prefix, the b-side
+    # ONE materialized frame feeds the a-side prefix, the b-side
     # positional index AND the verify sets — persisting thin `sh`
     # instead made the b-side recompute the freq-join + rank window
     # (r12 probe: +3.8 GB of duplicated shuffle at sf10)
@@ -366,8 +367,26 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                 .withColumn("rk", F.row_number().over(w))
                 .withColumn("n", F.count(F.lit(1))
                             .over(Window.partitionBy("id")))
-                .select("id", "sid", "rk", "n")
-                .persist())
+                .select("id", "sid", "rk", "n"))
+    if stage_dir is None:
+        # default (bench/driver scale): keep the frame in the block
+        # manager — no filesystem side effects
+        ranked_n = ranked_n.persist()
+    else:
+        # at-scale path: stage the rank frame to parquet (zstd) instead
+        # of persist.  Its on-disk footprint is ONE compressed columnar
+        # copy rather than block-manager spill, and — decisive for the
+        # one-box /tmp budget (r12: 61 GB live vs 58 GB free) — the
+        # shingle-explode / freq-join / rank-window shuffles upstream
+        # become unreachable once the write finishes, so the caller's
+        # release_shuffles() frees them BEFORE the candidate/verify
+        # phase allocates its exchanges: peak live becomes
+        # max(phase1, phase2), not their sum.  On a cluster this is the
+        # standard checkpoint-the-expensive-frame pattern.
+        spark = df.sparkSession
+        (ranked_n.write.mode("overwrite")
+         .option("compression", "zstd").parquet(stage_dir))
+        ranked_n = spark.read.parquet(stage_dir)
     thresh = F.expr(f"({tau_num} * n + {tau_den} - 1) div {tau_den}")
     prefix = ranked_n.where(F.col("rk") <= F.col("n") - thresh + 1)
     # Candidate join with the PPJoin-style LENGTH and POSITIONAL
@@ -399,43 +418,49 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                       + F.least(F.col("n_a") - F.col("rk_a"),
                                 F.col("n_b") - F.col("rk_b")) >= t_a))
             .select("id_a", "id_b").dropDuplicates())
-    # Two-tier exact verify.  Tier 1 ships INT32 projections of the
+    # Two-tier exact verify.  Tier 1 ships INT16 projections of the
     # shingle-id sets through the per-candidate exchanges — the
-    # per-candidate set payload IS the one-box disk wall (r12: 20M sf10
-    # candidates x both int64 sets = 5.0 GiB exchange -> ~60 GB live at
-    # sf100 = ENOSPC; random xxhash64 payloads are incompressible, zstd
-    # bought 12%).  The low-32-bit projection HALVES those bytes and
-    # its intersection count is a STRICT UPPER BOUND on the true one
-    # whenever both sets are internally collision-free under the
-    # projection (then distinct images preserve per-set counts, and
-    # every true common sid contributes a common image): pairs failing
-    # tau on the bound are safely dropped; the rare internally-
-    # colliding doc (P ~ n^2/2^33 per doc) bypasses the filter via the
-    # size guard.  Tier 2 re-verifies the tiny survivor set (output
-    # pairs + boundary false-passes) against the full int64 sets —
+    # per-candidate set payload IS the one-box disk wall (r12: the
+    # candidates x int32-set exchange alone wrote 45.9 GB at sf100
+    # against 58 GB of /tmp; random xxhash64 payloads are
+    # incompressible, zstd bought 12%).  The low-16-bit projection
+    # halves the r12 bytes again, and its intersection count is a
+    # STRICT UPPER BOUND on the true one whenever both sets are
+    # internally collision-free under the projection (then distinct
+    # images preserve per-set counts, and every true common sid
+    # contributes a common image): pairs failing tau on the bound are
+    # safely dropped.  Internally-colliding docs are NOT rare at 16
+    # bits (P ~ n^2/2^17 ~ 2% per ~50-shingle doc, vs ~0% at 32) —
+    # they bypass via the size guard, so ~4% of candidates flow to
+    # tier 2 carrying full sets: ~2% of the old tier-1 bytes, a net
+    # ~2x win, still exact.  False passes from CROSS-set image
+    # collisions stay negligible (E[spurious common images] ~
+    # n^2/2^16 ~ 0.04 per pair vs a threshold gap of ~40).  Tier 2
+    # re-verifies survivors + bypasses against the full int64 sets —
     # values identical, proven by the brute-force oracle.
     # Corpus-sized array sides: shuffle_hash hints, never AQE-broadcast
-    # (see minhash_lsh_pairs); all built from the persisted rank frame.
-    # sign-extending low-32 projection (shiftleft then arithmetic
-    # shiftright keeps the value in INT range; a bare & 0xFFFFFFFF
-    # overflows the ANSI int cast)
-    sid32 = F.shiftright(F.shiftleft(F.col("sid"), 32), 32).cast("int")
-    sets32 = ranked_n.groupBy("id").agg(
-        F.collect_set(sid32).alias("s32"),
+    # (see minhash_lsh_pairs); all built from the materialized rank
+    # frame.  Sign-extending low-16 projection (shiftleft then
+    # arithmetic shiftright keeps the value in SMALLINT range; a bare
+    # & 0xFFFF overflows the ANSI smallint cast).
+    sid16 = F.shiftright(F.shiftleft(F.col("sid"), 48), 48) \
+        .cast("smallint")
+    sets16 = ranked_n.groupBy("id").agg(
+        F.collect_set(sid16).alias("s16"),
         F.count(F.lit(1)).alias("n_true"))
     surv = (cand
-            .join(sets32.select(F.col("id").alias("id_a"),
-                                F.col("s32").alias("s32_a"),
+            .join(sets16.select(F.col("id").alias("id_a"),
+                                F.col("s16").alias("s16_a"),
                                 F.col("n_true").alias("n_a"))
                   .hint("shuffle_hash"), "id_a")
-            .join(sets32.select(F.col("id").alias("id_b"),
-                                F.col("s32").alias("s32_b"),
+            .join(sets16.select(F.col("id").alias("id_b"),
+                                F.col("s16").alias("s16_b"),
                                 F.col("n_true").alias("n_b_true"))
                   .hint("shuffle_hash"), "id_b")
-            .where((F.size("s32_a") < F.col("n_a"))
-                   | (F.size("s32_b") < F.col("n_b_true"))
+            .where((F.size("s16_a") < F.col("n_a"))
+                   | (F.size("s16_b") < F.col("n_b_true"))
                    | (F.lit(tau_den)
-                      * F.size(F.array_intersect("s32_a", "s32_b"))
+                      * F.size(F.array_intersect("s16_a", "s16_b"))
                       >= F.lit(tau_num) * F.col("n_a")))
             .select("id_a", "id_b"))
     sets = ranked_n.groupBy("id").agg(F.collect_set("sid").alias("sids"))

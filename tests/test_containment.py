@@ -41,6 +41,23 @@ def test_threshold_boundary_integer_exact(spark):
     assert (1, 3) not in got
 
 
+def test_stage_dir_path_is_value_identical(spark, sf_dir, tmp_path):
+    """The at-scale stage_dir variant (rank frame staged to parquet so
+    upstream shuffles can be freed between phases) must emit the exact
+    pair set and values of the default persist path."""
+    from openplacereviews_db_spark.plans.corpus import _docs
+
+    docs = _docs(spark, sf_dir)
+    base = {(r["id_a"], r["id_b"]): (r["n_a"], r["containment"])
+            for r in containment_pairs(docs, shingle_words=3,
+                                       tau_num=4, tau_den=5).collect()}
+    staged = {(r["id_a"], r["id_b"]): (r["n_a"], r["containment"])
+              for r in containment_pairs(
+                  docs, shingle_words=3, tau_num=4, tau_den=5,
+                  stage_dir=str(tmp_path / "rank")).collect()}
+    assert base == staged and len(base) > 0
+
+
 def test_short_doc_fallback(spark):
     """Docs under the shingle size collapse to one whole-text shingle
     (exploded_shingles semantics): identical short docs contain each

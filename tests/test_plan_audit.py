@@ -161,7 +161,7 @@ def test_verify_joins_never_broadcast(name, min_shj, spark, sf_dir):
     # payloads keep the source column name (r11 ADVICE: without it the
     # broadcast assertion was vacuous for dd_minhash_lsh)
     attr = re.compile(
-        r"\b(sh_a|sh_b|s_a|s_b|s32_a|s32_b|sh_n|sh_o|shingles)#\d+")
+        r"\b(sh_a|sh_b|s_a|s_b|s16_a|s16_b|sh_n|sh_o|shingles)#\d+")
     for line in plan.splitlines():
         if "BroadcastHashJoin" in line:
             assert not attr.search(line), (
