@@ -785,6 +785,12 @@ def _exact_dedup_batch(index_dir: str, counts_dir: str):
                     .where(F.col("epoch") < F.lit(epoch)).select("fp"))
         else:
             seen = spark.createDataFrame([], "fp string")
+        # eager localCheckpoint: firsts feeds TWO sinks (counts + the
+        # anti-joined index append); without it each write re-scans the
+        # batch source and re-runs the md5-fingerprint groupBy — a 2x
+        # per-batch compute tax, visible as doubled numInputRows in the
+        # stream progress (found by the r13 4-batch sf10 harness)
+        firsts = firsts.localCheckpoint()
         new = (firsts.join(seen, "fp", "left_anti")
                .select("fp", "keep_id"))
         firsts.select("fp", "c").coalesce(4).write.mode("overwrite") \
