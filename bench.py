@@ -195,9 +195,34 @@ def main() -> None:
             timings[name] = round(dt, 3)
         print(f"# retime {name}: {first:.3f}s -> {dt:.3f}s", file=progress)
 
+    # Optional second full timed pass in the SAME session
+    # (SPARK_GRAFT_BENCH_PASSES=2): two same-session means make the
+    # local-vs-driver mean gap interpretable — if the two passes agree
+    # within their noise band, a differing driver mean is environment,
+    # not code (r12 verdict item 8).  Default 1 keeps the driver's
+    # bench contract byte-identical.
+    second_pass: dict[str, float] = {}
+    if int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")) > 1:
+        for name, fn in entrymod.queries().items():
+            t0 = time.time()
+            len(fn(spark, sf_dir).collect())
+            dt = time.time() - t0
+            drop_retained_blocks()
+            second_pass[name] = round(dt, 3)
+            print(f"# pass2 {name}: {dt:.3f}s", file=progress)
+
     total = sum(timings.values())
 
+    extra = {}
+    if second_pass:
+        extra = {
+            "second_pass_mean_query_seconds": round(
+                sum(second_pass.values()) / max(1, len(second_pass)), 3),
+            "second_pass": second_pass,
+        }
+
     line = json.dumps({
+        **extra,
         "metric": "total_query_wall_seconds",
         "value": round(total, 3),
         "unit": "sec",
