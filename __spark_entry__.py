@@ -28,12 +28,13 @@ def entry(spark: SparkSession) -> DataFrame:
 #: insertion order decides which queries get driver-grade correctness
 #: evidence.  Round 13 continues the rotation (r12 verdict item 1):
 #: the 12 r8-stale queries deferred at the r12 cut lead the window,
-#: then 38 of the 43 r9-cohort queries backfill it — after this
-#: sample no query's evidence predates r9.  The 5 r9 queries deferred
-#: at the cut (tx_url_canon, tx_weighted_sample, x22_bucketed_lookup,
-#: x77_salted_join, x92_retract_rollup — trivial-plan tail of the
-#: cohort) lead the r14 rotation, followed by r10 / r11 / r12 cohorts
-#: in staleness order.
+#: then dd_containment (plan changed this round), then 37 of the 43
+#: r9-cohort queries backfill it — after this sample no query's
+#: evidence predates r9.  The 6 r9 queries deferred at the cut
+#: (tx_shard_manifest, tx_url_canon, tx_weighted_sample,
+#: x22_bucketed_lookup, x77_salted_join, x92_retract_rollup —
+#: trivial-plan tail of the cohort) lead the r14 rotation, followed
+#: by r10 / r11 / r12 cohorts in staleness order.
 _DRIVER_PRIORITY = [
     # (a) r12 verdict item 1: the 12 queries whose latest driver
     # evidence is r8 — the oldest left in the contract — lead the

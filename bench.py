@@ -205,7 +205,17 @@ def main() -> None:
     if int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")) > 1:
         for name, fn in entrymod.queries().items():
             t0 = time.time()
-            len(fn(spark, sf_dir).collect())
+            try:
+                len(fn(spark, sf_dir).collect())
+            except Exception as ex:
+                # pass 2 is diagnostics — one flaky query must never
+                # cost the completed pass-1 JSON (r13 review); negative
+                # = did not complete, same convention as staged_builds
+                print(f"# pass2 {name} failed: {ex}", file=progress)
+                second_pass[name] = -max(
+                    round(time.time() - t0, 3), 0.001)
+                drop_retained_blocks()
+                continue
             dt = time.time() - t0
             drop_retained_blocks()
             second_pass[name] = round(dt, 3)
@@ -215,9 +225,10 @@ def main() -> None:
 
     extra = {}
     if second_pass:
+        ok2 = [v for v in second_pass.values() if v >= 0]
         extra = {
             "second_pass_mean_query_seconds": round(
-                sum(second_pass.values()) / max(1, len(second_pass)), 3),
+                sum(ok2) / max(1, len(ok2)), 3),
             "second_pass": second_pass,
         }
 

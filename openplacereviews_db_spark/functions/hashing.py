@@ -179,11 +179,22 @@ def jaccard_ge(a: Column, b: Column, threshold: float) -> Column:
     from t instead of t′ is sound only while S·5e-7/(1+t)² < 1, i.e.
     S ≲ 2e6 — r11 ADVICE; using t′ removes the limit.)  The And
     short-circuit keeps values identical — the exact check decides."""
-    t_eff = threshold - 5e-7
     inter = F.size(F.array_intersect(a, b))
-    pre = inter >= (F.floor((F.size(a) + F.size(b)) * F.lit(t_eff)
-                            / F.lit(1.0 + t_eff)) - 1)
+    pre = jaccard_prebound(inter, F.size(a), F.size(b), threshold)
     return pre & (F.round(jaccard(a, b), 6) >= threshold)
+
+
+def jaccard_prebound(inter_count: Column, size_a: Column, size_b: Column,
+                     threshold: float) -> Column:
+    """The necessary integer bound of :func:`jaccard_ge`, exposed for
+    callers whose intersection count is an UPPER bound computed from a
+    cheaper projection (dd_ngram_jaccard's int16 tier-1 verify): since
+    the cutoff is unconditionally ≤ every admissible true count, any
+    count ≥ the true one also passes — no true pair is ever dropped.
+    ``size_a``/``size_b`` must be the TRUE set sizes."""
+    t_eff = threshold - 5e-7
+    return inter_count >= (F.floor((size_a + size_b) * F.lit(t_eff)
+                                   / F.lit(1.0 + t_eff)) - 1)
 
 
 # --- SimHash -----------------------------------------------------------------

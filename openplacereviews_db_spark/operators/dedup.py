@@ -302,11 +302,43 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # corpus-sized array side: shuffle_hash hint, never AQE-broadcast
-    # (see minhash_lsh_pairs)
+    # Two-tier exact verify (the dd_containment pattern, r13): the
+    # per-candidate exchanges are THE one-box disk term — each
+    # candidate row re-shuffles carrying a full int64 sid set (47 GB
+    # live at sf100).  Tier 1 ships int16 projections — the projected
+    # intersection count is an UPPER bound whenever both sets are
+    # internally collision-free under the projection, so feeding it to
+    # jaccard_prebound (with the TRUE sizes) drops only pairs no true
+    # count could rescue; internally-colliding docs (~2% per ~50-
+    # shingle doc at 16 bits) bypass via the size guard.  Tier 2
+    # re-verifies survivors + bypasses against the full int64 sets —
+    # values identical (the banded-candidate oracle re-proves it).
+    # Corpus-sized array sides: shuffle_hash hints, never AQE-broadcast
+    # (see minhash_lsh_pairs).
+    s16 = F.array_distinct(F.transform(
+        F.col("sids"),
+        lambda x: F.shiftright(F.shiftleft(x, 48), 48).cast("smallint")))
+    sets16 = sig.select("id", s16.alias("s16"),
+                        F.size("sids").alias("n"))
+    surv = (
+        cand.join(sets16.select(F.col("id").alias("id_a"),
+                                F.col("s16").alias("s16_a"),
+                                F.col("n").alias("n_a"))
+                  .hint("shuffle_hash"), on="id_a")
+        .join(sets16.select(F.col("id").alias("id_b"),
+                            F.col("s16").alias("s16_b"),
+                            F.col("n").alias("n_b"))
+              .hint("shuffle_hash"), on="id_b")
+        .where((F.size("s16_a") < F.col("n_a"))
+               | (F.size("s16_b") < F.col("n_b"))
+               | H.jaccard_prebound(
+                   F.size(F.array_intersect("s16_a", "s16_b")),
+                   F.col("n_a"), F.col("n_b"), min_jaccard))
+        .select("id_a", "id_b")
+    )
     sets = sig.select("id", "sids")
     verified = (
-        cand.join(sets.select(F.col("id").alias("id_a"),
+        surv.join(sets.select(F.col("id").alias("id_a"),
                               F.col("sids").alias("s_a"))
                   .hint("shuffle_hash"), on="id_a")
         .join(sets.select(F.col("id").alias("id_b"),

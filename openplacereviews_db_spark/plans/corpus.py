@@ -876,9 +876,13 @@ def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split-stager v2_ lesson applied preemptively).  The SAME dict
     # (_DUP_GROUP_KNOBS) feeds the key and the computation — they
     # cannot drift.
-    prefix = (f"dupgroups_{_knobs_cid(_DUP_GROUP_KNOBS)}_"
-              f"{os.path.basename(os.path.normpath(sf_dir))}_")
-    cid = prefix + staging.source_fingerprint(sf_dir, "documents")
+    # sf dir FIRST, knobs second: the prune prefix then covers BOTH
+    # drift axes — a knob change orphans the old-knob mapping exactly
+    # like a testdata refresh orphans the old fingerprint (r13 review;
+    # a knob-embedded prefix left old-knob copies on /tmp forever)
+    prefix = (f"dupgroups_{os.path.basename(os.path.normpath(sf_dir))}_")
+    cid = (prefix + f"{_knobs_cid(_DUP_GROUP_KNOBS)}_"
+           + staging.source_fingerprint(sf_dir, "documents"))
 
     def build() -> DataFrame:
         pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir),

@@ -53,7 +53,8 @@ def source_fingerprint(sf_dir: str, table: str) -> str:
     return f"{int(st.st_mtime)}_{st.st_size}"
 
 
-def prune_stale_siblings(root: str, prefix: str, keep: str) -> None:
+def prune_stale_siblings(root: str, prefix: str, keep: str,
+                         min_age_s: float = 3600.0) -> None:
     """Remove superseded write-once staging entries: every child of
     ``root`` whose name starts with ``prefix`` but is not ``keep``.
 
@@ -63,18 +64,30 @@ def prune_stale_siblings(root: str, prefix: str, keep: str) -> None:
     same disk-pressure class ``release_shuffles`` exists to fight; r12
     ADVICE).  Call this right after a fresh build: freshness proves
     every other fingerprint is stale.  Handles files and directories
-    (the s1 ``osm_src_*.osm`` stage is a file)."""
+    (the s1 ``osm_src_*.osm`` stage is a file).
+
+    ``min_age_s``: siblings modified within this window are left alone
+    — a concurrently-live session launched against the PREVIOUS
+    testdata may still hold lazy plans over its staged copy, and
+    deleting files under a registered scan fails that session's next
+    action mid-query (r13 review).  Fingerprints only drift when the
+    driver regenerates parquet between rounds, so anything older than
+    an hour with a superseded fingerprint is genuinely dead."""
     import shutil
+    import time
 
     try:
         names = os.listdir(root)
     except OSError:
         return
+    now = time.time()
     for name in names:
         if not name.startswith(prefix) or name == keep:
             continue
         path = os.path.join(root, name)
         try:
+            if now - os.path.getmtime(path) < min_age_s:
+                continue
             if os.path.isdir(path):
                 shutil.rmtree(path, ignore_errors=True)
             else:

@@ -656,38 +656,49 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
         # the shared MinHash wiring (operators/dedup.py:minhash_state)
-        # — signature + xxhash64 shingle-id set in one aggregation
+        # — signature + xxhash64 shingle-id set in one aggregation.
+        # persist + explicit unpersist, NOT localCheckpoint: checkpoint
+        # blocks have no public unpersist handle and accumulate one
+        # per-batch shingled copy in the block manager for the
+        # stream's lifetime (r13 review; the shared frame feeds band
+        # derivation, the self-join and the verify — without it each
+        # consumer re-shingles the batch)
         per_doc = minhash_state(batch, "text", "doc_id", shingle_words,
-                                num_hashes,
-                                with_sids=True).localCheckpoint()
-        new_bands = lsh_band_rows(per_doc, num_hashes, bands)
-        new_sets = per_doc.select("id", "sids")
+                                num_hashes, with_sids=True).persist()
         try:
-            old_bands = spark.read.parquet(bands_dir)
-            old_sets = spark.read.parquet(sets_dir)
-        except Exception:
-            old_bands = spark.createDataFrame([], "id long, band string")
-            old_sets = spark.createDataFrame(
-                [], "id long, sids array<bigint>")
-        a = new_bands.select(F.col("id").alias("id_a"), "band")
-        # new-vs-corpus (any order) + new-vs-new (a < b, once per pair);
-        # ids only — shingle sets join in at the verify, once per pair
-        vs_old = a.join(old_bands.select(F.col("id").alias("id_b"),
-                                         "band"), "band")
-        vs_new = (a.join(new_bands.select(F.col("id").alias("id_b"),
-                                          "band"), "band")
-                  .where(F.col("id_a") < F.col("id_b")))
-        cand = (vs_old.unionByName(vs_new)
-                .select("id_a", "id_b").dropDuplicates())
-        pairs = verify(cand, old_sets.unionByName(new_sets))
-        # bound the index's file growth: un-coalesced 32-task writes
-        # spray 32 files per table per batch, and a long-running stream
-        # re-opens every one of them at each index join (wall-clock
-        # neutral in the 2-batch A/B at sf0.1; size by target file
-        # bytes, not task count, at production batch sizes)
-        pairs.coalesce(4).write.mode("append").parquet(pairs_dir)
-        new_bands.coalesce(4).write.mode("append").parquet(bands_dir)
-        new_sets.coalesce(4).write.mode("append").parquet(sets_dir)
+            new_bands = lsh_band_rows(per_doc, num_hashes, bands)
+            new_sets = per_doc.select("id", "sids")
+            try:
+                old_bands = spark.read.parquet(bands_dir)
+                old_sets = spark.read.parquet(sets_dir)
+            except Exception:
+                old_bands = spark.createDataFrame(
+                    [], "id long, band string")
+                old_sets = spark.createDataFrame(
+                    [], "id long, sids array<bigint>")
+            a = new_bands.select(F.col("id").alias("id_a"), "band")
+            # new-vs-corpus (any order) + new-vs-new (a < b, once per
+            # pair); ids only — shingle sets join in at the verify,
+            # once per pair
+            vs_old = a.join(old_bands.select(F.col("id").alias("id_b"),
+                                             "band"), "band")
+            vs_new = (a.join(new_bands.select(F.col("id").alias("id_b"),
+                                              "band"), "band")
+                      .where(F.col("id_a") < F.col("id_b")))
+            cand = (vs_old.unionByName(vs_new)
+                    .select("id_a", "id_b").dropDuplicates())
+            pairs = verify(cand, old_sets.unionByName(new_sets))
+            # bound the index's file growth: un-coalesced 32-task
+            # writes spray 32 files per table per batch, and a
+            # long-running stream re-opens every one of them at each
+            # index join (wall-clock neutral in the 2-batch A/B at
+            # sf0.1; size by target file bytes, not task count, at
+            # production batch sizes)
+            pairs.coalesce(4).write.mode("append").parquet(pairs_dir)
+            new_bands.coalesce(4).write.mode("append").parquet(bands_dir)
+            new_sets.coalesce(4).write.mode("append").parquet(sets_dir)
+        finally:
+            per_doc.unpersist()
 
     return on_batch
 
@@ -785,17 +796,25 @@ def _exact_dedup_batch(index_dir: str, counts_dir: str):
                     .where(F.col("epoch") < F.lit(epoch)).select("fp"))
         else:
             seen = spark.createDataFrame([], "fp string")
-        # eager localCheckpoint: firsts feeds TWO sinks (counts + the
-        # anti-joined index append); without it each write re-scans the
-        # batch source and re-runs the md5-fingerprint groupBy — a 2x
-        # per-batch compute tax, visible as doubled numInputRows in the
-        # stream progress (found by the r13 4-batch sf10 harness)
-        firsts = firsts.localCheckpoint()
-        new = (firsts.join(seen, "fp", "left_anti")
-               .select("fp", "keep_id"))
-        firsts.select("fp", "c").coalesce(4).write.mode("overwrite") \
-            .parquet(cnt_part)
-        new.coalesce(4).write.mode("overwrite").parquet(idx_part)
+        # persist: firsts feeds TWO sinks (counts + the anti-joined
+        # index append); without it each write re-scans the batch
+        # source and re-runs the md5-fingerprint groupBy — a 2x
+        # per-batch compute tax, visible as doubled numInputRows in
+        # the stream progress (found by the r13 4-batch sf10 harness).
+        # persist + explicit unpersist, NOT localCheckpoint: checkpoint
+        # blocks have no public unpersist handle and would accumulate
+        # one per-batch copy in the block manager for the stream's
+        # lifetime (r13 review — the r12 lesson says nothing frees
+        # them without explicit GC rounds, impossible mid-stream).
+        firsts = firsts.persist()
+        try:
+            new = (firsts.join(seen, "fp", "left_anti")
+                   .select("fp", "keep_id"))
+            firsts.select("fp", "c").coalesce(4).write.mode("overwrite") \
+                .parquet(cnt_part)
+            new.coalesce(4).write.mode("overwrite").parquet(idx_part)
+        finally:
+            firsts.unpersist()
 
     return on_batch
 

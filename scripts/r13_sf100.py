@@ -190,7 +190,12 @@ def _stage_doc_4split(sf_dir: str) -> tuple[str, str]:
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"doc4split_{tag}")
     src = os.path.join(root, "src")
-    if not os.path.isdir(src) or len(os.listdir(src)) < 4:
+    marker = os.path.join(root, "_staged_ok")
+    # completion marker, not a file-count check: this script runs at
+    # the /tmp disk limit, and a torn 4th parquet (ENOSPC mid-write)
+    # would otherwise read as a complete stage forever (r13 review)
+    if not os.path.isfile(marker):
+        shutil.rmtree(src, ignore_errors=True)
         t = pq.read_table(src_parquet)
         os.makedirs(src, exist_ok=True)
         paths = []
@@ -200,6 +205,8 @@ def _stage_doc_4split(sf_dir: str) -> tuple[str, str]:
                 t.filter(pc.equal(pc.bit_wise_and(t["doc_id"], 3), i)), p)
             paths.append(p)
         _pin_batch_order(*paths)
+        with open(marker, "w") as fh:
+            fh.write("ok")
         _prune_stale_stage(root, tag)
     return root, src
 

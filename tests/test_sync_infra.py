@@ -31,34 +31,53 @@ def test_stage_raw_write_once(spark, tmp_path):
     assert len(calls) == 1  # second read served from the staged zone
 
 
+def _backdate(*paths, age_s: float = 7200.0) -> None:
+    import os
+    import time
+
+    old = time.time() - age_s
+    for p in paths:
+        os.utime(p, (old, old))
+
+
 def test_prune_stale_siblings(tmp_path):
     """A fresh write-once build must drop superseded-fingerprint
     siblings (full staged copies leaking on /tmp, r12 ADVICE) — dirs
-    AND files — while never touching other families or the kept
-    entry."""
+    AND files — while never touching other families, the kept entry,
+    or anything younger than the min-age guard (a concurrently-live
+    session may still scan it, r13 review)."""
     import os
 
     root = tmp_path / "stage"
     root.mkdir()
     (root / "oplog_sf0.01_100_1").mkdir()  # stale dir
+    (root / "oplog_sf0.01_150_9").mkdir()  # superseded but RECENT
     (root / "oplog_sf0.01_200_2").mkdir()  # fresh (keep)
     (root / "oplog_sf0.1_100_1").mkdir()   # other sf — different prefix
     (root / "osm_src_sf0.01_100_1.osm").write_text("old")  # stale file
     (root / "osm_src_sf0.01_200_2.osm").write_text("new")
+    _backdate(root / "oplog_sf0.01_100_1", root / "oplog_sf0.1_100_1",
+              root / "osm_src_sf0.01_100_1.osm")
     staging.prune_stale_siblings(str(root), "oplog_sf0.01_",
                                  "oplog_sf0.01_200_2")
     staging.prune_stale_siblings(str(root), "osm_src_sf0.01_",
                                  "osm_src_sf0.01_200_2.osm")
     left = sorted(os.listdir(root))
-    assert left == ["oplog_sf0.01_200_2", "oplog_sf0.1_100_1",
-                    "osm_src_sf0.01_200_2.osm"]
+    assert left == ["oplog_sf0.01_150_9", "oplog_sf0.01_200_2",
+                    "oplog_sf0.1_100_1", "osm_src_sf0.01_200_2.osm"]
+    # the recent sibling falls once it ages past the guard
+    _backdate(root / "oplog_sf0.01_150_9")
+    staging.prune_stale_siblings(str(root), "oplog_sf0.01_",
+                                 "oplog_sf0.01_200_2")
+    assert "oplog_sf0.01_150_9" not in os.listdir(root)
     # missing root is a no-op, never a crash
     staging.prune_stale_siblings(str(tmp_path / "nope"), "x_", "x_1")
 
 
 def test_stage_raw_prunes_superseded_fingerprints(spark, tmp_path):
     """stage_raw(prune_prefix=...) removes the older fingerprint's
-    staged copy after a fresh build."""
+    staged copy after a fresh build (once it ages past the live-reader
+    guard)."""
     import os
 
     def fetch():
@@ -66,6 +85,7 @@ def test_stage_raw_prunes_superseded_fingerprints(spark, tmp_path):
 
     staging.stage_raw(spark, fetch, str(tmp_path), "fam_a_100_1",
                       prune_prefix="fam_a_")
+    _backdate(tmp_path / "fam_a_100_1")
     staging.stage_raw(spark, fetch, str(tmp_path), "fam_a_200_2",
                       prune_prefix="fam_a_")
     assert sorted(os.listdir(tmp_path)) == ["fam_a_200_2"]
@@ -330,7 +350,7 @@ def test_dup_group_knobs_single_source(spark, sf_dir, monkeypatch):
             != corpus._knobs_cid({"norm_h": 16}))
 
     stage_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
-    pattern = os.path.join(stage_root, f"dupgroups_{flip_frag}_*")
+    pattern = os.path.join(stage_root, f"dupgroups_*_{flip_frag}_*")
     for d in glob.glob(pattern):
         shutil.rmtree(d, ignore_errors=True)
     monkeypatch.setattr(corpus, "_DUP_GROUP_KNOBS", flipped)
