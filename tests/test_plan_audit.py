@@ -133,8 +133,11 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
     # shuffle_hash join carrying both sets; the old dedup-then-join-sets
     # shape shipped a set copy per candidate — 13.5 GiB at sf10)
     ("dd_minhash_lsh", 1),
-    ("dd_ngram_jaccard", 2),
-    ("dd_containment", 2),
+    # both tiered verifies carry FOUR set-payload joins since r13
+    # (2x int16 tier-1 + 2x int64 tier-2) — every one must stay a
+    # ShuffledHashJoin
+    ("dd_ngram_jaccard", 4),
+    ("dd_containment", 4),
     ("dd_incremental", 2),
 ])
 def test_verify_joins_never_broadcast(name, min_shj, spark, sf_dir):
