@@ -396,6 +396,41 @@ def test_stream_join_crosses_batches(spark, tmp_path):
     assert rows == [(1, 100, 101)], rows
 
 
+def test_prune_stale_stage_strips_fingerprint(tmp_path):
+    """_prune_stale_stage derives the sibling prefix by stripping the
+    tag's trailing mtime_size fingerprint — underscores inside the sf
+    basename (opr_sf10) or the version tag (v1n4) must not confuse it,
+    other families and the kept stage must survive, and the min-age
+    live-reader guard must hold for recent siblings."""
+    import os
+    import time
+
+    from openplacereviews_db_spark.streaming.pipelines import (
+        _prune_stale_stage)
+
+    root = tmp_path
+    tag = "v1n4_opr_sf10_200_2"
+    keep = root / f"sessbnd_{tag}"
+    stale = root / "sessbnd_v1n4_opr_sf10_100_1"
+    other_n = root / "sessbnd_v1n2_opr_sf10_100_1"   # different split n
+    other_fam = root / "neardup_v1n4_opr_sf10_100_1"
+    for d in (keep, stale, other_n, other_fam):
+        d.mkdir()
+    old = time.time() - 7200
+    for d in (stale, other_n, other_fam):
+        os.utime(d, (old, old))
+    _prune_stale_stage(str(keep), tag)
+    left = sorted(os.listdir(root))
+    assert left == ["neardup_v1n4_opr_sf10_100_1",
+                    "sessbnd_v1n2_opr_sf10_100_1",
+                    f"sessbnd_{tag}"]
+    # a RECENT superseded sibling survives the live-reader guard
+    recent = root / "sessbnd_v1n4_opr_sf10_150_9"
+    recent.mkdir()
+    _prune_stale_stage(str(keep), tag)
+    assert recent.is_dir()
+
+
 def test_parity_split_order_survives_equal_mtimes(spark, tmp_path, monkeypatch):
     """The staged split's ingest order must be structural: file names
     carry a sortable sequence prefix AND _pin_batch_order spaces the
