@@ -227,8 +227,11 @@ def main() -> None:
     if second_pass:
         ok2 = [v for v in second_pass.values() if v >= 0]
         extra = {
-            "second_pass_mean_query_seconds": round(
-                sum(ok2) / max(1, len(ok2)), 3),
+            # null, not 0.0, when NO pass-2 query completed — a 0.0
+            # mean would read as an impossibly perfect pass to a
+            # cross-round comparison (r13 review)
+            "second_pass_mean_query_seconds": (
+                round(sum(ok2) / len(ok2), 3) if ok2 else None),
             "second_pass": second_pass,
         }
 

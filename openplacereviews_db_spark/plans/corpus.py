@@ -884,6 +884,21 @@ def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid = (prefix + f"{_knobs_cid(_DUP_GROUP_KNOBS)}_"
            + staging.source_fingerprint(sf_dir, "documents"))
 
+    # one-time migration: the pre-r13 layout was
+    # dupgroups_{16-hex-knobs}_{sf}_{fp} — those names never match the
+    # new prune prefix and would leak forever (r13 review).  The
+    # 16-hex second segment is unambiguous vs any sf basename.
+    import re
+
+    stage_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
+    try:
+        for name in os.listdir(stage_root):
+            if re.match(r"dupgroups_[0-9a-f]{16}_", name):
+                staging.prune_stale_siblings(
+                    stage_root, name[:len("dupgroups_") + 17], "")
+    except OSError:
+        pass
+
     def build() -> DataFrame:
         pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir),
                                         **_DUP_GROUP_KNOBS)
@@ -2068,10 +2083,12 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands_of(per_old).write.mode("overwrite").parquet(bands_dir)
         per_old.select("id", "sids").write.mode("overwrite") \
             .parquet(sets_dir)
-        staging.prune_stale_siblings(
-            stage_root,
-            f"ndindex2_{os.path.basename(os.path.normpath(sf_dir))}_",
-            idx_name)
+    # prune on every access (r13 review: a build-branch-only prune
+    # misses siblings that were under the age guard at build time)
+    staging.prune_stale_siblings(
+        stage_root,
+        f"ndindex2_{os.path.basename(os.path.normpath(sf_dir))}_",
+        idx_name)
     # the ingest batch is banded + shingle-id'd in ONE pass, reused by
     # blocking and verify (eager once; dd_incremental is EAGER_BUILD_OK)
     per_new = per_doc(d.where(is_new)).localCheckpoint()

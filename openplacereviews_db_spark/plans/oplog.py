@@ -104,9 +104,11 @@ def _oplog_stage(spark: SparkSession, sf_dir: str) -> str:
         (_synthetic_oplog(spark, sf_dir)
          .write.mode("overwrite").partitionBy("block_id")
          .parquet(data_dir))
-        # a fresh build means every other fingerprint of this sf is a
-        # superseded full op-log copy leaking on /tmp (r12 ADVICE)
-        staging.prune_stale_siblings(root, f"oplog_{base}_", name)
+    # every other fingerprint of this sf is a superseded full op-log
+    # copy leaking on /tmp (r12 ADVICE); prune on EVERY access so a
+    # sibling that was too young at build time still ages out (r13
+    # review)
+    staging.prune_stale_siblings(root, f"oplog_{base}_", name)
     return data_dir
 
 

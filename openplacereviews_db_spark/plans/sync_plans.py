@@ -351,7 +351,9 @@ def _osm_stage_file(sf_dir: str) -> str:
                 f.write("  </node>\n")
             f.write("</osm>\n")
         os.replace(tmp, path)
-        _prune_stage("osm_src", sf_dir, os.path.basename(path))
+    # prune on every access (r13 review: build-branch-only pruning
+    # misses siblings under the age guard at build time)
+    _prune_stage("osm_src", sf_dir, os.path.basename(path))
     return path
 
 
@@ -463,7 +465,7 @@ def s2_diff_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                     f.write('    </old>\n  </action>\n')
             f.write("</osm>\n")
         os.replace(tmp, path)
-        _prune_stage("osm_diff", sf_dir, os.path.basename(path))
+    _prune_stage("osm_diff", sf_dir, os.path.basename(path))
     ents = osm_xml.read_osm_xml(spark, path)
     d = osm_xml.diff_pairs(ents)
     return d.select(
@@ -621,7 +623,7 @@ def s17_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
                        os.path.join(root, "batch_a.parquet"))
         pq.write_table(t.filter(pc.invert(even)),
                        os.path.join(root, "batch_b.parquet"))
-        _prune_stage("schema_evo", sf_dir, os.path.basename(root))
+    _prune_stage("schema_evo", sf_dir, os.path.basename(root))
     merged = spark.read.option("mergeSchema", "true").parquet(root)
     return (merged.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_rows"),
@@ -764,7 +766,7 @@ def x63_compact_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not os.path.isfile(os.path.join(packed, "_SUCCESS")):
         staging.compact_dir(spark, small, packed,
                             target_bytes=1024 * 1024)
-        _prune_stage("compact", sf_dir, os.path.basename(root))
+    _prune_stage("compact", sf_dir, os.path.basename(root))
     return (spark.read.parquet(packed)
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -809,7 +811,7 @@ def _partgrid_stage(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         os.makedirs(root, exist_ok=True)
         with open(meta_path, "w") as fh:
             json.dump({"min_day": int(min_day)}, fh)
-        _prune_stage("partgrid", sf_dir, os.path.basename(root))
+    _prune_stage("partgrid", sf_dir, os.path.basename(root))
     with open(meta_path) as fh:
         return data_dir, json.load(fh)["min_day"]
 
@@ -1014,7 +1016,7 @@ def s18_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.write.mode("overwrite").option("header", True).csv(csv_dir)
     if not os.path.isfile(os.path.join(json_dir, "_SUCCESS")):
         cust.write.mode("overwrite").json(json_dir)
-        _prune_stage("formats", sf_dir, os.path.basename(root))
+    _prune_stage("formats", sf_dir, os.path.basename(root))
     # multiLine: a quoted field carrying a NEWLINE is torn into two
     # corrupt records by the default line-splitting reader (pinned by
     # tests/test_sync_infra.py hostile-content roundtrip).  Cost: a
@@ -1094,7 +1096,7 @@ def s20_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", "c_name", "c_acctbal", "c_mktsegment")
     if not os.path.isfile(os.path.join(orc_dir, "_SUCCESS")):
         cust.write.mode("overwrite").orc(orc_dir)
-        _prune_stage("orc", sf_dir, os.path.basename(orc_dir))
+    _prune_stage("orc", sf_dir, os.path.basename(orc_dir))
     orc_rt = (spark.read.schema(_S18_SCHEMA).orc(orc_dir)
               .select("c_custkey",
                       F.col("c_name").alias("o_name"),
@@ -1165,8 +1167,8 @@ def s21_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
                     line = "{X" + line[1:]  # unparseable, text preserved
                 fh.write(line + "\n")
         os.replace(tmp, path)
-        _prune_stage("badjson", sf_dir,
-                     os.path.basename(os.path.dirname(path)))
+    _prune_stage("badjson", sf_dir,
+                 os.path.basename(os.path.dirname(path)))
     schema = (_S18_SCHEMA + ", _corrupt_record string")
     rows = (spark.read.schema(schema)
             .option("mode", "PERMISSIVE")

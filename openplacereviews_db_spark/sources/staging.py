@@ -112,8 +112,12 @@ def stage_raw(spark: SparkSession, fetch: Callable[[], DataFrame],
     path = os.path.join(cache_dir, name)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         fetch().write.mode("overwrite").parquet(path)
-        if prune_prefix is not None:
-            prune_stale_siblings(cache_dir, prune_prefix, name)
+    if prune_prefix is not None:
+        # on EVERY access, not just fresh builds: a sibling superseded
+        # less than min_age_s before the fresh build survives the
+        # age guard then, and no later build would ever re-prune it
+        # (r13 review) — the listdir is pennies
+        prune_stale_siblings(cache_dir, prune_prefix, name)
     return spark.read.parquet(path)
 
 

@@ -381,7 +381,9 @@ def _stage_time_nsplit(sf_dir: str, prefix: str, n: int) -> tuple[str, str]:
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"{prefix}_{tag}")
     src = os.path.join(root, "src")
-    if not os.path.isdir(src) or len(os.listdir(src)) < n + 1:
+    if not _stage_is_complete(root):
+        import shutil as _sh
+        _sh.rmtree(src, ignore_errors=True)
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -418,7 +420,9 @@ def _stage_time_nsplit(sf_dir: str, prefix: str, n: int) -> tuple[str, str]:
         pq.write_table(flush, p)
         paths.append(p)
         _pin_batch_order(*paths)
-        _prune_stale_stage(root, tag)
+        _mark_stage_complete(root, tag)
+    else:
+        _prune_stale_stage(root, tag)  # cache hit: age out leftovers
     return root, src
 
 
@@ -496,7 +500,9 @@ def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"{prefix}_{tag}")
     src = os.path.join(root, "src")
-    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
+    if not _stage_is_complete(root):
+        import shutil as _sh
+        _sh.rmtree(src, ignore_errors=True)
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -512,7 +518,9 @@ def _stage_parity_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         pq.write_table(t.filter(even), a)
         pq.write_table(t.filter(pc.invert(even)), b)
         _pin_batch_order(a, b)
-        _prune_stale_stage(root, tag)
+        _mark_stage_complete(root, tag)
+    else:
+        _prune_stale_stage(root, tag)  # cache hit: age out leftovers
     return root, src
 
 
@@ -531,6 +539,28 @@ def _prune_stale_stage(root: str, tag: str) -> None:
     fp = "_".join(tag.split("_")[-2:])  # "<mtime>_<size>"
     staging.prune_stale_siblings(
         os.path.dirname(root), name[: len(name) - len(fp)], name)
+
+
+def _stage_is_complete(root: str) -> bool:
+    """Completion-marker check for the write-once split stagers.  A
+    file-count guard reads a TORN last parquet (ENOSPC/kill mid-write
+    — the at-scale harnesses run at the /tmp disk limit) as a complete
+    stage forever; the marker lands only after every split file and
+    its mtime pinning are done (r13 review)."""
+    import os
+
+    return os.path.isfile(os.path.join(root, "_staged_ok"))
+
+
+def _mark_stage_complete(root: str, tag: str) -> None:
+    """Stamp the marker, then prune superseded-fingerprint siblings
+    (callers also prune on cache-hit accesses so an under-age sibling
+    still ages out — r13 review)."""
+    import os
+
+    with open(os.path.join(root, "_staged_ok"), "w") as fh:
+        fh.write("ok")
+    _prune_stale_stage(root, tag)
 
 
 def _pin_batch_order(*paths: str) -> None:
@@ -668,10 +698,17 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
         try:
             new_bands = lsh_band_rows(per_doc, num_hashes, bands)
             new_sets = per_doc.select("id", "sids")
-            try:
+            # isdir guard, not try/except (the _exact_dedup_batch
+            # pattern): a missing first-batch index is expected, but a
+            # PRESENT-yet-corrupt index (torn parquet, the ENOSPC
+            # class) must fail loud — swallowing it would silently run
+            # new-vs-new only and drop every cross-batch pair (r13
+            # review)
+            import os as _os
+            if _os.path.isdir(bands_dir) and _os.path.isdir(sets_dir):
                 old_bands = spark.read.parquet(bands_dir)
                 old_sets = spark.read.parquet(sets_dir)
-            except Exception:
+            else:
                 old_bands = spark.createDataFrame(
                     [], "id long, band string")
                 old_sets = spark.createDataFrame(
@@ -835,7 +872,9 @@ def _stage_events_split(sf_dir: str, prefix: str) -> tuple[str, str]:
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"{prefix}_{tag}")
     src = os.path.join(root, "src")
-    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
+    if not _stage_is_complete(root):
+        import shutil as _sh
+        _sh.rmtree(src, ignore_errors=True)
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
@@ -847,7 +886,9 @@ def _stage_events_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         pq.write_table(t.filter(even), a)
         pq.write_table(t.filter(pc.invert(even)), b)
         _pin_batch_order(a, b)
-        _prune_stale_stage(root, tag)
+        _mark_stage_complete(root, tag)
+    else:
+        _prune_stale_stage(root, tag)  # cache hit: age out leftovers
     return root, src
 
 
@@ -1000,7 +1041,9 @@ def _stage_time_split(sf_dir: str, prefix: str) -> tuple[str, str]:
     root = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                         f"{prefix}_{tag}")
     src = os.path.join(root, "src")
-    if not os.path.isdir(src) or len(os.listdir(src)) < 2:
+    if not _stage_is_complete(root):
+        import shutil as _sh
+        _sh.rmtree(src, ignore_errors=True)
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
@@ -1023,7 +1066,9 @@ def _stage_time_split(sf_dir: str, prefix: str) -> tuple[str, str]:
         pq.write_table(t.filter(early), a)
         pq.write_table(t.filter(pc.invert(early)), b)
         _pin_batch_order(a, b)
-        _prune_stale_stage(root, tag)
+        _mark_stage_complete(root, tag)
+    else:
+        _prune_stale_stage(root, tag)  # cache hit: age out leftovers
     return root, src
 
 
