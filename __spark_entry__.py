@@ -26,67 +26,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 #: The driver samples the FIRST 50 ``queries()`` entries per round, so
 #: insertion order decides which queries get driver-grade correctness
-#: evidence.  Round 13 continues the rotation (r12 verdict item 1):
-#: the 12 r8-stale queries deferred at the r12 cut lead the window,
-#: then dd_containment (plan changed this round), then 37 of the 43
-#: r9-cohort queries backfill it — after this sample no query's
-#: evidence predates r9.  The 6 r9 queries deferred at the cut
-#: (tx_shard_manifest, tx_url_canon, tx_weighted_sample,
-#: x22_bucketed_lookup, x77_salted_join, x92_retract_rollup —
-#: trivial-plan tail of the cohort) lead the r14 rotation, followed
-#: by r10 / r11 / r12 cohorts in staleness order.
+#: evidence.  Round 14 continues the rotation (r13 verdict item 1):
+#: the 6 r9-stale queries deferred at the r13 cut lead the window,
+#: then dd_minhash_lsh + dd_incremental (their verify plans changed
+#: this round — the int16 tier-1 transfer; plan changes get fresh
+#: driver evidence the round they land), then 42 of the 49 r10-cohort
+#: queries backfill the window in staleness order.  After this sample
+#: no query's evidence predates r10.  The 7 r10 queries deferred at
+#: the cut (a4_place_types, id_bytes_roundtrip, j6_anti_join,
+#: j7_semi_join, o1_distance_topk, s7_keys_scan, tx_token_counts —
+#: trivial-plan tail) lead the r15 rotation, then r11/r12/r13 cohorts
+#: in staleness order.
 _DRIVER_PRIORITY = [
-    # (a) r12 verdict item 1: the 12 queries whose latest driver
-    # evidence is r8 — the oldest left in the contract — lead the
-    # window (positions 0-11).
-    "x88_benford", "tx_mix_weights",
-    "a7_first_last_wins", "a8_rollup_status_priority", "a9_cube_flags",
-    "e4_set_ops", "o4_topk_per_group", "o5_orthogonal_distance",
-    "d2_monthly_windows", "w3_percentiles", "q6_revenue_delta",
-    "q19_disjunctive_filter",
-    # (a2) dd_containment's plan changed this round (tier-1 verify now
-    # ships int16 set projections — the r12 45.9 GB sf100 exchange
-    # halved; values identical, brute-force oracle) — plan changes get
-    # fresh driver evidence the round they land
-    "dd_containment",
-    # (b) the r9 cohort backfills the window: 37 of its 43 queries
-    # (positions 13-49).  After r13 samples this window, no query's
-    # driver evidence predates r9.
-    "ann_quant_rerank", "d4_lenient_timestamps", "d5_multires_rollup",
-    "d6_incremental_rollup", "dd_blocks", "dd_ngram_jaccard",
-    "emb_neardup_pairs", "emb_scalar_quant", "emb_semdedup", "ev_anomaly",
-    "ev_funnel", "ev_retention", "g15_border_zone", "g7_zorder",
-    "g8_zcell_scan", "geo_tile_report", "j11_asof_join", "j12_range_join",
-    "mm_phash_dedup", "mm_phash_groups", "mm_resize", "p13_variant_kit",
-    "q1_pricing_summary", "s18_format_roundtrip", "s20_orc_roundtrip",
-    "s21_corrupt_quarantine", "sk_bottomk_quantiles", "sk_countmin",
-    "sk_kmv_distinct", "sql_surface_report", "st_scd2_upsert",
-    "tx_bigram_lm", "tx_chunk_windows", "tx_classifier", "tx_domain_cap",
-    "tx_drift_report", "tx_pack_sequences",
-    # --- 50-slot cut line: 12 + 1 + 37 = 50.  The 6 r9 queries
-    # deferred at the cut lead the r14 rotation.
+    # (a) r13 verdict item 1: the 6 queries whose latest driver
+    # evidence is r9 — the oldest left in the contract — lead the
+    # window (positions 0-5).
     "tx_shard_manifest", "tx_url_canon", "tx_weighted_sample",
     "x22_bucketed_lookup", "x77_salted_join", "x92_retract_rollup",
-    # r10-green cohort
-    "a1_area_summary", "a2_images_size", "a4_place_types",
-    "ann_cosine_topk", "ann_ivf_topk", "ann_knn_label", "curate_corpus",
-    "d3_aligned_windows", "dd_dup_spans", "dd_exact",
-    "dd_simhash", "dd_simhash_pairs", "e1_snapshot_diff",
-    "e3_intersect_keys", "e9_extract_diff", "emb_neardup_lsh",
-    "g1_sessionize", "g2_proximity_groups", "g9_pagerank",
-    "geoall_area_summary", "id_bytes_roundtrip", "j10_latest_event",
-    "j1_argmax_join", "j4_fuzzy_name_join", "j4_match_cascade",
-    "j5_pick_merges", "j6_anti_join", "j7_semi_join",
-    "m10_tripadvisor_ops", "m1m4_sync_ops", "m6_close_report",
-    "mm_decode_stats", "mm_feature_codes", "mm_sample_frames",
-    "o1_distance_topk", "p2_main_osm_element", "q3_segment_topk",
-    "q5_region_revenue", "s17_schema_evolution", "s7_keys_scan",
+    # (a2) plan-changed this round: the MinHash verify family now runs
+    # the int16 tier-1 + staged phase split (r13 verdict item 2) —
+    # fresh driver evidence the round the plan lands.  st_neardup_pairs
+    # shares the change and already sits in the r10 cohort below.
+    "dd_minhash_lsh", "dd_incremental",
+    # (b) the r10 cohort backfills the window: 42 of its 49 queries
+    # (positions 8-49).
+    "a1_area_summary", "a2_images_size", "ann_cosine_topk",
+    "ann_ivf_topk", "ann_knn_label", "curate_corpus",
+    "d3_aligned_windows", "dd_dup_spans", "dd_exact", "dd_simhash",
+    "dd_simhash_pairs", "e1_snapshot_diff", "e3_intersect_keys",
+    "e9_extract_diff", "emb_neardup_lsh", "g1_sessionize",
+    "g2_proximity_groups", "g9_pagerank", "geoall_area_summary",
+    "j10_latest_event", "j1_argmax_join", "j4_fuzzy_name_join",
+    "j4_match_cascade", "j5_pick_merges", "m10_tripadvisor_ops",
+    "m1m4_sync_ops", "m6_close_report", "mm_decode_stats",
+    "mm_feature_codes", "mm_sample_frames", "p2_main_osm_element",
+    "q3_segment_topk", "q5_region_revenue", "s17_schema_evolution",
     "s9_inverse_index_lookup", "st_neardup_pairs", "tx_bm25",
     "tx_fingerprints", "tx_keyword_search", "tx_language_id",
-    "tx_quality_score", "tx_token_counts", "w2_event_deltas",
+    "tx_quality_score", "w2_event_deltas",
+    # --- 50-slot cut line: 6 + 2 + 42 = 50.  The 7 r10 queries
+    # deferred at the cut lead the r15 rotation.
+    "a4_place_types", "id_bytes_roundtrip", "j6_anti_join",
+    "j7_semi_join", "o1_distance_topk", "s7_keys_scan",
+    "tx_token_counts",
     # r11-green cohort (freshest evidence — yield their slots)
     "d1_date_kit", "dd_apply", "dd_apply_best", "dd_dup_groups",
-    "dd_dup_spans_apply", "dd_incremental", "dd_minhash_lsh",
+    "dd_dup_spans_apply",
     "emb_hard_negatives", "emb_kmeans", "emb_pq_encode", "emb_rp_project",
     "g10_spatial_join", "g11_triangle_count", "g3_tile_grid",
     "history_report", "j13_interval_join", "j2_proximity_pairs",
@@ -120,6 +105,7 @@ _DRIVER_PRIORITY = [
     "tx_stratified_sample", "tx_tfidf_topk", "udtf_bigram_expand",
     "x84_twap", "x85_event_paths", "x86_merkle_diff", "x87_window_dedup",
 ]
+
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -884,20 +884,11 @@ def _staged_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     cid = (prefix + f"{_knobs_cid(_DUP_GROUP_KNOBS)}_"
            + staging.source_fingerprint(sf_dir, "documents"))
 
-    # one-time migration: the pre-r13 layout was
-    # dupgroups_{16-hex-knobs}_{sf}_{fp} — those names never match the
-    # new prune prefix and would leak forever (r13 review).  The
-    # 16-hex second segment is unambiguous vs any sf basename.
-    import re
-
-    stage_root = os.path.join(tempfile.gettempdir(), "opr_spark_stage")
-    try:
-        for name in os.listdir(stage_root):
-            if re.match(r"dupgroups_[0-9a-f]{16}_", name):
-                staging.prune_stale_siblings(
-                    stage_root, name[:len("dupgroups_") + 17], "")
-    except OSError:
-        pass
+    # (the one-time pre-r13-layout migration that used to run here was
+    # removed after one round per the r14 ADVICE: it re-ran on every
+    # access and its keep="" prune could delete a still-current stage;
+    # old-layout names can no longer be created, and every r13 access
+    # already pruned the stale ones.)
 
     def build() -> DataFrame:
         pairs = dedup.minhash_lsh_pairs(_docs(spark, sf_dir),

@@ -189,9 +189,14 @@ def release_shuffles(spark: SparkSession, settle_s: float = 20.0,
             # quiet window: a cleaner pause can outlast it under load
             time.sleep(min(2.0, max(0.0, deadline - time.time())))
             cur = blockmgr_bytes(spark)
-            if cur < last:
+            if cur != last:
+                # ANY movement — down (cleaner draining) or UP (a
+                # concurrent stage writing while the cleaner drains) —
+                # means the block manager is not quiet; returning on
+                # growth would leave shuffle bytes undrained (r14
+                # ADVICE: `cur < last` alone broke out early on growth)
                 last = cur
-                flat_rounds = 0  # still draining — keep waiting
+                flat_rounds = 0  # still moving — keep waiting
             else:
                 break
     return before - blockmgr_bytes(spark)

@@ -705,7 +705,22 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
             # new-vs-new only and drop every cross-batch pair (r13
             # review)
             import os as _os
-            if _os.path.isdir(bands_dir) and _os.path.isdir(sets_dir):
+            has_bands = _os.path.isdir(bands_dir)
+            has_sets = _os.path.isdir(sets_dir)
+            if has_bands != has_sets:
+                # exactly one half of the persistent index exists — a
+                # crash landed between the two per-batch appends.
+                # Substituting empty frames here would silently treat
+                # the WHOLE index as empty and drop every cross-batch
+                # pair (r13 ADVICE); only the both-missing first-batch
+                # state may map to empty.
+                raise RuntimeError(
+                    "neardup index torn: "
+                    f"bands_dir exists={has_bands}, "
+                    f"sets_dir exists={has_sets} — refusing to run "
+                    "with a half-written persistent index "
+                    f"({bands_dir!r}, {sets_dir!r})")
+            if has_bands:
                 old_bands = spark.read.parquet(bands_dir)
                 old_sets = spark.read.parquet(sets_dir)
             else:

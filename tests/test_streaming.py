@@ -957,6 +957,42 @@ def test_neardup_kill_restart_resumes_from_checkpoint(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_neardup_batch_torn_index_fails_loud(spark, tmp_path):
+    """If exactly ONE of the two persistent index dirs exists (a crash
+    between the bands and sets appends), the batch body must raise —
+    substituting empty frames would silently drop every cross-batch
+    pair (r13 ADVICE).  Both-missing (first batch) still maps to empty
+    and must run."""
+    import os
+
+    import pytest
+
+    index_dir = str(tmp_path / "index")
+    pairs_dir = str(tmp_path / "pairs")
+    inner = SP._neardup_batch(index_dir, pairs_dir, shingle_words=2,
+                              num_hashes=16, bands=8, min_jaccard=0.1)
+    batch = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string")
+
+    # torn: bands half exists, sets half missing → fail loud
+    os.makedirs(os.path.join(index_dir, "bands"))
+    with pytest.raises(RuntimeError, match="torn"):
+        inner(batch, 0)
+    os.rmdir(os.path.join(index_dir, "bands"))
+
+    # torn the other way: sets exists, bands missing → fail loud
+    os.makedirs(os.path.join(index_dir, "sets"))
+    with pytest.raises(RuntimeError, match="torn"):
+        inner(batch, 0)
+    os.rmdir(os.path.join(index_dir, "sets"))
+
+    # both missing (legitimate first batch) → runs, writes both halves
+    inner(batch, 0)
+    assert os.path.isdir(os.path.join(index_dir, "bands"))
+    assert os.path.isdir(os.path.join(index_dir, "sets"))
+    assert spark.read.parquet(pairs_dir).count() == 1
+
+
 def test_sessionize_bounded_equals_one_shot(spark):
     """r10 verdict item 5: the watermark-bounded multi-batch harness
     must produce EXACTLY the one-shot complete-mode sessions — proving
