@@ -96,22 +96,90 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def sid16_set(sids: Column) -> Column:
+    """INT16 projection of an xxhash64 shingle-id set — the tier-1
+    verify payload (dd_containment pattern, r13).  Sign-extending
+    low-16 projection: shiftleft then ARITHMETIC shiftright keeps the
+    value in SMALLINT range (a bare ``& 0xFFFF`` overflows the ANSI
+    smallint cast); array_distinct dedups internal collisions so the
+    projected intersection stays a set intersection."""
+    return F.array_distinct(F.transform(
+        sids,
+        lambda x: F.shiftright(F.shiftleft(x, 48), 48).cast("smallint")))
+
+
+def tiered_jaccard_verify(cand: DataFrame, sets_a: DataFrame,
+                          sets_b: DataFrame, min_jaccard: float,
+                          a_col: str = "id_a",
+                          b_col: str = "id_b") -> DataFrame:
+    """Two-tier exact-Jaccard verify of candidate id pairs — the r13
+    dd_containment/dd_ngram_jaccard int16 pattern, shared so every
+    member of the MinHash hash family (``dd_incremental``,
+    ``neardup_dedup_stream``) runs the same plan.
+
+    ``cand`` holds distinct (a_col, b_col) id pairs; ``sets_a`` /
+    ``sets_b`` are (id, sids) frames with each side's full int64
+    shingle-id sets (pass the same frame twice for symmetric callers).
+    The per-candidate exchanges are THE one-box disk term (r12: 45.9 GB
+    at sf100 for containment): tier 1 ships int16 projections — the
+    projected intersection count is an UPPER bound whenever both sets
+    are internally collision-free under the projection, so feeding it
+    to ``jaccard_prebound`` (with the TRUE sizes) drops only pairs no
+    true count could rescue; internally-colliding docs (~2% per
+    ~50-shingle doc at 16 bits) bypass via the size guard.  Tier 2
+    re-verifies survivors + bypasses against the full int64 sets —
+    values identical (each caller's oracle re-proves it).  Corpus-sized
+    array sides: shuffle_hash hints, never AQE-broadcast (see
+    ``minhash_lsh_pairs``)."""
+    def proj16(sets: DataFrame, idc: str, sfx: str) -> DataFrame:
+        return sets.select(F.col("id").alias(idc),
+                           sid16_set(F.col("sids")).alias(f"s16_{sfx}"),
+                           F.size("sids").alias(f"n_{sfx}"))
+
+    surv = (cand
+            .join(proj16(sets_a, a_col, "a").hint("shuffle_hash"), a_col)
+            .join(proj16(sets_b, b_col, "b").hint("shuffle_hash"), b_col)
+            .where((F.size("s16_a") < F.col("n_a"))
+                   | (F.size("s16_b") < F.col("n_b"))
+                   | H.jaccard_prebound(
+                       F.size(F.array_intersect("s16_a", "s16_b")),
+                       F.col("n_a"), F.col("n_b"), min_jaccard))
+            .select(a_col, b_col))
+    return (surv
+            .join(sets_a.select(F.col("id").alias(a_col),
+                                F.col("sids").alias("s_a"))
+                  .hint("shuffle_hash"), a_col)
+            .join(sets_b.select(F.col("id").alias(b_col),
+                                F.col("sids").alias("s_b"))
+                  .hint("shuffle_hash"), b_col)
+            # ordered bound-then-exact predicate: Catalyst folds this
+            # into the second join's condition, where the one-intersect
+            # bound short-circuits the 3-intersect exact check
+            .where(H.jaccard_ge(F.col("s_a"), F.col("s_b"), min_jaccard))
+            .withColumn("jaccard",
+                        F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
+            .select(a_col, b_col, "jaccard"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_words: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       min_jaccard: float = 0.5,
-                      fast_hash: bool = False) -> DataFrame:
+                      fast_hash: bool = False,
+                      stage_dir: str | None = None) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
-    Plan shape (r11 inline-verify): one scan computes the per-doc state
-    (16 minhash columns + the xxhash64 shingle-id set); band keys are
-    posexploded (bands× row amplification, constant factor) WITH the
-    state on each row; the self-join on the band key co-locates both
-    docs' sets, and an ordered cheapest-first condition (id guard →
-    positional first-matching-band check → bound-then-exact Jaccard,
-    ``hashing.jaccard_ge``) verifies each DISTINCT candidate exactly
-    once inside the join — no candidate dedup exchange, no per-candidate
-    set shipping, no output dropDuplicates.
+    Plan shape (r11 inline candidacy + r14 int16 tier): one scan
+    computes the per-doc state (16 minhash columns + the xxhash64
+    shingle-id set); band keys are posexploded (bands× row
+    amplification, constant factor) with the state's INT16 projection
+    on each row; the self-join on the band key co-locates both docs'
+    projections, and an ordered cheapest-first condition (id guard →
+    positional first-matching-band check → int16 tier-1 bound) admits
+    each DISTINCT candidate exactly once inside the join — no candidate
+    dedup exchange, no output dropDuplicates.  Survivors + size-guard
+    bypasses re-verify against the full int64 sets (tier 2) exactly as
+    ``tiered_jaccard_verify``.
 
     The hash family is ONE base hash per shingle (md5 by default) fed
     through ``num_hashes`` universal-hash permutations
@@ -139,57 +207,63 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # (collect_set dedups on its own).  The shingle window already
     # hash-partitions by id, so this groupBy is exchange-free — the
     # whole (documents → per-doc state) stretch is a single shuffle.
-    # NOT persisted: the self-join's two banded exchanges each
-    # recompute this agg, but the word-shuffle exchange below it is
-    # deterministic and the duplicate agg CPU is cheaper than the
-    # corpus-sized InMemoryRelation build at every measured scale
-    # (interleaved A/B: 2.0 vs 2.3 s at sf0.1, 25.9 vs 42.3 s at sf10
-    # for nopersist vs persist) — and nothing pins executor memory.
+    # Default (stage_dir=None): NOT persisted — the consumers recompute
+    # this agg, but the word-shuffle exchange below it is deterministic
+    # and the duplicate agg CPU is cheaper than the corpus-sized
+    # InMemoryRelation build at every measured scale (interleaved A/B:
+    # 2.0 vs 2.3 s at sf0.1, 25.9 vs 42.3 s at sf10 for nopersist vs
+    # persist) — and nothing pins executor memory.  At-scale callers
+    # pass stage_dir: the state writes ONCE to zstd parquet (eager) so
+    # the shingle/agg shuffles become unreachable and the caller's
+    # release_shuffles() frees them before the join phase allocates —
+    # peak live is max(state build, joins), not the sum (the
+    # containment_pairs pattern, r13).
     # The verify sets hold xxhash64 shingle IDS, not strings — ~8 B vs
-    # ~35 B per shingle through the banded exchanges (the neardup
-    # stream / ngram kernels' rule; r11 measured the string form
-    # holding 25.3 GB of live shuffle at sf10).  Jaccard over ids
-    # equals Jaccard over strings barring a ~n²/2⁶⁵ collision, so the
-    # string-set oracle still applies value-for-value.
+    # ~35 B per shingle (the neardup stream / ngram kernels' rule; r11
+    # measured the string form holding 25.3 GB of live shuffle at
+    # sf10).  Jaccard over ids equals Jaccard over strings barring a
+    # ~n²/2⁶⁵ collision, so the string-set oracle still applies
+    # value-for-value.
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)
     per_doc = exploded.withColumn("_mhb", base_h).groupBy("id").agg(
         *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set(F.xxhash64("s")).alias("shingles"),
+        F.collect_set(F.xxhash64("s")).alias("sids"),
     )
-    # Verify INLINE in the band self-join: each banded row carries its
-    # doc's shingle-id set (a fixed bands× replication, ~constant bytes
-    # per doc), the join co-locates both sets, and the whole verify
-    # runs inside the join condition — nothing heavier than surviving
-    # pairs is shuffled again.  The r1-r10 shape dedup'd candidates
-    # FIRST and then joined the per-doc sets to the candidate list,
-    # which shipped one set copy PER CANDIDATE through the pair-keyed
-    # exchanges: at sf10 (500k docs) the shuffle probe measured
-    # 13.5 GiB written on the second verify join plus 18.9 GiB of
-    # hash-agg spill deduping 260M raw collisions — 84 % of the
-    # query's 16.5 GiB live-disk peak, and the single-box ENOSPC wall
-    # at sf100.  Candidates scale linearly with the corpus (331k at
-    # sf0.1 → 32.6M at sf10, measured), so per-candidate set shipping
-    # is O(corpus) with a ~40× constant vs the banded rows' bands×.
-    # Values are identical: same candidate set (pairs sharing ≥1
-    # band), same exact Jaccard, same threshold.
+    if stage_dir is not None:
+        (per_doc.write.mode("overwrite")
+         .option("compression", "zstd").parquet(stage_dir))
+        per_doc = df.sparkSession.read.parquet(stage_dir)
+    # Tier-1 INLINE in the band self-join (r14; transfers the
+    # dd_containment int16 tier to the MinHash family — r13 verdict
+    # item 2): each banded row carries its doc's INT16 set projection
+    # (a fixed bands× replication at ~2 B/shingle — 4× less than the
+    # int64 sets these exchanges shipped in r11-r13: the 43.0 GB live
+    # peak of the sf100 probe was exactly these two exchanges), the
+    # join co-locates both projections, and the tier-1 bound runs
+    # inside the join condition.  Survivors + size-guard bypasses are
+    # tiny (≈ true pairs + the near-threshold sliver + ~2%-collision
+    # candidates), so tier 2's per-candidate join against the full
+    # int64 sets ships ONE set copy per surviving candidate instead of
+    # one per banded row — O(output), not O(corpus×bands).  Values are
+    # identical: same candidate set (pairs sharing ≥1 band), tier-1
+    # drops only pairs no true count could rescue (jaccard_prebound
+    # upper-bound argument), and tier 2 decides with the same exact
+    # rounded Jaccard as before.
     #
     # Both join sides are CORPUS-sized with array payloads: pin
     # shuffle_hash so AQE can never broadcast-convert them — at a mid
     # scale the compressed shuffle bytes sit under the auto-broadcast
     # threshold while the driver-side HashedRelation build blows the
     # heap (r10: the first sf10 run died exactly there), and at 100 TB
-    # a corpus broadcast is fatal at any threshold.  (ReuseExchange
-    # declines to share the two banded exchanges — collect_set under
-    # both defeats sameResult — so the banded frame is written once
-    # per side: 2×1.4 GiB at sf10, 3 % of the shape this replaced.)
+    # a corpus broadcast is fatal at any threshold.
     # Each banded row also carries the doc's 16 minhash columns (128 B,
     # ~+15 % on the banded exchange): a pair colliding in k bands
     # appears k times in the join, and the raw columns let each
     # collision decide POSITIONALLY whether it is the pair's FIRST
-    # matching band — only that one evaluates the (~8x dearer) exact
-    # Jaccard and emits, so verify work is once per DISTINCT candidate
-    # and the output needs no dropDuplicates exchange at all.  The
+    # matching band — only that one evaluates the tier-1 intersect and
+    # emits, so tier-1 work is once per DISTINCT candidate and the
+    # survivor frame needs no dropDuplicates exchange at all.  The
     # slice comparison is exact (band keys are md5 of the slices, so
     # key-equality ⟺ slice-equality up to an md5 collision — the same
     # equivalence the band join itself rests on).  The check is a
@@ -199,7 +273,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # (the per-collision path runs 260M times at sf10).
     hcols = [f"h{i}" for i in range(num_hashes)]
     banded = per_doc.select(
-        "id", "shingles", *hcols,
+        "id", sid16_set(F.col("sids")).alias("s16"),
+        F.size("sids").alias("n"), *hcols,
         F.posexplode(H.lsh_bands(
             F.array(*[F.col(h) for h in hcols]), bands, rows)
         ).alias("band_i", "band"),
@@ -217,34 +292,44 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         first_band = first_band.when(band_eq(i), i)
     # The whole predicate is ONE ordered And chain, because Catalyst
     # folds it into the join CONDITION where common subexpressions are
-    # NOT eliminated and evaluation is per matched row — the first cut
-    # filtered in where() layers, Catalyst re-stacked them with the
-    # exact-Jaccard check (3 array_intersect hash-set builds per eval)
-    # ahead of the 1-comparison id guard, and the verify cost tripled.
-    # Order here is cheapest-first: id guard (1 cmp), first-band (≤16
-    # cmps; a.band_i == b.band_i whenever the keys match — referencing
-    # both keeps the join inputs column-identical after pruning), then
-    # a ONE-intersect necessary bound, and the exact rounded check only
-    # on pairs the bound admits.  The bound: round(j,6) ≥ t needs
-    # j ≥ t − 5e-7, i.e. inter ≥ (t−5e-7)(|A|+|B|)/(1+t−5e-7); a
-    # floor(·)−1 cutoff under-approximates that by ≪1 for any set
-    # sizes this corpus can produce (slack 1 absorbs every double
-    # rounding), so no true pair is lost and the expensive exact check
-    # runs only on the ~threshold-dense sliver.
-    jac = F.round(H.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
+    # NOT eliminated and evaluation is per matched row.  Order is
+    # cheapest-first: id guard (1 cmp), first-band (≤16 cmps; a.band_i
+    # == b.band_i whenever the keys match — referencing both keeps the
+    # join inputs column-identical after pruning), then the tier-1
+    # test: size-guard bypass (2 cmps) OR the int16-intersect prebound.
+    # jaccard_prebound's cutoff is unconditionally ≤ every admissible
+    # true intersection and the projected count is an upper bound for
+    # internally collision-free sets, so no true pair is ever dropped
+    # here — the exact check in tier 2 decides.
     cond = ((F.col("a.id") < F.col("b.id"))
             & (first_band ==
                F.greatest(F.col("a.band_i"), F.col("b.band_i")))
-            & H.jaccard_ge(F.col("a.shingles"), F.col("b.shingles"),
-                           min_jaccard))
-    verified = (
+            & ((F.size("a.s16") < F.col("a.n"))
+               | (F.size("b.s16") < F.col("b.n"))
+               | H.jaccard_prebound(
+                   F.size(F.array_intersect("a.s16", "b.s16")),
+                   F.col("a.n"), F.col("b.n"), min_jaccard)))
+    surv = (
         a_side.hint("shuffle_hash")
         .join(b_side.hint("shuffle_hash"),
               (F.col("a.band") == F.col("b.band")) & cond)
         .select(F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"), jac.alias("jaccard"))
+                F.col("b.id").alias("id_b"))
     )
-    return verified
+    # tier 2: exact rounded Jaccard from the full int64 sets, once per
+    # surviving candidate (no dups: first_band admitted each pair once)
+    sets = per_doc.select("id", "sids")
+    return (surv
+            .join(sets.select(F.col("id").alias("id_a"),
+                              F.col("sids").alias("s_a"))
+                  .hint("shuffle_hash"), "id_a")
+            .join(sets.select(F.col("id").alias("id_b"),
+                              F.col("sids").alias("s_b"))
+                  .hint("shuffle_hash"), "id_b")
+            .where(H.jaccard_ge(F.col("s_a"), F.col("s_b"), min_jaccard))
+            .withColumn("jaccard",
+                        F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
+            .select("id_a", "id_b", "jaccard"))
 
 
 def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -302,57 +387,13 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    # Two-tier exact verify (the dd_containment pattern, r13): the
-    # per-candidate exchanges are THE one-box disk term — each
-    # candidate row re-shuffles carrying a full int64 sid set (47 GB
-    # live at sf100).  Tier 1 ships int16 projections — the projected
-    # intersection count is an UPPER bound whenever both sets are
-    # internally collision-free under the projection, so feeding it to
-    # jaccard_prebound (with the TRUE sizes) drops only pairs no true
-    # count could rescue; internally-colliding docs (~2% per ~50-
-    # shingle doc at 16 bits) bypass via the size guard.  Tier 2
-    # re-verifies survivors + bypasses against the full int64 sets —
-    # values identical (the banded-candidate oracle re-proves it).
-    # Corpus-sized array sides: shuffle_hash hints, never AQE-broadcast
-    # (see minhash_lsh_pairs).
-    s16 = F.array_distinct(F.transform(
-        F.col("sids"),
-        lambda x: F.shiftright(F.shiftleft(x, 48), 48).cast("smallint")))
-    sets16 = sig.select("id", s16.alias("s16"),
-                        F.size("sids").alias("n"))
-    surv = (
-        cand.join(sets16.select(F.col("id").alias("id_a"),
-                                F.col("s16").alias("s16_a"),
-                                F.col("n").alias("n_a"))
-                  .hint("shuffle_hash"), on="id_a")
-        .join(sets16.select(F.col("id").alias("id_b"),
-                            F.col("s16").alias("s16_b"),
-                            F.col("n").alias("n_b"))
-              .hint("shuffle_hash"), on="id_b")
-        .where((F.size("s16_a") < F.col("n_a"))
-               | (F.size("s16_b") < F.col("n_b"))
-               | H.jaccard_prebound(
-                   F.size(F.array_intersect("s16_a", "s16_b")),
-                   F.col("n_a"), F.col("n_b"), min_jaccard))
-        .select("id_a", "id_b")
-    )
+    # Two-tier exact verify — the shared helper (the dd_containment
+    # int16 pattern, r13; see tiered_jaccard_verify for the bound /
+    # size-guard / tier-2 argument).  Values identical to a one-tier
+    # exact verify, proven by the banded-candidate oracle at every
+    # driver sample.
     sets = sig.select("id", "sids")
-    verified = (
-        surv.join(sets.select(F.col("id").alias("id_a"),
-                              F.col("sids").alias("s_a"))
-                  .hint("shuffle_hash"), on="id_a")
-        .join(sets.select(F.col("id").alias("id_b"),
-                          F.col("sids").alias("s_b"))
-              .hint("shuffle_hash"), on="id_b")
-        # ordered bound-then-exact predicate: Catalyst folds this into
-        # the second join's condition, where the one-intersect bound
-        # short-circuits the 3-intersect exact check (see jaccard_ge)
-        .where(H.jaccard_ge(F.col("s_a"), F.col("s_b"), min_jaccard))
-        .withColumn("jaccard",
-                    F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
-        .select("id_a", "id_b", "jaccard")
-    )
-    return verified
+    return tiered_jaccard_verify(cand, sets, sets, min_jaccard)
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",

@@ -2089,30 +2089,21 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          "band")
     cand = (new_bands.join(old_bands, on="band")
             .select("id_new", "id_old").dropDuplicates())
-    # the staged sets index is CORPUS-sized with array payloads —
-    # shuffle_hash hints so AQE can never broadcast-convert the verify
-    # (the dd_minhash_lsh sf10 OOM class, operators/dedup.py)
-    sets_old = (spark.read.parquet(sets_dir)
-                .select(F.col("id").alias("id_old"),
-                        F.col("sids").alias("sh_o"))
-                .hint("shuffle_hash"))
-    sets_new = (per_new.select(F.col("id").alias("id_new"),
-                               F.col("sids").alias("sh_n"))
-                .hint("shuffle_hash"))
-    # Jaccard over the 64-bit shingle ids equals Jaccard over the
-    # shingle strings barring a ~n²/2⁶⁵ collision (the
+    # Two-tier exact verify via the shared helper (r14: the int16
+    # tier-1 transfer to the whole MinHash family — dedup.py's
+    # tiered_jaccard_verify): the staged sets index is CORPUS-sized,
+    # so tier 1 joins only the int16 projections per candidate and
+    # tier 2 ships the full int64 sets for survivors + bypasses only.
+    # shuffle_hash inside the helper keeps AQE from broadcast-
+    # converting either array side (the dd_minhash_lsh sf10 OOM
+    # class).  Jaccard over the 64-bit shingle ids equals Jaccard over
+    # the shingle strings barring a ~n²/2⁶⁵ collision (the
     # neardup_dedup_stream argument), so the string-shingle oracle
-    # still applies value-for-value
-    return (
-        cand.join(sets_new, on="id_new").join(sets_old, on="id_old")
-        # ordered bound-then-exact predicate (H.jaccard_ge): the
-        # one-intersect bound short-circuits the exact check inside
-        # the join condition Catalyst folds this into
-        .where(H.jaccard_ge(F.col("sh_n"), F.col("sh_o"), 0.1))
-        .withColumn("jaccard",
-                    F.round(H.jaccard(F.col("sh_n"), F.col("sh_o")), 6))
-        .select("id_new", "id_old", "jaccard")
-    )
+    # still applies value-for-value.
+    sets_old = spark.read.parquet(sets_dir)
+    sets_new = per_new.select("id", "sids")
+    return dd.tiered_jaccard_verify(cand, sets_new, sets_old, 0.1,
+                                    a_col="id_new", b_col="id_old")
 
 
 QUERIES["dd_incremental"] = dd_incremental

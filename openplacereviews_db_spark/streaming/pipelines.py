@@ -657,31 +657,21 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
     offset-log replay check, mirroring ``_exact_dedup_batch``)."""
     import os
 
-    from ..functions import hashing as H
-    from ..operators.dedup import lsh_band_rows, minhash_state
+    from ..operators.dedup import (lsh_band_rows, minhash_state,
+                                   tiered_jaccard_verify)
 
     bands_dir = os.path.join(index_dir, "bands")
     sets_dir = os.path.join(index_dir, "sets")
 
     def verify(cand: DataFrame, sets: DataFrame) -> DataFrame:
-        # the sets index is CORPUS-sized with array payloads —
-        # shuffle_hash hint so AQE can never broadcast-convert it
+        # two-tier exact verify via the shared helper (r14: the int16
+        # tier-1 transfer to the whole MinHash family): the persistent
+        # sets index is CORPUS-sized, so tier 1 joins only int16
+        # projections per candidate and tier 2 ships full int64 sets
+        # for survivors + bypasses only; shuffle_hash inside the
+        # helper keeps AQE from broadcast-converting either array side
         # (the dd_minhash_lsh sf10 OOM class, operators/dedup.py)
-        sa = (sets.select(F.col("id").alias("id_a"),
-                          F.col("sids").alias("sh_a"))
-              .hint("shuffle_hash"))
-        sb = (sets.select(F.col("id").alias("id_b"),
-                          F.col("sids").alias("sh_b"))
-              .hint("shuffle_hash"))
-        jac = F.round(H.jaccard(F.col("sh_a"), F.col("sh_b")), 6)
-        # ordered bound-then-exact predicate (H.jaccard_ge): Catalyst
-        # folds the filter into the second join's condition, where the
-        # one-intersect bound short-circuits the 3-intersect exact check
-        return (cand.join(sa, "id_a").join(sb, "id_b")
-                .where(H.jaccard_ge(F.col("sh_a"), F.col("sh_b"),
-                                    min_jaccard))
-                .withColumn("jaccard", jac)
-                .select("id_a", "id_b", "jaccard"))
+        return tiered_jaccard_verify(cand, sets, sets, min_jaccard)
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
