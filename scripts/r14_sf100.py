@@ -1,0 +1,159 @@
+"""Round-14 at-scale session — ONE JVM, disk-safe, r13 verdict items
+3/4/5 in one measured run:
+
+- item 3: mm_phash_groups at sf10 AND sf100 under recorded (calm) load
+  with the CC contraction's per-round log (operators/components.py
+  ``round_log``) — attributes the r13 11.1x decade wall to either
+  round depth or per-round cost vs the co-tenant loadavg 25-30 it ran
+  under.
+- item 4: the EXACT chunk-pair GEMM census at the production
+  threshold (``emb_neardup_hi``) at sf100 — closes the planted-
+  structure decade against an exact count (expect 19,980 = 999*20)
+  instead of the LSH reading.
+- item 5: first sf100 rows for dd_dup_groups, dd_incremental,
+  ann_ivf_topk, history_report, m5_merge_ops (each with an sf10 row in
+  the same session for the decade ratio).  emb_semdedup's contract
+  threshold (cos>=0.40) sits in the quadratic tail on the scale
+  corpora (measured: 4.9e-4 of all pairs => ~1e9 pairs = tens of GB at
+  sf100), so it runs at sf10 only and the sf100 row is the
+  PRODUCTION-regime group build (threshold 0.90 over the planted
+  structure, linear) via the same kernels — the one-box attribution
+  the verdict allows, recorded in the JSON.
+
+Usage: python scripts/r14_sf100.py [sf100_dir] [out.json]
+(default /tmp/opr_sf100; the sf10 wave reads /tmp/opr_sf10).
+"""
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF10 = os.environ.get("SPARK_GRAFT_SF10", "/tmp/opr_sf10")
+
+
+def log(msg: str) -> None:
+    free_gb = shutil.disk_usage("/tmp").free / 2**30
+    print(f"# {msg} loadavg={[round(x, 2) for x in os.getloadavg()]} "
+          f"tmp_free={free_gb:.1f}G", file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    sf100 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/opr_sf100"
+    out_path = sys.argv[2] if len(sys.argv) > 2 else None
+
+    os.environ.setdefault("SPARK_GRAFT_IO_CODEC", "zstd")
+    nparts = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "64"))
+
+    import __spark_entry__ as entrymod
+    from openplacereviews_db_spark.operators.components import dedup_groups
+    from openplacereviews_db_spark.operators import similarity
+    from openplacereviews_db_spark.plans.corpus import (_docs, _embs,
+                                                        _parquet_num_rows,
+                                                        mm_phash_dedup)
+    from openplacereviews_db_spark.session import (blockmgr_bytes,
+                                                   get_spark,
+                                                   release_shuffles)
+
+    spark = get_spark("r14_sf100", shuffle_partitions=nparts,
+                      sf_dir=sf100)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    results: dict = {"sf_dir": sf100, "shuffle_partitions": nparts,
+                     "load_start": [round(x, 2) for x in os.getloadavg()],
+                     "tmp_free_start_gb": round(
+                         shutil.disk_usage("/tmp").free / 2**30, 1),
+                     "kernels": []}
+
+    def run(name: str, fn, sf: str, extra: dict | None = None) -> None:
+        t0 = time.time()
+        entry: dict = {"kernel": name, "sf": os.path.basename(sf),
+                       "load": [round(x, 2) for x in os.getloadavg()],
+                       "tmp_free_before_gb": round(
+                           shutil.disk_usage("/tmp").free / 2**30, 1)}
+        try:
+            rows = fn(spark, sf).count()
+            entry.update(wall_s=round(time.time() - t0, 1), rows=rows)
+        except Exception as ex:  # record and continue — the session
+            entry.update(wall_s=round(time.time() - t0, 1),
+                         error=f"{type(ex).__name__}: {ex}"[:300])
+        if extra:
+            entry.update(extra)
+        resident = blockmgr_bytes(spark)
+        freed = release_shuffles(spark, settle_s=60.0)
+        entry.update(
+            resident_mb=round(resident / 2**20, 1),
+            freed_mb=round(freed / 2**20, 1),
+            resident_after_mb=round(blockmgr_bytes(spark) / 2**20, 1),
+            tmp_free_gb=round(shutil.disk_usage("/tmp").free / 2**30, 1),
+        )
+        results["kernels"].append(entry)
+        log(f"{name}@{entry['sf']}: {entry.get('wall_s')}s "
+            f"rows={entry.get('rows')} err={entry.get('error')} "
+            f"freed={entry['freed_mb']}MB")
+
+    # round-logged CC twins: the round_log list is captured per call so
+    # the JSON attributes wall to round depth x per-round cost (item 3)
+    def phash_groups_logged(rl: list):
+        def fn(s, sf):
+            return dedup_groups(mm_phash_dedup(s, sf), round_log=rl)
+        return fn
+
+    def dup_groups_logged(rl: list):
+        from openplacereviews_db_spark.operators import dedup as dd
+        from openplacereviews_db_spark.plans.corpus import _DUP_GROUP_KNOBS
+
+        def fn(s, sf):
+            pairs = dd.minhash_lsh_pairs(_docs(s, sf), **_DUP_GROUP_KNOBS)
+            return dedup_groups(pairs, round_log=rl)
+        return fn
+
+    def semdedup_hi09(s, sf):
+        """Production-regime semantic dedup: groups over the planted
+        cos>=0.90 structure — linear where the 0.40 contract threshold
+        is quadratic-tail on the scale corpora (see module docstring)."""
+        embs = _embs(s, sf)
+        pairs = similarity.cosine_pairs_blocked(
+            embs, threshold=0.90,
+            n_hint=_parquet_num_rows(sf, "embeddings"))
+        return dedup_groups(pairs)
+
+    waves = [SF10, sf100]
+    for sf in waves:
+        run("emb_neardup_hi", qs["emb_neardup_hi"], sf)
+        run("ann_ivf_topk", qs["ann_ivf_topk"], sf)
+        run("dd_incremental", qs["dd_incremental"], sf)
+        run("history_report", qs["history_report"], sf)
+        run("m5_merge_ops", qs["m5_merge_ops"], sf)
+        rl_dup: list = []
+        run("dd_dup_groups", dup_groups_logged(rl_dup), sf,
+            extra={"cc_rounds": rl_dup})
+        rl_ph: list = []
+        run("mm_phash_groups", phash_groups_logged(rl_ph), sf,
+            extra={"cc_rounds": rl_ph})
+        if sf == SF10:
+            run("emb_semdedup", qs["emb_semdedup"], sf)
+            results["emb_semdedup_sf100_skip"] = (
+                "contract threshold 0.40 is quadratic-tail on the scale "
+                "corpora: measured pair fraction 4.9e-4 => ~1e9 pairs "
+                "(~24 GB) at sf100; production regime (0.90) runs "
+                "instead — linear planted structure")
+        else:
+            run("emb_semdedup_hi09", semdedup_hi09, sf)
+
+    results["load_end"] = [round(x, 2) for x in os.getloadavg()]
+    results["tmp_free_end_gb"] = round(
+        shutil.disk_usage("/tmp").free / 2**30, 1)
+    blob = json.dumps(results)
+    print(blob)
+    if out_path:
+        with open(out_path, "w") as fh:
+            fh.write(blob)
+
+
+if __name__ == "__main__":
+    main()
