@@ -170,15 +170,9 @@ def jaccard_ge(a: Column, b: Column, threshold: float) -> Column:
     common subexpressions are NOT eliminated, so the naive check costs
     three array_intersect hash-set builds per candidate; here a
     ONE-intersect necessary bound short-circuits the exact check down
-    to the near-threshold sliver.  The bound: round(j,6) ≥ t requires
-    j ≥ t − 5e-7 =: t′, and j = i/(S−i) ≥ t′ ⇔ i ≥ t′·S/(1+t′) with
-    S = |A|+|B|.  The cutoff floor(t′·S/(1+t′)) − 1 is UNCONDITIONALLY
-    ≤ every admissible integer i (floor(x) ≤ x, and the slack 1 absorbs
-    the ≤1-ulp double error of t′·S/(1+t′) for any S < 2^52), so no
-    true pair is ever dropped at any set size.  (Computing the bound
-    from t instead of t′ is sound only while S·5e-7/(1+t)² < 1, i.e.
-    S ≲ 2e6 — r11 ADVICE; using t′ removes the limit.)  The And
-    short-circuit keeps values identical — the exact check decides."""
+    to the near-threshold sliver (``jaccard_prebound``'s exact integer
+    cutoff — see there for the algebra).  The And short-circuit keeps
+    values identical — the exact check decides."""
     inter = F.size(F.array_intersect(a, b))
     pre = jaccard_prebound(inter, F.size(a), F.size(b), threshold)
     return pre & (F.round(jaccard(a, b), 6) >= threshold)
@@ -186,15 +180,28 @@ def jaccard_ge(a: Column, b: Column, threshold: float) -> Column:
 
 def jaccard_prebound(inter_count: Column, size_a: Column, size_b: Column,
                      threshold: float) -> Column:
-    """The necessary integer bound of :func:`jaccard_ge`, exposed for
-    callers whose intersection count is an UPPER bound computed from a
-    cheaper projection (dd_ngram_jaccard's int16 tier-1 verify): since
-    the cutoff is unconditionally ≤ every admissible true count, any
-    count ≥ the true one also passes — no true pair is ever dropped.
-    ``size_a``/``size_b`` must be the TRUE set sizes."""
-    t_eff = threshold - 5e-7
-    return inter_count >= (F.floor((size_a + size_b) * F.lit(t_eff)
-                                   / F.lit(1.0 + t_eff)) - 1)
+    """The necessary integer bound of :func:`jaccard_ge` — EXACT, no
+    slack (r14; the floor(·)−1 float form it replaces admitted up to 2
+    extra integer steps of near-threshold sliver, 21× the true pairs on
+    dd_minhash_lsh's sf100 candidates).  Also exposed for callers whose
+    intersection count is an UPPER bound computed from a cheaper
+    projection (the int16 tier-1 verifies): any count ≥ the true one
+    also passes, so no true pair is ever dropped.  ``size_a``/
+    ``size_b`` must be the TRUE set sizes.
+
+    Algebra, all in exact integers: round(j,6) ≥ t (HALF_UP) ⟺
+    j ≥ t − 5e-7 =: t′ for exact rationals j = i/(S−i), S = |A|+|B|;
+    with T := round(t·10⁸) − 50 (= t′·10⁸ exactly for any threshold of
+    ≤6 decimals), i/(S−i) ≥ T/10⁸ ⟺ i·(10⁸+T) ≥ T·S — int64-safe to
+    i ~ 8e10.  A double j within 1 ulp of the boundary cannot flip the
+    comparison the exact check performs: the nearest distinct rational
+    i/(S−i) to T/10⁸ differs by ≥ 1/(10⁸·(S−i)) ≫ the ~1e-17 shortest-
+    repr wobble of round(double, 6) for any S < 10⁷."""
+    t8 = int(round(threshold * 1e8)) - 50
+    # both factors cast to BIGINT: size()/array counts arrive as INT
+    # and an int32 product overflows (ANSI) at inter ~ 20
+    return (inter_count.cast("long") * F.lit(10**8 + t8).cast("long")
+            >= F.lit(t8).cast("long") * (size_a + size_b).cast("long"))
 
 
 # --- SimHash -----------------------------------------------------------------

@@ -165,21 +165,34 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_words: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       min_jaccard: float = 0.5,
-                      fast_hash: bool = False,
-                      stage_dir: str | None = None) -> DataFrame:
+                      fast_hash: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash + banded LSH + exact verify.
 
-    Plan shape (r11 inline candidacy + r14 int16 tier): one scan
+    Plan shape (r11 inline-verify, re-pinned by the r14 A/B): one scan
     computes the per-doc state (16 minhash columns + the xxhash64
     shingle-id set); band keys are posexploded (bands× row
-    amplification, constant factor) with the state's INT16 projection
-    on each row; the self-join on the band key co-locates both docs'
-    projections, and an ordered cheapest-first condition (id guard →
-    positional first-matching-band check → int16 tier-1 bound) admits
-    each DISTINCT candidate exactly once inside the join — no candidate
-    dedup exchange, no output dropDuplicates.  Survivors + size-guard
-    bypasses re-verify against the full int64 sets (tier 2) exactly as
-    ``tiered_jaccard_verify``.
+    amplification, constant factor) WITH the state on each row; the
+    self-join on the band key co-locates both docs' sets, and an
+    ordered cheapest-first condition (id guard → positional
+    first-matching-band check → bound-then-exact Jaccard,
+    ``hashing.jaccard_ge``) verifies each DISTINCT candidate exactly
+    once inside the join — no candidate dedup exchange, no
+    per-candidate set shipping, no output dropDuplicates.
+
+    Why NOT the int16 tier-1 here (r14): an in-band tier variant
+    (project s16 onto the banded rows, re-join survivors to the full
+    sets — ``tiered_jaccard_verify``'s shape) was built and A/B'd at
+    sf100 on a calm box: 915–1062 s / 17.7–19.7 GB peak vs THIS shape's
+    563 s / 16.6 GB (identical 1,468,168 pairs; r14 probes).  The tier
+    pays two extra per-doc agg recomputes plus an O(tier-1-admissions)
+    full-set intermediate (31.6M rows, 11.6 GB), while the banded
+    exchange it shrinks is written only ONCE — ReuseExchange shares it
+    between the self-join's sides (confirmed in both r14 probes: one
+    banded stage, the join stage reading it twice), so the int64
+    payload costs one exchange, not two.  The tier stays the right
+    shape where candidates arrive as a bare id-pair frame and each
+    side's set must be re-joined per candidate (ngram / containment /
+    incremental / streaming verifies — ``tiered_jaccard_verify``).
 
     The hash family is ONE base hash per shingle (md5 by default) fed
     through ``num_hashes`` universal-hash permutations
@@ -207,49 +220,39 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # (collect_set dedups on its own).  The shingle window already
     # hash-partitions by id, so this groupBy is exchange-free — the
     # whole (documents → per-doc state) stretch is a single shuffle.
-    # Default (stage_dir=None): NOT persisted — the consumers recompute
-    # this agg, but the word-shuffle exchange below it is deterministic
-    # and the duplicate agg CPU is cheaper than the corpus-sized
-    # InMemoryRelation build at every measured scale (interleaved A/B:
-    # 2.0 vs 2.3 s at sf0.1, 25.9 vs 42.3 s at sf10 for nopersist vs
-    # persist) — and nothing pins executor memory.  At-scale callers
-    # pass stage_dir: the state writes ONCE to zstd parquet (eager) so
-    # the shingle/agg shuffles become unreachable and the caller's
-    # release_shuffles() frees them before the join phase allocates —
-    # peak live is max(state build, joins), not the sum (the
-    # containment_pairs pattern, r13).
+    # NOT persisted: the banded exchange below is shared by both join
+    # sides via ReuseExchange (r14 probes: one banded stage at sf10 and
+    # sf100), so the agg runs once and an InMemoryRelation build would
+    # only add cost (r11 A/B: 25.9 vs 42.3 s at sf10 for nopersist vs
+    # persist) while pinning executor memory.
     # The verify sets hold xxhash64 shingle IDS, not strings — ~8 B vs
-    # ~35 B per shingle (the neardup stream / ngram kernels' rule; r11
-    # measured the string form holding 25.3 GB of live shuffle at
-    # sf10).  Jaccard over ids equals Jaccard over strings barring a
-    # ~n²/2⁶⁵ collision, so the string-set oracle still applies
-    # value-for-value.
+    # ~35 B per shingle through the banded exchange (the neardup
+    # stream / ngram kernels' rule; r11 measured the string form
+    # holding 25.3 GB of live shuffle at sf10).  Jaccard over ids
+    # equals Jaccard over strings barring a ~n²/2⁶⁵ collision, so the
+    # string-set oracle still applies value-for-value.
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)
     per_doc = exploded.withColumn("_mhb", base_h).groupBy("id").agg(
         *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
-        F.collect_set(F.xxhash64("s")).alias("sids"),
+        F.collect_set(F.xxhash64("s")).alias("shingles"),
     )
-    if stage_dir is not None:
-        (per_doc.write.mode("overwrite")
-         .option("compression", "zstd").parquet(stage_dir))
-        per_doc = df.sparkSession.read.parquet(stage_dir)
-    # Tier-1 INLINE in the band self-join (r14; transfers the
-    # dd_containment int16 tier to the MinHash family — r13 verdict
-    # item 2): each banded row carries its doc's INT16 set projection
-    # (a fixed bands× replication at ~2 B/shingle — 4× less than the
-    # int64 sets these exchanges shipped in r11-r13: the 43.0 GB live
-    # peak of the sf100 probe was exactly these two exchanges), the
-    # join co-locates both projections, and the tier-1 bound runs
-    # inside the join condition.  Survivors + size-guard bypasses are
-    # tiny (≈ true pairs + the near-threshold sliver + ~2%-collision
-    # candidates), so tier 2's per-candidate join against the full
-    # int64 sets ships ONE set copy per surviving candidate instead of
-    # one per banded row — O(output), not O(corpus×bands).  Values are
-    # identical: same candidate set (pairs sharing ≥1 band), tier-1
-    # drops only pairs no true count could rescue (jaccard_prebound
-    # upper-bound argument), and tier 2 decides with the same exact
-    # rounded Jaccard as before.
+    # Verify INLINE in the band self-join: each banded row carries its
+    # doc's shingle-id set (a fixed bands× replication, ~constant bytes
+    # per doc), the join co-locates both sets, and the whole verify
+    # runs inside the join condition — nothing heavier than surviving
+    # pairs is shuffled again.  The r1-r10 shape dedup'd candidates
+    # FIRST and then joined the per-doc sets to the candidate list,
+    # which shipped one set copy PER CANDIDATE through the pair-keyed
+    # exchanges: at sf10 (500k docs) the shuffle probe measured
+    # 13.5 GiB written on the second verify join plus 18.9 GiB of
+    # hash-agg spill deduping 260M raw collisions — 84 % of the
+    # query's 16.5 GiB live-disk peak, and the single-box ENOSPC wall
+    # at sf100.  Candidates scale linearly with the corpus (331k at
+    # sf0.1 → 32.6M at sf10, measured), so per-candidate set shipping
+    # is O(corpus) with a ~40× constant vs the banded rows' bands×.
+    # Values are identical: same candidate set (pairs sharing ≥1
+    # band), same exact Jaccard, same threshold.
     #
     # Both join sides are CORPUS-sized with array payloads: pin
     # shuffle_hash so AQE can never broadcast-convert them — at a mid
@@ -261,9 +264,9 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # ~+15 % on the banded exchange): a pair colliding in k bands
     # appears k times in the join, and the raw columns let each
     # collision decide POSITIONALLY whether it is the pair's FIRST
-    # matching band — only that one evaluates the tier-1 intersect and
-    # emits, so tier-1 work is once per DISTINCT candidate and the
-    # survivor frame needs no dropDuplicates exchange at all.  The
+    # matching band — only that one evaluates the (~8x dearer) exact
+    # Jaccard and emits, so verify work is once per DISTINCT candidate
+    # and the output needs no dropDuplicates exchange at all.  The
     # slice comparison is exact (band keys are md5 of the slices, so
     # key-equality ⟺ slice-equality up to an md5 collision — the same
     # equivalence the band join itself rests on).  The check is a
@@ -273,8 +276,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # (the per-collision path runs 260M times at sf10).
     hcols = [f"h{i}" for i in range(num_hashes)]
     banded = per_doc.select(
-        "id", sid16_set(F.col("sids")).alias("s16"),
-        F.size("sids").alias("n"), *hcols,
+        "id", "shingles", *hcols,
         F.posexplode(H.lsh_bands(
             F.array(*[F.col(h) for h in hcols]), bands, rows)
         ).alias("band_i", "band"),
@@ -292,44 +294,30 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         first_band = first_band.when(band_eq(i), i)
     # The whole predicate is ONE ordered And chain, because Catalyst
     # folds it into the join CONDITION where common subexpressions are
-    # NOT eliminated and evaluation is per matched row.  Order is
-    # cheapest-first: id guard (1 cmp), first-band (≤16 cmps; a.band_i
-    # == b.band_i whenever the keys match — referencing both keeps the
-    # join inputs column-identical after pruning), then the tier-1
-    # test: size-guard bypass (2 cmps) OR the int16-intersect prebound.
-    # jaccard_prebound's cutoff is unconditionally ≤ every admissible
-    # true intersection and the projected count is an upper bound for
-    # internally collision-free sets, so no true pair is ever dropped
-    # here — the exact check in tier 2 decides.
+    # NOT eliminated and evaluation is per matched row — the first cut
+    # filtered in where() layers, Catalyst re-stacked them with the
+    # exact-Jaccard check (3 array_intersect hash-set builds per eval)
+    # ahead of the 1-comparison id guard, and the verify cost tripled.
+    # Order here is cheapest-first: id guard (1 cmp), first-band (≤16
+    # cmps; a.band_i == b.band_i whenever the keys match — referencing
+    # both keeps the join inputs column-identical after pruning), then
+    # a ONE-intersect necessary bound (``jaccard_ge``'s exact integer
+    # cutoff), and the exact rounded check only on pairs the bound
+    # admits.
+    jac = F.round(H.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
     cond = ((F.col("a.id") < F.col("b.id"))
             & (first_band ==
                F.greatest(F.col("a.band_i"), F.col("b.band_i")))
-            & ((F.size("a.s16") < F.col("a.n"))
-               | (F.size("b.s16") < F.col("b.n"))
-               | H.jaccard_prebound(
-                   F.size(F.array_intersect("a.s16", "b.s16")),
-                   F.col("a.n"), F.col("b.n"), min_jaccard)))
-    surv = (
+            & H.jaccard_ge(F.col("a.shingles"), F.col("b.shingles"),
+                           min_jaccard))
+    verified = (
         a_side.hint("shuffle_hash")
         .join(b_side.hint("shuffle_hash"),
               (F.col("a.band") == F.col("b.band")) & cond)
         .select(F.col("a.id").alias("id_a"),
-                F.col("b.id").alias("id_b"))
+                F.col("b.id").alias("id_b"), jac.alias("jaccard"))
     )
-    # tier 2: exact rounded Jaccard from the full int64 sets, once per
-    # surviving candidate (no dups: first_band admitted each pair once)
-    sets = per_doc.select("id", "sids")
-    return (surv
-            .join(sets.select(F.col("id").alias("id_a"),
-                              F.col("sids").alias("s_a"))
-                  .hint("shuffle_hash"), "id_a")
-            .join(sets.select(F.col("id").alias("id_b"),
-                              F.col("sids").alias("s_b"))
-                  .hint("shuffle_hash"), "id_b")
-            .where(H.jaccard_ge(F.col("s_a"), F.col("s_b"), min_jaccard))
-            .withColumn("jaccard",
-                        F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
-            .select("id_a", "id_b", "jaccard"))
+    return verified
 
 
 def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

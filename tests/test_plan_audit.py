@@ -129,11 +129,12 @@ def test_no_fact_table_broadcast(name, spark, sf_dir):
 
 
 @pytest.mark.parametrize("name,min_shj", [
-    # dd_minhash_lsh (r14 int16 tier): the band self-join carries the
-    # int16 projections (1 SHJ) and tier 2 joins the full int64 sets
-    # per surviving candidate (2 SHJ) — all three must stay
-    # ShuffledHashJoins
-    ("dd_minhash_lsh", 3),
+    # dd_minhash_lsh verifies INLINE in the band self-join (r11 shape,
+    # re-pinned by the r14 sf100 A/B: 563 s / 16.6 GB vs the in-band
+    # int16 tier variant's 915-1062 s / 17.7-19.7 GB — one shuffle_hash
+    # join carrying both sets, the banded exchange shared by
+    # ReuseExchange)
+    ("dd_minhash_lsh", 1),
     # the tiered verifies carry FOUR set-payload joins (2x int16
     # tier-1 + 2x int64 tier-2) — every one must stay a
     # ShuffledHashJoin; dd_incremental joined the tier in r14
@@ -161,10 +162,11 @@ def test_verify_joins_never_broadcast(name, min_shj, spark, sf_dir):
     # match attribute TOKENS (name#id), not bare substrings — an
     # unrelated attribute merely containing "s_a" must not trip the
     # audit (r10 ADVICE)
-    # 's16'/'sids' cover the r14 band self-join, whose int16-projection
-    # payloads keep the source column names (r11 ADVICE: without the
-    # source names the broadcast assertion was vacuous for
-    # dd_minhash_lsh)
+    # 'shingles' covers the r11 inline band self-join, whose set
+    # payloads keep the source column name (r11 ADVICE: without it the
+    # broadcast assertion was vacuous for dd_minhash_lsh); 's16'/'sids'
+    # cover the tiered helper's projection/set frames (ngram,
+    # containment, incremental, streaming)
     attr = re.compile(
         r"\b(sh_a|sh_b|s_a|s_b|s16_a|s16_b|s16|sids|shingles)#\d+")
     for line in plan.splitlines():

@@ -366,37 +366,37 @@ def test_pq_codebook_vectors_encode_to_zero_error(spark):
             assert r["sqerr"] == 0, (r["id"], r["sqerr"])
 
 
-def test_jaccard_ge_prebound_unconditionally_sound():
-    """The jaccard_ge one-intersect pre-bound must never exceed the
-    true minimum intersection admitted by round(j,6) >= t — at ANY
-    combined set size S (r11 ADVICE: the old bound, computed from t
-    instead of t' = t-5e-7, silently over-cut beyond S ~ 2e6).
-
-    Soundness reduces to: cutoff(S) <= exact t'*S/(1+t') for all S,
-    because any admissible intersection i satisfies j >= t-5e-7 and
-    hence i >= t'*S/(1+t') (j = i/(S-i) is increasing in i).  The
-    cutoff mirrors hashing.jaccard_ge exactly: double-arithmetic
-    floor(S*t'/(1+t')) - 1."""
-    import math
+def test_jaccard_ge_prebound_exact_integer_cutoff():
+    """The r14 prebound — i*(10^8+T) >= T*S with T = round(t*1e8)-50 —
+    must admit an intersection i IFF the exact rational condition
+    i/(S-i) >= t-5e-7 holds (the admissibility test of round(j,6) >= t
+    for duplicate-free sets), at EVERY combined size S: sound (never
+    drops a true pair) AND tight (no slack sliver — the old
+    floor(S*t'/(1+t'))-1 float form admitted up to 2 extra integer
+    steps, 21x the true pairs on dd_minhash_lsh's sf100 candidates)."""
     from fractions import Fraction
 
-    for t_str in ("0.1", "0.4", "0.5", "0.7", "0.9"):
+    for t_str in ("0.1", "0.15", "0.4", "0.5", "0.7", "0.9"):
         t = float(t_str)
-        t_eff = t - 5e-7
-        t_exact = Fraction(t_str) - Fraction(5, 10**7)
-        old_unsound_at = None
+        t8 = int(round(t * 1e8)) - 50
+        assert Fraction(t8, 10**8) == Fraction(t_str) - Fraction(5, 10**7)
+        t_exact = Fraction(t8, 10**8)
+        tighter_somewhere = False
         for exp in range(1, 13):  # S from 10 to 1e12
             for mult in (1, 3, 7):
                 s = mult * 10**exp
-                cutoff = math.floor(s * t_eff / (1.0 + t_eff)) - 1
-                exact_min = t_exact * s / (1 + t_exact)
-                assert cutoff <= exact_min, (t, s, cutoff, float(exact_min))
-                old_cutoff = math.floor(s * t / (1.0 + t)) - 1
-                if old_cutoff > exact_min and old_unsound_at is None:
-                    old_unsound_at = s
-        # the test has teeth: the pre-fix bound really was unsound
-        # somewhere in the sweep (first failure ~ 2e6/(1+t)^2 sets)
-        assert old_unsound_at is not None, t
+                # minimal admissible i, exact rationals
+                lo = t_exact * s / (1 + t_exact)
+                i_min = int(lo) if lo == int(lo) else int(lo) + 1
+                # the shipped integer predicate at the boundary
+                assert i_min * (10**8 + t8) >= t8 * s
+                assert not ((i_min - 1) * (10**8 + t8) >= t8 * s)
+                import math
+                old_cutoff = math.floor(
+                    s * (t - 5e-7) / (1.0 + t - 5e-7)) - 1
+                if old_cutoff < i_min:
+                    tighter_somewhere = True
+        assert tighter_somewhere, t
 
 
 def test_jaccard_ge_exact_threshold_boundary(spark):
