@@ -43,17 +43,21 @@ _DRIVER_PRIORITY = [
     # window (positions 0-5).
     "tx_shard_manifest", "tx_url_canon", "tx_weighted_sample",
     "x22_bucketed_lookup", "x77_salted_join", "x92_retract_rollup",
-    # (a2) plan-changed this round: the MinHash verify family now runs
-    # the int16 tier-1 + staged phase split (r13 verdict item 2) —
-    # fresh driver evidence the round the plan lands.  st_neardup_pairs
-    # shares the change and already sits in the r10 cohort below.
-    "dd_minhash_lsh", "dd_incremental",
-    # (b) the r10 cohort backfills the window: 42 of its 49 queries
-    # (positions 8-49).
+    # (a2) plan-changed this round — fresh driver evidence the round
+    # the plan lands: jaccard_prebound became the exact integer cutoff
+    # and the candidate-join verifies moved onto tiered_jaccard_verify,
+    # which touches dd_minhash_lsh (re-pinned inline after the sf100
+    # A/B), dd_incremental, dd_ngram_jaccard, and dd_dup_groups;
+    # st_neardup_pairs shares the change and already sits in the r10
+    # cohort below.
+    "dd_minhash_lsh", "dd_incremental", "dd_ngram_jaccard",
+    "dd_dup_groups",
+    # (b) the r10 cohort backfills the window: 40 of its 49 queries
+    # (positions 10-49).
     "a1_area_summary", "a2_images_size", "ann_cosine_topk",
     "ann_ivf_topk", "ann_knn_label", "curate_corpus",
-    "d3_aligned_windows", "dd_dup_spans", "dd_exact", "dd_simhash",
-    "dd_simhash_pairs", "e1_snapshot_diff", "e3_intersect_keys",
+    "dd_dup_spans", "dd_exact", "dd_simhash",
+    "dd_simhash_pairs", "e1_snapshot_diff",
     "e9_extract_diff", "emb_neardup_lsh", "g1_sessionize",
     "g2_proximity_groups", "g9_pagerank", "geoall_area_summary",
     "j10_latest_event", "j1_argmax_join", "j4_fuzzy_name_join",
@@ -64,13 +68,16 @@ _DRIVER_PRIORITY = [
     "s9_inverse_index_lookup", "st_neardup_pairs", "tx_bm25",
     "tx_fingerprints", "tx_keyword_search", "tx_language_id",
     "tx_quality_score", "w2_event_deltas",
-    # --- 50-slot cut line: 6 + 2 + 42 = 50.  The 7 r10 queries
-    # deferred at the cut lead the r15 rotation.
-    "a4_place_types", "id_bytes_roundtrip", "j6_anti_join",
+    # --- 50-slot cut line: 6 + 4 + 40 = 50.  The 9 r10 queries
+    # deferred at the cut (the 7 below + d3_aligned_windows and
+    # e3_intersect_keys, displaced by the two plan-changed r14 adds)
+    # lead the r15 rotation.
+    "a4_place_types", "d3_aligned_windows", "e3_intersect_keys",
+    "id_bytes_roundtrip", "j6_anti_join",
     "j7_semi_join", "o1_distance_topk", "s7_keys_scan",
     "tx_token_counts",
     # r11-green cohort (freshest evidence — yield their slots)
-    "d1_date_kit", "dd_apply", "dd_apply_best", "dd_dup_groups",
+    "d1_date_kit", "dd_apply", "dd_apply_best",
     "dd_dup_spans_apply",
     "emb_hard_negatives", "emb_kmeans", "emb_pq_encode", "emb_rp_project",
     "g10_spatial_join", "g11_triangle_count", "g3_tile_grid",
