@@ -121,13 +121,20 @@ def run_scd2(spark, sf_dir: str) -> dict:
     q.awaitTermination()
     wall = round(time.time() - t0, 1)
     snap = spark.read.parquet(snap_dir)
-    fp_stream = snap.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_events").alias("sum_ev"),
-        F.sum(F.col("user_id") * F.col("version")).alias("sum_uv"),
-        F.sum("eff_from_us").alias("sum_from"),
-        F.sum(F.when(F.col("is_current") == 1, 1).otherwise(0))
-        .alias("n_open")).collect()[0].asDict()
+    def fingerprint(dim):
+        # modular terms: an ANSI SUM of raw epoch-micros over ~5M
+        # versions overflows BIGINT
+        return dim.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_events").alias("sum_ev"),
+            F.sum(F.col("user_id") * F.col("version")).alias("sum_uv"),
+            F.sum(F.col("eff_from_us") % 1_000_003).alias("sum_from_mod"),
+            F.sum(F.coalesce(F.col("eff_to_us"), F.lit(0)) % 1_000_003)
+            .alias("sum_to_mod"),
+            F.sum(F.when(F.col("is_current") == 1, 1).otherwise(0))
+            .alias("n_open")).collect()[0].asDict()
+
+    fp_stream = fingerprint(snap)
 
     # one-shot batch build over the SAME normalized feed — the x71
     # collapse (plans/temporal.py:x71_scd2_build) applied to the staged
@@ -154,13 +161,7 @@ def run_scd2(spark, sf_dir: str) -> dict:
         nxt.alias("eff_to_us"), "n_events",
         F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
         .alias("is_current"))
-    fp_batch = batch_dim.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("n_events").alias("sum_ev"),
-        F.sum(F.col("user_id") * F.col("version")).alias("sum_uv"),
-        F.sum("eff_from_us").alias("sum_from"),
-        F.sum(F.when(F.col("is_current") == 1, 1).otherwise(0))
-        .alias("n_open")).collect()[0].asDict()
+    fp_batch = fingerprint(batch_dim)
     return {"wall_s": wall, "batches": _batch_progress(q),
             "snapshot_rows": fp_stream["n"],
             "fingerprint_equal": fp_stream == fp_batch,
