@@ -495,23 +495,20 @@ def x22_bucketed_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     build per sf writes the tables — eager by necessity, whitelisted
     in EAGER_BUILD_OK like the other index builders."""
     from ..sources import places as P
-    from ..sources.bucketed import write_bucketed
+    from ..sources.bucketed import (drop_bucketed, ensure_fresh_bucketed,
+                                    write_bucketed)
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     loc = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                        "bucketdb")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS oprbuck LOCATION '{loc}'")
     idx_t, lk_t = f"oprbuck.osmid_index_{tag}", f"oprbuck.lookup_{tag}"
-    if (not spark.catalog.tableExists(idx_t)
-            or not spark.catalog.tableExists(lk_t)):
+    if not ensure_fresh_bucketed(spark, loc, idx_t, lk_t):
         # the session catalog is in-memory: table FILES survive in /tmp
-        # across sessions but registrations don't — clear any stale
-        # location or saveAsTable dies with LOCATION_ALREADY_EXISTS
-        import shutil
-
-        for t in (idx_t, lk_t):
-            shutil.rmtree(os.path.join(loc, t.split(".", 1)[1]),
-                          ignore_errors=True)
+        # across sessions but registrations don't — drop any stale
+        # registration AND clear the location (saveAsTable dies with
+        # LOCATION_ALREADY_EXISTS on leftover files), then rebuild
+        drop_bucketed(spark, loc, idx_t, lk_t)
         pl = P.synthetic_places(spark, sf_dir)
         index = (pl.select(F.explode("source.osm").alias("o"),
                            "tile_id", "suffix")
@@ -931,20 +928,16 @@ def x75_smb_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     session catalog is in-memory, so each new driver session rebuilds
     from fresh source (stale-location rmtree first, x22 pattern).
     """
-    from ..sources.bucketed import write_bucketed
+    from ..sources.bucketed import (drop_bucketed, ensure_fresh_bucketed,
+                                    write_bucketed)
 
     tag = os.path.basename(os.path.normpath(sf_dir)).replace(".", "_")
     loc = os.path.join(tempfile.gettempdir(), "opr_spark_stage",
                        "bucketdb")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS oprbuck LOCATION '{loc}'")
     o_t, l_t = f"oprbuck.orders_{tag}", f"oprbuck.lineitem_{tag}"
-    if (not spark.catalog.tableExists(o_t)
-            or not spark.catalog.tableExists(l_t)):
-        import shutil
-
-        for t in (o_t, l_t):
-            shutil.rmtree(os.path.join(loc, t.split(".", 1)[1]),
-                          ignore_errors=True)
+    if not ensure_fresh_bucketed(spark, loc, o_t, l_t):
+        drop_bucketed(spark, loc, o_t, l_t)
         write_bucketed(
             load_table(spark, "orders", sf_dir)
             .select("o_orderkey", "o_orderstatus"),

@@ -18,7 +18,51 @@ plan has ZERO Exchange nodes).  At scale, pick buckets ≈ cluster cores
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
+
+
+def ensure_fresh_bucketed(spark: SparkSession, loc: str,
+                          *tables: str) -> bool:
+    """True iff every ``db.table`` is registered AND its staged
+    location under ``loc`` is a completed write (``_SUCCESS``
+    present); the cached relation/file listing is refreshed so a
+    LATER rebuild by another session can never leave this session
+    reading a deleted file set.
+
+    Why: the session catalog is in-memory but the table FILES live on
+    /tmp across sessions, and Spark caches each table's file listing
+    at first access.  The r14 inherited full-suite run hit the stale
+    combination — a listing cached while the interrupted session's
+    files were still on disk, served after a same-/tmp rebuild had
+    replaced them (FileNotFoundException mid-collect on
+    ``x75_smb_join``).  On False the caller drops + rebuilds via
+    :func:`drop_bucketed`.
+    """
+    for t in tables:
+        if not spark.catalog.tableExists(t):
+            return False
+        d = os.path.join(loc, t.split(".", 1)[1])
+        if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+            return False
+    for t in tables:
+        # invalidates the cached LogicalRelation AND the shared
+        # file-status cache entry — the next read re-lists the dir
+        spark.catalog.refreshTable(t)
+    return True
+
+
+def drop_bucketed(spark: SparkSession, loc: str, *tables: str) -> None:
+    """Unregister ``db.table`` entries and clear their staged
+    locations — the pre-rebuild cleanup (a bare rmtree leaves a stale
+    registration whose reads fail; a bare DROP leaves files that make
+    ``saveAsTable`` die with LOCATION_ALREADY_EXISTS)."""
+    for t in tables:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(loc, t.split(".", 1)[1]),
+                      ignore_errors=True)
 
 
 def write_bucketed(df: DataFrame, table: str, key: str,

@@ -126,3 +126,33 @@ def test_x76_dynamic_pruning_expression_reaches_scan(spark, sf_dir):
     scan = plan[plan.index("FileScan"):]
     pf = scan[scan.index("PartitionFilters"):].split("]", 1)[0]
     assert "dynamicpruning" in pf.lower(), pf
+
+
+def test_ensure_fresh_bucketed_guards_staleness(spark, bucket_db):
+    """ensure_fresh_bucketed: True (with a listing refresh) only when
+    every table is registered AND its staged location is a completed
+    write; drop_bucketed removes both the registration and the files.
+    Guards the r14 inherited flake — a cached file listing serving a
+    deleted file set after an out-of-band rebuild of the same /tmp
+    location."""
+    import os
+
+    from openplacereviews_db_spark.sources.bucketed import (
+        drop_bucketed, ensure_fresh_bucketed, write_bucketed)
+
+    loc = "/tmp/opr_spark_bucketdemo"
+    t = f"{bucket_db}.fresh_guard"
+    drop_bucketed(spark, loc, t)
+    assert not ensure_fresh_bucketed(spark, loc, t)  # unregistered
+
+    write_bucketed(spark.range(0, 100).withColumnRenamed("id", "k"),
+                   t, "k", buckets=4)
+    assert ensure_fresh_bucketed(spark, loc, t)
+
+    # a torn/incomplete staged write (no _SUCCESS) must force a rebuild
+    os.remove(os.path.join(loc, "fresh_guard", "_SUCCESS"))
+    assert not ensure_fresh_bucketed(spark, loc, t)
+
+    drop_bucketed(spark, loc, t)
+    assert not spark.catalog.tableExists(t)
+    assert not os.path.isdir(os.path.join(loc, "fresh_guard"))
