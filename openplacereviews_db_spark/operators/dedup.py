@@ -675,28 +675,28 @@ def simhash_table(df: DataFrame, text_col: str = "text",
         ).alias("w"),
     ).withColumn("h", F.md5("w"))
     # One substring+instr per NIBBLE (16), not per bit (64) — the four
-    # bit votes of a nibble are then cheap shift/mask arithmetic.
-    words = words.select(
-        "id", *[(F.instr(F.lit("0123456789abcdef"),
-                         F.substring(F.col("h"), n + 1, 1)) - 1)
-                .alias(f"nib{n}") for n in range(bits // 4)])
-
-    def bit_vote(b: int):
-        bit = (F.shiftright(F.col(f"nib{b // 4}"), 3 - (b % 4))
-               .bitwiseAND(F.lit(1)))
-        return F.sum(bit * 2 - 1).alias(f"v{b}")
-
-    votes = words.groupBy("id").agg(*[bit_vote(b) for b in range(bits)])
-    weights = [
-        F.when(F.col(f"v{b}") > 0,
-               F.lit(-(2 ** 63) if (bits - 1 - b) == 63 else 2 ** (bits - 1 - b))
-               .cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        for b in range(bits)
-    ]
-    acc = weights[0]
-    for w in weights[1:]:
-        acc = acc + w
-    return votes.select("id", acc.alias("simhash"))
+    # bit votes of a nibble are then cheap shift/mask arithmetic.  The
+    # 64-aggregate + 64-term-combine plan is built from SQL STRINGS
+    # (one parse per projection), not per-op Column calls: the Column
+    # form paid ~2 s of py4j round-trips + eager re-analysis per
+    # construction — the dominant cost of the whole query at bench
+    # scale (r14 phase probe: build 5.1 s vs 1.2 s execution;
+    # scripts/r14_ab_simhash_build.py pins the expression-string form
+    # at 0.35-0.38 s build with row-identical output).
+    words = words.selectExpr(
+        "id", *[f"(instr('0123456789abcdef', substring(h, {n + 1}, 1)) - 1)"
+                f" AS nib{n}" for n in range(bits // 4)])
+    votes = words.groupBy("id").agg(
+        *[F.expr(f"sum(((shiftright(nib{b // 4}, {3 - (b % 4)}) & 1)"
+                 f" * 2) - 1)").alias(f"v{b}") for b in range(bits)])
+    terms = []
+    for b in range(bits):
+        w = -(2 ** 63) if (bits - 1 - b) == 63 else 2 ** (bits - 1 - b)
+        lit = ("(-9223372036854775807 - 1)" if w == -(2 ** 63)
+               else f"CAST({w} AS BIGINT)")
+        terms.append(f"(CASE WHEN v{b} > 0 THEN {lit}"
+                     f" ELSE CAST(0 AS BIGINT) END)")
+    return votes.selectExpr("id", " + ".join(terms) + " AS simhash")
 
 
 def blocked_hamming_pairs(t: DataFrame, id_col: str, hash_col: str,

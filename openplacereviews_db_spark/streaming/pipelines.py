@@ -576,6 +576,33 @@ def _pin_batch_order(*paths: str) -> None:
         os.utime(p, (base + i, base + i))
 
 
+def _batch_shuffle_partitions(spark: SparkSession, src: str) -> int:
+    """Size the per-micro-batch shuffles of a foreachBatch stream to
+    the BATCH, not the session: each availableNow micro-batch here is
+    one staged file, so the joins/groupBys inside the batch body want
+    partitions derived from that file's bytes (~64 MB/partition
+    target, floor 8) rather than the session's corpus-sized setting —
+    the foreachBatch analog of the r9 state-store sizing
+    (``_run_to_memory`` ``state_partitions``; measured r14 interleaved
+    A/B at sf0.1: st_neardup_pairs 7.2 -> 6.1 s, values identical).
+    ``SPARK_GRAFT_STREAM_SHUFFLE`` overrides for cluster deployments
+    where the per-batch volume is known better than a file size."""
+    import math
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE")
+    if env:
+        return int(env)
+    try:
+        biggest = max((os.path.getsize(os.path.join(src, f))
+                       for f in os.listdir(src)
+                       if not f.startswith((".", "_"))), default=0)
+    except OSError:
+        biggest = 0
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(8, min(session, math.ceil(biggest / (64 * 2 ** 20))))
+
+
 def neardup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X19 run to completion as a driver-checkable query: the documents
     corpus is staged as TWO parquet files (write-once per sf, split on
@@ -605,11 +632,19 @@ def neardup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = (spark.readStream.format("parquet").schema(schema)
             .option("maxFilesPerTrigger", 1).load(src)
             .where(F.length("text") > 0))
-    q = neardup_dedup_stream(
-        docs, index_dir, chk_dir, pairs_dir,
-        shingle_words=2, num_hashes=16, bands=8,
-        min_jaccard=0.1).start()
-    q.awaitTermination()
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+                   str(_batch_shuffle_partitions(spark, src)))
+    try:
+        q = neardup_dedup_stream(
+            docs, index_dir, chk_dir, pairs_dir,
+            shingle_words=2, num_hashes=16, bands=8,
+            min_jaccard=0.1).start()
+        # foreachBatch bodies plan per batch with the CURRENT conf —
+        # keep the batch-sized setting for the whole run, restore after
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", before)
     pairs = spark.read.parquet(pairs_dir)
     lo = F.least("id_a", "id_b")
     hi = F.greatest("id_a", "id_b")
@@ -627,21 +662,27 @@ def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
     index — the online form of ``dedup.minhash_lsh_pairs`` for a crawl
     feed.
 
-    State is TWO append-only parquet tables under ``index_dir`` —
-    ``bands/`` (id, band) and ``sets/`` (id, sids) — mirroring the
-    batch operator's lesson (operators/dedup.py): candidate lookup is an
-    ids-ONLY band equi-join (never a corpus scan, and no shingle array
-    ever replicates bands× through the band shuffle); only the bounded
-    candidate pairs join the sets table for the exact-Jaccard verify.
-    The sets table holds xxhash64 shingle IDS, not shingle strings —
-    the persistent index is ~8 bytes/shingle regardless of shingle
-    text length, and the verify intersects bigint arrays; Jaccard over
-    the ids equals Jaccard over the strings barring a 64-bit collision
+    State is ONE epoch-partitioned parquet table under ``index_dir`` —
+    ``state/epoch=<id>`` rows of (id, bands array, sids array) —
+    mirroring the batch operator's lesson (operators/dedup.py):
+    candidate lookup explodes the band ARRAYS into an ids-ONLY band
+    equi-join (never a corpus scan, and no shingle array ever
+    replicates bands× through the band shuffle); only the bounded
+    candidate pairs join the sids column for the exact-Jaccard verify.
+    The sids hold xxhash64 shingle IDS, not shingle strings — the
+    persistent index is ~8 bytes/shingle regardless of shingle text
+    length, and the verify intersects bigint arrays; Jaccard over the
+    ids equals Jaccard over the strings barring a 64-bit collision
     (probability ~n²/2⁶⁵ — the same argument as
     ``dedup.ngram_jaccard_pairs``), so the batch oracle still applies
-    value-for-value.  Verified pairs append to ``pairs_dir``; the
-    offset lives in the checkpoint (same-epoch commit discipline as the
-    changelog fold above).
+    value-for-value.  One table instead of the pre-r14 bands/sets PAIR
+    halves the per-batch index write+read jobs AND removes the
+    torn-between-two-appends failure mode outright (r13 ADVICE);
+    retries follow the ``_exact_dedup_batch`` epoch discipline —
+    committed epochs are skipped, the index read prunes to
+    ``epoch < current``, so a replayed micro-batch is an exact no-op
+    instead of a double-append.  Verified pairs land in
+    ``pairs_dir/epoch=<id>`` the same way.
     """
     on_batch = _neardup_batch(index_dir, pairs_dir, shingle_words,
                               num_hashes, bands, min_jaccard)
@@ -657,11 +698,10 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
     offset-log replay check, mirroring ``_exact_dedup_batch``)."""
     import os
 
-    from ..operators.dedup import (lsh_band_rows, minhash_state,
-                                   tiered_jaccard_verify)
+    from ..functions import hashing as H
+    from ..operators.dedup import minhash_state, tiered_jaccard_verify
 
-    bands_dir = os.path.join(index_dir, "bands")
-    sets_dir = os.path.join(index_dir, "sets")
+    state_dir = os.path.join(index_dir, "state")
 
     def verify(cand: DataFrame, sets: DataFrame) -> DataFrame:
         # two-tier exact verify via the shared helper (r14: the int16
@@ -675,6 +715,12 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        epoch = int(epoch_id)
+        state_part = os.path.join(state_dir, f"epoch={epoch}")
+        pairs_part = os.path.join(pairs_dir, f"epoch={epoch}")
+        if (os.path.isfile(os.path.join(state_part, "_SUCCESS"))
+                and os.path.isfile(os.path.join(pairs_part, "_SUCCESS"))):
+            return  # retried, already-committed epoch: exact no-op
         # the shared MinHash wiring (operators/dedup.py:minhash_state)
         # — signature + xxhash64 shingle-id set in one aggregation.
         # persist + explicit unpersist, NOT localCheckpoint: checkpoint
@@ -686,33 +732,27 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
         per_doc = minhash_state(batch, "text", "doc_id", shingle_words,
                                 num_hashes, with_sids=True).persist()
         try:
-            new_bands = lsh_band_rows(per_doc, num_hashes, bands)
+            sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+            new_state = per_doc.select(
+                "id", H.lsh_bands(sig, bands,
+                                  num_hashes // bands).alias("bands"),
+                "sids")
+            new_bands = new_state.select(
+                "id", F.explode("bands").alias("band"))
             new_sets = per_doc.select("id", "sids")
             # isdir guard, not try/except (the _exact_dedup_batch
-            # pattern): a missing first-batch index is expected, but a
-            # PRESENT-yet-corrupt index (torn parquet, the ENOSPC
-            # class) must fail loud — swallowing it would silently run
-            # new-vs-new only and drop every cross-batch pair (r13
-            # review)
-            import os as _os
-            has_bands = _os.path.isdir(bands_dir)
-            has_sets = _os.path.isdir(sets_dir)
-            if has_bands != has_sets:
-                # exactly one half of the persistent index exists — a
-                # crash landed between the two per-batch appends.
-                # Substituting empty frames here would silently treat
-                # the WHOLE index as empty and drop every cross-batch
-                # pair (r13 ADVICE); only the both-missing first-batch
-                # state may map to empty.
-                raise RuntimeError(
-                    "neardup index torn: "
-                    f"bands_dir exists={has_bands}, "
-                    f"sets_dir exists={has_sets} — refusing to run "
-                    "with a half-written persistent index "
-                    f"({bands_dir!r}, {sets_dir!r})")
-            if has_bands:
-                old_bands = spark.read.parquet(bands_dir)
-                old_sets = spark.read.parquet(sets_dir)
+            # pattern): a missing first-batch index is expected, and
+            # the epoch < current filter is partition PRUNING — a
+            # half-written current epoch is never opened, and a torn
+            # COMMITTED epoch (the pre-r14 two-table layout could tear
+            # between its bands and sets appends, r13 ADVICE) can no
+            # longer exist: one table, one write, epoch-overwrite.
+            if os.path.isdir(state_dir):
+                old = (spark.read.parquet(state_dir)
+                       .where(F.col("epoch") < F.lit(epoch)))
+                old_bands = old.select(
+                    "id", F.explode("bands").alias("band"))
+                old_sets = old.select("id", "sids")
             else:
                 old_bands = spark.createDataFrame(
                     [], "id long, band string")
@@ -735,10 +775,11 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
             # long-running stream re-opens every one of them at each
             # index join (wall-clock neutral in the 2-batch A/B at
             # sf0.1; size by target file bytes, not task count, at
-            # production batch sizes)
-            pairs.coalesce(4).write.mode("append").parquet(pairs_dir)
-            new_bands.coalesce(4).write.mode("append").parquet(bands_dir)
-            new_sets.coalesce(4).write.mode("append").parquet(sets_dir)
+            # production batch sizes).  mode=overwrite into the epoch
+            # partition: a torn retry is rewritten byte-identically.
+            pairs.coalesce(4).write.mode("overwrite").parquet(pairs_part)
+            new_state.coalesce(4).write.mode("overwrite") \
+                .parquet(state_part)
         finally:
             per_doc.unpersist()
 

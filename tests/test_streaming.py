@@ -184,10 +184,13 @@ def test_neardup_stream_four_batches(spark, sf_dir, tmp_path):
     assert got == want
 
     import glob
-    for table in ("bands", "sets"):
-        n_files = len(glob.glob(str(tmp_path / "idx4" / table /
-                                    "*.parquet")))
-        assert n_files <= 4 * 4, (table, n_files)
+    import os as _os
+    epoch_dirs = sorted(glob.glob(str(tmp_path / "idx4" / "state" /
+                                      "epoch=*")))
+    assert len(epoch_dirs) == 4, epoch_dirs
+    for d in epoch_dirs:
+        n_files = len(glob.glob(_os.path.join(d, "*.parquet")))
+        assert n_files <= 4, (d, n_files)
     # superlinear-blowup gate only (see docstring); print for the record
     print("neardup 4-batch durations (s):",
           [round(d, 2) for d in durs])
@@ -234,14 +237,16 @@ def test_neardup_dedup_stream(spark, tmp_path):
     assert (1, 3) in pairs and (1, 4) in pairs      # cross-batch vs index
     assert (3, 4) in pairs                          # in-batch
     assert not any(2 in p or 5 in p for p in pairs)
-    # index grew append-only, in its two-table layout: compact (id, band)
-    # keys + hashed shingle-id sets joined only at verify time
-    bands = spark.read.parquet(str(tmp_path / "idx" / "bands"))
-    sets = spark.read.parquet(str(tmp_path / "idx" / "sets"))
-    assert bands.select("id").distinct().count() == 5
-    assert sets.count() == 5 and "sids" in sets.columns
-    assert dict(sets.dtypes)["sids"] == "array<bigint>"  # 8 B/shingle index
-    assert "sids" not in bands.columns  # ids-only band join at scale
+    # index grew per-epoch, in its single-table layout (r14): compact
+    # band-key ARRAYS + hashed shingle-id sets on one row per doc, the
+    # band join exploding ids-only and the sids joined at verify time
+    state = spark.read.parquet(str(tmp_path / "idx" / "state"))
+    assert state.select("id").distinct().count() == 5
+    assert state.count() == 5 and "sids" in state.columns
+    assert dict(state.dtypes)["sids"] == "array<bigint>"  # 8 B/shingle
+    assert dict(state.dtypes)["bands"] == "array<string>"
+    assert sorted(r["epoch"] for r in
+                  state.select("epoch").distinct().collect()) == [0, 1]
 
 
 def test_exact_dedup_stream_cross_batch_first_seen(spark, tmp_path):
@@ -957,40 +962,48 @@ def test_neardup_kill_restart_resumes_from_checkpoint(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
-def test_neardup_batch_torn_index_fails_loud(spark, tmp_path):
-    """If exactly ONE of the two persistent index dirs exists (a crash
-    between the bands and sets appends), the batch body must raise —
-    substituting empty frames would silently drop every cross-batch
-    pair (r13 ADVICE).  Both-missing (first batch) still maps to empty
-    and must run."""
+def test_neardup_batch_epoch_layout_and_replay(spark, tmp_path):
+    """The r14 single-state-table layout: each micro-batch writes ONE
+    epoch partition (id, bands, sids) — the pre-r14 twin bands/sets
+    appends could tear between the two writes (r13 ADVICE; the torn
+    state is now unrepresentable) — and a replayed committed epoch is
+    an exact no-op (the _exact_dedup_batch discipline), where the old
+    append-mode layout double-appended the index."""
     import os
-
-    import pytest
 
     index_dir = str(tmp_path / "index")
     pairs_dir = str(tmp_path / "pairs")
     inner = SP._neardup_batch(index_dir, pairs_dir, shingle_words=2,
                               num_hashes=16, bands=8, min_jaccard=0.1)
-    batch = spark.createDataFrame(
-        [(1, "a b c d e"), (2, "a b c d e")], "doc_id long, text string")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    batch0 = spark.createDataFrame(
+        [(1, base), (2, base)], "doc_id long, text string")
+    batch1 = spark.createDataFrame(
+        [(3, base + " tonight")], "doc_id long, text string")
 
-    # torn: bands half exists, sets half missing → fail loud
-    os.makedirs(os.path.join(index_dir, "bands"))
-    with pytest.raises(RuntimeError, match="torn"):
-        inner(batch, 0)
-    os.rmdir(os.path.join(index_dir, "bands"))
-
-    # torn the other way: sets exists, bands missing → fail loud
-    os.makedirs(os.path.join(index_dir, "sets"))
-    with pytest.raises(RuntimeError, match="torn"):
-        inner(batch, 0)
-    os.rmdir(os.path.join(index_dir, "sets"))
-
-    # both missing (legitimate first batch) → runs, writes both halves
-    inner(batch, 0)
-    assert os.path.isdir(os.path.join(index_dir, "bands"))
-    assert os.path.isdir(os.path.join(index_dir, "sets"))
+    inner(batch0, 0)
+    state0 = os.path.join(index_dir, "state", "epoch=0")
+    assert os.path.isfile(os.path.join(state0, "_SUCCESS"))
     assert spark.read.parquet(pairs_dir).count() == 1
+
+    inner(batch1, 1)  # cross-batch pairs against the epoch-0 index
+    pairs = {(min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+             for r in spark.read.parquet(pairs_dir).collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3)}
+
+    def snapshot() -> dict[str, float]:
+        out = {}
+        for root in (index_dir, pairs_dir):
+            for base, _d, files in os.walk(root):
+                for f in files:
+                    p = os.path.join(base, f)
+                    out[p] = os.path.getmtime(p)
+        return out
+
+    before = snapshot()
+    inner(batch1, 1)  # committed-epoch replay: exact no-op
+    assert snapshot() == before
+    assert spark.read.parquet(index_dir + "/state").count() == 3
 
 
 def test_sessionize_bounded_equals_one_shot(spark):
