@@ -216,6 +216,15 @@ def invariant_report(g: DataFrame, dist_m: float = 150.0) -> DataFrame:
     """
     from ..functions import geo
 
+    # g is referenced THREE times below (members, seed, base) and is
+    # the output of the greedy Python kernel: left lazy, the whole
+    # repartition + mapInPandas subtree executed 3x per run (r14 noop
+    # A/B at sf0.1: 4.8 s lazy vs ~1.3 s for one kernel pass +
+    # ~0.7 s report).  Eager localCheckpoint per the run-once rule
+    # (persist()'s InMemoryRelation build costs 2-4x on the only pass
+    # — CLAUDE.md); both callers (g2_proximity_groups,
+    # history_report) are whitelisted in EAGER_BUILD_OK.
+    g = g.localCheckpoint(eager=True)
     deleted, created = F.lit(STATUS_DELETED), F.lit(STATUS_CREATED)
     seed = (g.where((F.col("seq") == 0) & F.col("group_id").isNotNull())
             .select("tile", "group_id", F.col("lat").alias("slat"),

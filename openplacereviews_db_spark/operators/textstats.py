@@ -77,6 +77,40 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return df.select(F.col(id_col).alias("id"), *_quality_cols(t))
 
 
+def _quality_score_from(t: Column, words: Column) -> Column:
+    """The compound quality score built from an ALREADY-projected word
+    array — callers that carry ``_words(t)`` in a column (the fused
+    ``corpus_features`` projection) must not re-split the text per
+    expression instance: array HOFs are interpreted (no codegen, no
+    common-subexpression elimination), so every extra ``_words`` copy
+    re-runs normalize+split+filter per row.  Same arithmetic as
+    ``_quality_cols`` (which passes ``words=_words(t)``)."""
+    n_words = F.size(words)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(
+        F.regexp_replace(t, r"[!-/:-@\[-`{-~]", ""))
+    punct_ratio = F.round(
+        n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(
+        _stopword_hits(F.transform(words, F.lower), "en").cast("double")
+        / F.greatest(n_words, F.lit(1)),
+        6,
+    )
+    return F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                F.lit(0.3)
+                + F.lit(0.4) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
+                + F.lit(0.3) * stop_ratio
+                - F.lit(0.5) * punct_ratio,
+            ),
+        ),
+        6,
+    )
+
+
 def _quality_cols(t: Column) -> list[Column]:
     words = _words(t)
     n_words = F.size(words)
@@ -93,19 +127,7 @@ def _quality_cols(t: Column) -> list[Column]:
         / F.greatest(n_words, F.lit(1)),
         6,
     )
-    score = F.round(
-        F.least(
-            F.lit(1.0),
-            F.greatest(
-                F.lit(0.0),
-                F.lit(0.3)
-                + F.lit(0.4) * F.least(n_words.cast("double") / 100.0, F.lit(1.0))
-                + F.lit(0.3) * stop_ratio
-                - F.lit(0.5) * punct_ratio,
-            ),
-        ),
-        6,
-    )
+    score = _quality_score_from(t, words)
     return [
         n_chars.alias("n_chars"),
         n_words.alias("n_words"),
@@ -164,7 +186,8 @@ def corpus_features(df: DataFrame, text_col: str = "text",
           for lang in langs])
     return staged.select(
         "id",
-        _quality_cols(F.col("_t"))[5],
+        _quality_score_from(F.col("_t"), F.col("_w"))
+        .alias("quality_score"),
         F.when(best > 0, pred).otherwise(F.lit("und")).alias("pred_lang"),
         _token_cols(F.col("_t"))[2],
         H.fingerprint(F.col("_t")).alias("fp"),

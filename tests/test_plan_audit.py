@@ -220,8 +220,12 @@ EAGER_BUILD_OK = {"dd_dup_groups",  # live CC loop (the contraction demo)
                   "o6_skyline",  # two-phase prefix max localCheckpoint
                   # (ordered.py total-order-operator rule)
                   "x75_smb_join",  # write-once bucketed fact tables
-                  "x65_hierarchy_flatten"}  # pointer-doubling rounds
+                  "x65_hierarchy_flatten",  # pointer-doubling rounds
                   # localCheckpoint per round (iterative-loop rule)
+                  "g2_proximity_groups", "history_report"}
+                  # ^ invariant_report checkpoints the greedy-kernel
+                  # output once (referenced 3x: members/seed/base —
+                  # r14: 4.8 s -> ~2 s at sf0.1)
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
