@@ -23,8 +23,6 @@ whole-stage codegen) — see ``functions.hashing``.
 
 from __future__ import annotations
 
-import functools
-
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -212,7 +210,10 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         base_h = H.minhash_base(F.col("s"))
 
     def hash_i(i: int):
-        return H.minhash_perm(i, F.col("_mhb"))
+        # expression STRING, not nested Column calls — the r14
+        # simhash_table lesson: per-op py4j round-trips + eager
+        # re-analysis dominate construction of wide aggregate lists
+        return F.expr(H.minhash_perm_sql(str(i), "_mhb"))
 
     # ONE aggregation pass builds everything per-document: the minhash
     # signature (min is duplicate-insensitive, so the shingle rows skip
@@ -283,15 +284,16 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     )
     a_side, b_side = banded.alias("a"), banded.alias("b")
 
-    def band_eq(i: int) -> Column:
-        return functools.reduce(
-            lambda p, q: p & q,
-            [F.col(f"a.h{i * rows + r}").eqNullSafe(
-                F.col(f"b.h{i * rows + r}")) for r in range(rows)])
+    def band_eq(i: int) -> str:
+        return " AND ".join(f"(a.h{i * rows + r} <=> b.h{i * rows + r})"
+                            for r in range(rows))
 
-    first_band = F.when(band_eq(0), 0)
-    for i in range(1, bands):
-        first_band = first_band.when(band_eq(i), i)
+    # one parsed CASE chain, not bands x rows nested Column calls (the
+    # construction-cost rule above); `<=>` is SQL null-safe equality,
+    # identical to the eqNullSafe chain it replaces
+    first_band = F.expr(
+        "CASE " + " ".join(f"WHEN {band_eq(i)} THEN {i}"
+                           for i in range(bands)) + " END")
     # The whole predicate is ONE ordered And chain, because Catalyst
     # folds it into the join CONDITION where common subexpressions are
     # NOT eliminated and evaluation is per matched row — the first cut
@@ -354,8 +356,8 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                  extra_cols=["_attr"], distinct=False)
     sig = (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
            .groupBy("_attr", "id").agg(
-               *[F.min(H.minhash_perm(i, F.col("_mhb"))).alias(f"h{i}")
-                 for i in range(num_hashes)],
+               *[F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')})")
+                 .alias(f"h{i}") for i in range(num_hashes)],
                F.collect_set(F.xxhash64("s")).alias("sids"),
            ))
     # run-once callers pay persist()'s InMemoryRelation columnar build
@@ -555,8 +557,8 @@ def minhash_state(df: DataFrame, text_col: str = "text",
     CTEs (functions/hashing.py: minhash_base_sql/minhash_perm_sql)."""
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)  # min is dup-insensitive
-    aggs = [F.min(H.minhash_perm(i, F.col("_mhb"))).alias(f"h{i}")
-            for i in range(num_hashes)]
+    aggs = [F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')})")
+            .alias(f"h{i}") for i in range(num_hashes)]
     if with_sids:
         aggs.append(F.collect_set(F.xxhash64("s")).alias("sids"))
     return (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))

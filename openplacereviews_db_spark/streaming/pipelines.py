@@ -985,7 +985,12 @@ def stream_join_once(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v_user").alias("user_id"), "view_id", "click_id",
         F.unix_micros("view_ts").alias("view_us"),
         F.unix_micros("click_ts").alias("click_us"))
-    return _run_to_memory(out, "append", state_partitions=8)
+    # 4 state stores, not the aggregate runners' 8: the symmetric join
+    # buffers BOTH sides per store, so each micro-batch pays the
+    # open/commit constant twice per partition (r14 interleaved A/B at
+    # sf0.1 — 8/4/2 stores: means 5.8/4.0/4.0 s, identical 387 rows;
+    # same deployment-knob semantics as _run_to_memory's docstring)
+    return _run_to_memory(out, "append", state_partitions=4)
 
 
 def enrich_stream_once(spark: SparkSession, sf_dir: str) -> DataFrame:
