@@ -49,11 +49,16 @@ _DRIVER_PRIORITY = [
     # which touches dd_minhash_lsh (re-pinned inline after the sf100
     # A/B), dd_incremental, dd_ngram_jaccard, and dd_dup_groups;
     # st_neardup_pairs shares the change and already sits in the r10
-    # cohort below.
+    # cohort below.  The r14 OPTIMIZATION pass changed two more plans
+    # outside the window (the invariant-report checkpoint in
+    # history_report; the st_stream_join state-store sizing) — they
+    # join the plan-changed block (curate_corpus, g2_proximity_groups,
+    # st_neardup_pairs and the simhash family also changed and already
+    # sit inside the window).
     "dd_minhash_lsh", "dd_incremental", "dd_ngram_jaccard",
-    "dd_dup_groups",
-    # (b) the r10 cohort backfills the window: 40 of its 49 queries
-    # (positions 10-49).
+    "dd_dup_groups", "history_report", "st_stream_join",
+    # (b) the r10 cohort backfills the window: 38 of its 49 queries
+    # (positions 12-49).
     "a1_area_summary", "a2_images_size", "ann_cosine_topk",
     "ann_ivf_topk", "ann_knn_label", "curate_corpus",
     "dd_dup_spans", "dd_exact", "dd_simhash",
@@ -67,11 +72,12 @@ _DRIVER_PRIORITY = [
     "q3_segment_topk", "q5_region_revenue", "s17_schema_evolution",
     "s9_inverse_index_lookup", "st_neardup_pairs", "tx_bm25",
     "tx_fingerprints", "tx_keyword_search", "tx_language_id",
+    # --- 50-slot cut line: 6 + 6 + 38 = 50.  The 11 r10 queries
+    # deferred at the cut (the 7 below + d3_aligned_windows,
+    # e3_intersect_keys, tx_quality_score and w2_event_deltas,
+    # displaced by the four plan-changed r14 adds) lead the r15
+    # rotation.
     "tx_quality_score", "w2_event_deltas",
-    # --- 50-slot cut line: 6 + 4 + 40 = 50.  The 9 r10 queries
-    # deferred at the cut (the 7 below + d3_aligned_windows and
-    # e3_intersect_keys, displaced by the two plan-changed r14 adds)
-    # lead the r15 rotation.
     "a4_place_types", "d3_aligned_windows", "e3_intersect_keys",
     "id_bytes_roundtrip", "j6_anti_join",
     "j7_semi_join", "o1_distance_topk", "s7_keys_scan",
@@ -81,11 +87,11 @@ _DRIVER_PRIORITY = [
     "dd_dup_spans_apply",
     "emb_hard_negatives", "emb_kmeans", "emb_pq_encode", "emb_rp_project",
     "g10_spatial_join", "g11_triangle_count", "g3_tile_grid",
-    "history_report", "j13_interval_join", "j2_proximity_pairs",
+    "j13_interval_join", "j2_proximity_pairs",
     "p10_name_tags", "p12_mercator_tiles",
     "p2_main_element", "s19_osm_datasource", "s6_osm_export",
     "sk_bottomk_rollup", "sk_hll_distinct", "sk_hll_rollup",
-    "sk_kmv_setops", "st_enrich_join", "st_exact_dedup", "st_stream_join",
+    "sk_kmv_setops", "st_enrich_join", "st_exact_dedup",
     "t1_text_kit", "tx_bpe_encode", "tx_bpe_vocab", "tx_group_split",
     "tx_outlier_trim", "udf_expr_matchid", "w1_running_total",
     "x63_compact_roundtrip", "x64_bloom_prune", "x65_hierarchy_flatten",

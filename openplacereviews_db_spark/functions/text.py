@@ -192,6 +192,70 @@ def tag_equal_non_empty_sql(a: str, b: str) -> str:
             f"AND {a} = {b})")
 
 
+# ---------------------------------------------------------------------------
+# Spark-dialect expression strings for the cascade — ONE F.expr parse
+# instead of thousands of per-op py4j Column calls (the r14 simhash
+# finding: plan construction is also time).  Semantics mirror the
+# Column versions above expression-for-expression;
+# tests/test_merge.py::test_check_names_expr_matches_column pins the
+# two in sync on the truth table.
+# ---------------------------------------------------------------------------
+
+#: the Column version's pattern strings, re-escaped as Spark SQL string
+#: literals (the parser halves backslashes)
+_PUNCT_TRIM_LIT = "'(^[\\\\p{Punct}]+)|([\\\\p{Punct}]+$)'"
+_WS_LIT = "'\\\\s+'"
+
+
+def normalized_expr(x: str) -> str:
+    return f"translate(lower({x}), '{_ACCENTS_SRC}', '{_ACCENTS_DST}')"
+
+
+def tokenize_words_expr(x: str) -> str:
+    split = f"split(trim({x}), {_WS_LIT})"
+    trimmed = (f"transform({split}, "
+               f"w -> regexp_replace(w, {_PUNCT_TRIM_LIT}, ''))")
+    return f"filter({trimmed}, w -> w != '')"
+
+
+def _norm_tokens_expr(x: str) -> str:
+    return (f"transform({tokenize_words_expr(x)}, "
+            f"w -> {normalized_expr('w')})")
+
+
+def words_match_expr(w: str, m: str) -> str:
+    """Both args must already be normalized tokens."""
+    thr = (f"(CASE WHEN least(length({w}), length({m})) <= 4 THEN 1 "
+           f"WHEN least(length({w}), length({m})) <= 6 THEN 2 "
+           f"WHEN least(length({w}), length({m})) <= 8 THEN 3 "
+           f"ELSE 4 END)")
+    return f"(({w} = {m}) OR (levenshtein({w}, {m}) <= {thr}))"
+
+
+def words_fuzzy_subset_expr(sub: str, main: str) -> str:
+    return (f"forall({sub}, w -> exists({main}, m -> "
+            f"{words_match_expr('w', 'm')}))")
+
+
+def check_names_expr(a: str, b: str) -> str:
+    """:func:`check_names` as one Spark SQL expression string."""
+    wa, wb = _norm_tokens_expr(a), _norm_tokens_expr(b)
+    eq_norm = f"({normalized_expr(a)} = {normalized_expr(b)})"
+    eq_ws = (f"(regexp_replace(lower({a}), {_WS_LIT}, '') = "
+             f"regexp_replace(lower({b}), {_WS_LIT}, ''))")
+    eq_bag = f"(array_sort({wa}) = array_sort({wb}))"
+    non_empty = f"((size({wa}) > 0) AND (size({wb}) > 0))"
+    return (f"(CASE WHEN ({eq_norm} OR {eq_ws} OR {eq_bag}) THEN true "
+            f"WHEN NOT {non_empty} THEN false "
+            f"WHEN {words_fuzzy_subset_expr(wa, wb)} THEN true "
+            f"ELSE {words_fuzzy_subset_expr(wb, wa)} END)")
+
+
+def tag_equal_non_empty_expr(a: str, b: str) -> str:
+    return (f"(({a} IS NOT NULL) AND ({b} IS NOT NULL) AND "
+            f"({a} != '') AND ({a} = {b}))")
+
+
 #: scheme + authority of a URL — everything before the first /, ? or #
 #: past the ``scheme://`` marker.
 URL_PREFIX_RE = "^[a-zA-Z]+://[^/?#]*"

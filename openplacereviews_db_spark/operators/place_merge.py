@@ -74,6 +74,28 @@ def match_type_col(a_name: Column, b_name: Column,
     )
 
 
+def match_type_expr(a_name: str, b_name: str,
+                    a_wikidata: str, b_wikidata: str,
+                    a_website: str, b_website: str,
+                    a_alt: str, b_alt: str) -> str:
+    """:func:`match_type_col` as one Spark SQL expression string — a
+    single parse instead of thousands of per-op py4j Column calls (the
+    r14 plan-construction finding; the truth-table unit pins the two
+    implementations in sync)."""
+    a_empty = f"(({a_name} IS NULL) OR (trim({a_name}) = ''))"
+    b_empty = f"(({b_name} IS NULL) OR (trim({b_name}) = ''))"
+    tier1 = (f"((NOT {a_empty}) AND (NOT {b_empty}) AND "
+             f"{TX.check_names_expr(a_name, b_name)})")
+    tier2 = (f"({TX.tag_equal_non_empty_expr(a_wikidata, b_wikidata)} OR "
+             f"{TX.tag_equal_non_empty_expr(a_website, b_website)})")
+    tier3 = (f"exists({a_alt}, an -> exists({b_alt}, bn -> "
+             f"{TX.check_names_expr('an', 'bn')}))")
+    return (f"CASE WHEN {tier1} THEN {MATCH_NAME} "
+            f"WHEN {tier2} THEN {MATCH_OTHER_TAGS} "
+            f"WHEN {tier3} THEN {MATCH_OTHER_NAME} "
+            f"WHEN {a_empty} THEN {MATCH_EMPTY} END")
+
+
 def merge_candidates(closed: DataFrame, active: DataFrame,
                      dist_m: float = SIMILAR_PLACE_DISTANCE_M,
                      block_prefix: int = 4,
@@ -125,11 +147,9 @@ def merge_candidates(closed: DataFrame, active: DataFrame,
     a = prep(active, "a")
     dist = haversine_m(F.col("c_lat"), F.col("c_lon"),
                        F.col("a_lat"), F.col("a_lon"))
-    mt = match_type_col(
-        F.col("c_name"), F.col("a_name"),
-        F.col("c_wikidata"), F.col("a_wikidata"),
-        F.col("c_website"), F.col("a_website"),
-        F.col("c_alt_names"), F.col("a_alt_names"))
+    mt = F.expr(match_type_expr(
+        "c_name", "a_name", "c_wikidata", "a_wikidata",
+        "c_website", "a_website", "c_alt_names", "a_alt_names"))
     return (
         c.join(a, on="blk")
         .where(F.col("c_id") != F.col("a_id"))

@@ -266,7 +266,7 @@ def j7_history_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per (tombstoned place, live similar neighbor).
     """
     from ..functions.geo import haversine_m
-    from ..functions.text import check_names
+    from ..functions.text import check_names_expr
 
     c = load_table(spark, "customer", sf_dir)
     k = F.col("c_custkey")
@@ -293,7 +293,7 @@ def j7_history_full_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.join(a, blk_t == blk_a)
         .withColumn("dist_m", dist)
         .where(F.col("dist_m") <= 150)
-        .where(check_names(F.col("t.name"), F.col("a.name")))
+        .where(F.expr(check_names_expr("t.name", "a.name")))
         .select(F.col("t.key").alias("closed_key"),
                 F.col("a.id").alias("live_id"),
                 F.round("dist_m", 2).alias("dist_m"))

@@ -225,7 +225,14 @@ def a5_merge_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     picked merges, and permanent closes of one bot run, as one row."""
     closed = P.synthetic_closed_flat(spark, sf_dir)
     active = P.synthetic_active_flat(spark, sf_dir)
-    cands = place_merge.merge_candidates(closed, active)
+    # The three counters all derive from the cascade join; left lazy it
+    # executes 3x (count / picks window / closes anti-join).  One eager
+    # checkpoint of the projected pairs runs it once (the g2 pattern;
+    # whitelisted in the plan audit's EAGER_BUILD_OK with the r14
+    # measurement).
+    cands = (place_merge.merge_candidates(closed, active)
+             .select("c_id", "a_id", "match_type", "dist_m")
+             .localCheckpoint(eager=True))
     picks = place_merge.pick_merges(cands)
     closes = place_merge.close_ops(closed, cands, CLOSE_NOW_ISO)
     return (
@@ -445,16 +452,12 @@ def m12_fixture_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..sources import ref_fixtures as RF
 
     df = spark.createDataFrame(RF.merge_pair_rows(), RF.PAIR_SCHEMA)
-    mt = place_merge.match_type_col(
-        F.col("c_name"), F.col("a_name"),
-        F.col("c_wikidata"), F.col("a_wikidata"),
-        F.col("c_website"), F.col("a_website"),
-        F.col("c_alt"), F.col("a_alt"))
-    mt_core = place_merge.match_type_col(
-        F.col("c_name"), F.col("a_name"),
-        F.col("c_wikidata"), F.col("a_wikidata"),
-        F.col("c_website"), F.col("a_website"),
-        F.col("c_alt_core"), F.col("a_alt_core"))
+    mt = F.expr(place_merge.match_type_expr(
+        "c_name", "a_name", "c_wikidata", "a_wikidata",
+        "c_website", "a_website", "c_alt", "a_alt"))
+    mt_core = F.expr(place_merge.match_type_expr(
+        "c_name", "a_name", "c_wikidata", "a_wikidata",
+        "c_website", "a_website", "c_alt_core", "a_alt_core"))
     out = df.select("fixture", "idx", "c_name", "a_name",
                     mt.alias("match_type"), mt_core.alias("match_type_core"))
     return out.select(

@@ -222,10 +222,14 @@ EAGER_BUILD_OK = {"dd_dup_groups",  # live CC loop (the contraction demo)
                   "x75_smb_join",  # write-once bucketed fact tables
                   "x65_hierarchy_flatten",  # pointer-doubling rounds
                   # localCheckpoint per round (iterative-loop rule)
-                  "g2_proximity_groups", "history_report"}
+                  "g2_proximity_groups", "history_report",
                   # ^ invariant_report checkpoints the greedy-kernel
                   # output once (referenced 3x: members/seed/base —
                   # r14: 4.8 s -> ~2 s at sf0.1)
+                  "a5_merge_counters"}
+                  # ^ checkpoints the cascade-join pairs once
+                  # (referenced 3x: count / picks / closes anti-join —
+                  # r14: ~2.3 s -> ~1.2 s e2e at sf0.1)
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
