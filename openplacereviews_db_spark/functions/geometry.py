@@ -343,12 +343,18 @@ def _coords(rows) -> list[tuple[float, float]]:
 
 def simplify_ways(df: DataFrame, epsilon_deg: float,
                   coords_col: str = "coords",
-                  id_col: str = "way_id") -> DataFrame:
+                  id_col: str = "way_id",
+                  with_coords: bool = True) -> DataFrame:
     """Douglas-Peucker over a ways frame (id, coords) → (id, coords,
-    n_in, n_out)."""
+    n_in, n_out).  ``with_coords=False`` drops the simplified arrays
+    from the kernel OUTPUT — column pruning cannot reach inside a
+    mapInPandas function, so a counts-only consumer would otherwise
+    pay the per-point dict build + Arrow serialization of every
+    simplified way for columns it discards (r14, g4)."""
     import pandas as pd
 
-    schema = (f"{id_col} long, coords {COORDS_DDL}, n_in int, n_out int")
+    out_coords = f"coords {COORDS_DDL}, " if with_coords else ""
+    schema = f"{id_col} long, {out_coords}n_in int, n_out int"
 
     def kernel(batches):
         for pdf in batches:
@@ -357,11 +363,15 @@ def simplify_ways(df: DataFrame, epsilon_deg: float,
                 pts = _coords(rows)
                 simp = douglas_peucker(pts, epsilon_deg)
                 ids.append(i)
-                outs.append([{"lat": a, "lon": b} for a, b in simp])
+                if with_coords:
+                    outs.append([{"lat": a, "lon": b} for a, b in simp])
                 n_in.append(len(pts))
                 n_out.append(len(simp))
-            yield pd.DataFrame({id_col: ids, "coords": outs,
-                                "n_in": n_in, "n_out": n_out})
+            cols = {id_col: ids}
+            if with_coords:
+                cols["coords"] = outs
+            cols.update({"n_in": n_in, "n_out": n_out})
+            yield pd.DataFrame(cols)
 
     return df.select(id_col, coords_col).mapInPandas(kernel, schema=schema)
 
@@ -369,11 +379,16 @@ def simplify_ways(df: DataFrame, epsilon_deg: float,
 def way_stats(df: DataFrame, coords_col: str = "coords",
               id_col: str = "way_id",
               mean_round: int | None = None) -> DataFrame:
-    """(id, area_m2, clockwise, centroid_lat, centroid_lon) per way."""
+    """(id, area_m2, clockwise, centroid_lat, centroid_lon, n_vertices)
+    per way.  ``n_vertices`` (= size(coords), closing duplicate
+    included) is emitted from the kernel so consumers never re-execute
+    the upstream ways build just to count vertices (r14: g5 referenced
+    its input twice — kernel + a size() side joined back — paying the
+    scan/groupBy twice plus a join)."""
     import pandas as pd
 
     schema = (f"{id_col} long, area_m2 double, clockwise boolean, "
-              "centroid_lat double, centroid_lon double")
+              "centroid_lat double, centroid_lon double, n_vertices int")
 
     def kernel(batches):
         for pdf in batches:
@@ -387,9 +402,11 @@ def way_stats(df: DataFrame, coords_col: str = "coords",
                     "area_m2": polygon_area_m2(ring),
                     "clockwise": is_clockwise(ring) if len(ring) >= 3 else None,
                     "centroid_lat": clat, "centroid_lon": clon,
+                    "n_vertices": len(pts),
                 })
             yield pd.DataFrame(recs)[[id_col, "area_m2", "clockwise",
-                                      "centroid_lat", "centroid_lon"]]
+                                      "centroid_lat", "centroid_lon",
+                                      "n_vertices"]]
 
     return df.select(id_col, coords_col).mapInPandas(kernel, schema=schema)
 

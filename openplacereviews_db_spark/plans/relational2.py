@@ -632,14 +632,15 @@ def g5_way_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ways = ways.where(
         (F.size("coords") <= 3)
         | (F.element_at("coords", 1) != F.element_at("coords", -1)))
+    # n_vertices comes out of the kernel (r14): the pre-r14 shape
+    # joined a size() projection of open_ways back onto the kernel
+    # output, executing the scan+groupBy upstream twice and paying a
+    # way_id join for a count the kernel already holds
     stats = GM.way_stats(open_ways, mean_round=9)
-    n = open_ways.select("way_id", F.size("coords").alias("n_vertices"))
-    return (
-        stats.join(n, on="way_id")
-        .select("way_id", "n_vertices",
-                F.round("centroid_lat", 6).alias("centroid_lat"),
-                F.round("centroid_lon", 6).alias("centroid_lon"))
-    )
+    return stats.select(
+        "way_id", "n_vertices",
+        F.round("centroid_lat", 6).alias("centroid_lat"),
+        F.round("centroid_lon", 6).alias("centroid_lon"))
 
 
 QUERIES["g5_way_stats"] = g5_way_stats
@@ -688,7 +689,11 @@ def g4_simplify_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions import geometry as GM
 
     ways = _ways(spark, sf_dir)
-    return (GM.simplify_ways(ways, epsilon_deg=0.5)
+    # with_coords=False: this query keeps only the counts, and column
+    # pruning cannot reach inside the kernel — without it every
+    # simplified way's points are dict-built and Arrow-shipped back
+    # just to be discarded (r14)
+    return (GM.simplify_ways(ways, epsilon_deg=0.5, with_coords=False)
             .select("way_id", "n_in", "n_out"))
 
 
