@@ -73,6 +73,15 @@ def adaptive_split_cells(pts: DataFrame, lat_col: str = "lat",
         F.floor((F.col(lon_col) + F.lit(180.0)) / F.lit(fw)).alias("ix"),
         F.floor((F.col(lat_col) + F.lit(90.0)) / F.lit(fh)).alias("iy"),
     ).groupBy("ix", "iy").agg(F.count(F.lit(1)).alias("cnt"))
+    # The frontier walk below references each level's ``children``
+    # frame twice (leaves union + next frontier), nesting this
+    # full-input aggregation up to 2**max_level times in the final
+    # plan; everything downstream is a bounded cell-count table
+    # (<= occupied finest cells), so materialize the one heavy pass
+    # once and let every duplicate subtree scan the checkpoint
+    # (r14 interleaved A/B at sf0.1: 2.8-5.4 -> 2.3-2.9 s e2e,
+    # values identical; scripts/r14_ab_s4.py).
+    finest = finest.localCheckpoint(eager=True)
 
     # per-level counts roll up from the single finest aggregation:
     # child index // split factor = parent index (grids nest exactly)

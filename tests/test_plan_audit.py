@@ -226,10 +226,15 @@ EAGER_BUILD_OK = {"dd_dup_groups",  # live CC loop (the contraction demo)
                   # ^ invariant_report checkpoints the greedy-kernel
                   # output once (referenced 3x: members/seed/base —
                   # r14: 4.8 s -> ~2 s at sf0.1)
-                  "a5_merge_counters"}
+                  "a5_merge_counters",
                   # ^ checkpoints the cascade-join pairs once
                   # (referenced 3x: count / picks / closes anti-join —
                   # r14: ~2.3 s -> ~1.2 s e2e at sf0.1)
+                  "s4_adaptive_split"}
+                  # ^ checkpoints the finest cell-count aggregation
+                  # once: the frontier walk nests it up to 2^6 times
+                  # (r14: 2.8-5.4 -> 2.3-2.9 s e2e at sf0.1,
+                  # scripts/r14_ab_s4.py)
 
 
 def test_plan_build_runs_no_computation_jobs(spark, sf_dir):
