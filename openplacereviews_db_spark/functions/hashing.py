@@ -148,6 +148,49 @@ def lsh_bands(sig: Column, bands: int, rows_per_band: int) -> Column:
     return F.array(*keys)
 
 
+def lsh_bands_sql(sig: str, bands: int, rows_per_band: int) -> str:
+    """SQL-string form of :func:`lsh_bands` — ONE parsed expression
+    instead of ~5 py4j Column calls per band (the r14 construction
+    rule: this box's py4j round trip measures ~5 ms, so wide Column
+    chains are construction-bound).  ``sig`` is the SQL text of an
+    array<string>-castable signature expression."""
+    keys = ", ".join(
+        f"concat('{b}|', md5(concat_ws(',', "
+        f"slice(CAST({sig} AS ARRAY<STRING>), "
+        f"{b * rows_per_band + 1}, {rows_per_band}))))"
+        for b in range(bands))
+    return f"array({keys})"
+
+
+def jaccard_sql(a: str, b: str) -> str:
+    """SQL-string form of :func:`jaccard` (same expression tree after
+    parsing — the Column form also duplicates the intersect subtree,
+    Catalyst does not CSE either)."""
+    i = f"size(array_intersect({a}, {b}))"
+    u = f"((size({a}) + size({b})) - {i})"
+    return (f"CASE WHEN ({u} = 0) THEN CAST(0.0 AS DOUBLE) "
+            f"ELSE (CAST({i} AS DOUBLE) / CAST({u} AS DOUBLE)) END")
+
+
+def jaccard_ge_sql(a: str, b: str, threshold: float) -> str:
+    """SQL-string form of :func:`jaccard_ge` — identical ordered
+    bound-then-exact predicate, one parse."""
+    i = f"size(array_intersect({a}, {b}))"
+    pre = jaccard_prebound_sql(i, f"size({a})", f"size({b})", threshold)
+    return (f"({pre} AND (round({jaccard_sql(a, b)}, 6) >= "
+            f"CAST({threshold!r} AS DOUBLE)))")
+
+
+def jaccard_prebound_sql(inter_count: str, size_a: str, size_b: str,
+                         threshold: float) -> str:
+    """SQL-string form of :func:`jaccard_prebound` (same exact integer
+    algebra; see there)."""
+    t8 = int(round(threshold * 1e8)) - 50
+    return (f"((CAST({inter_count} AS BIGINT) * CAST({10**8 + t8} AS "
+            f"BIGINT)) >= (CAST({t8} AS BIGINT) * "
+            f"CAST(({size_a} + {size_b}) AS BIGINT)))")
+
+
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array sets (inputs MUST be
     duplicate-free — every caller feeds collect_set/array_distinct

@@ -48,29 +48,37 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
     ``collect_set``): the window already hash-partitions by (id, extra),
     so a following ``groupBy(id, extra)`` runs exchange-free.
     """
+    # SQL expression strings, not nested Column calls — this builder
+    # feeds every member of the shingle family (minhash_state / LSH /
+    # ngram / containment) and its Column form cost ~400 py4j round
+    # trips per build (~5 ms RTT on this box, the r14 construction
+    # rule); the parsed trees are identical (expr<->Column unit in
+    # tests/test_similarity_lsh.py).  NOTE: Spark's regexp_replace is
+    # always-global with NO flag argument — only the DuckDB mirror
+    # (hashing.norm_text_sql) carries 'g'.
     extra = extra_cols or []
-    words = df.select(
-        F.col(id_col).alias("id"), *extra,
-        F.posexplode(
-            F.filter(F.split(H.norm_text(F.col(text_col)), " "),
-                     lambda w: w != "")
-        ).alias("pos", "w"),
+    ecols = "".join(f", `{c}`" for c in extra)
+    words = df.selectExpr(
+        f"`{id_col}` AS id", *[f"`{c}`" for c in extra],
+        f"posexplode(filter(split("
+        f"lower(trim(regexp_replace(`{text_col}`, '\\\\s+', ' '))), ' '),"
+        f" w -> w != '')) AS (pos, w)",
     )
     # partition by the extra cols too: if a caller feeds one document in
     # several blocks (overlapping banded blocking), each copy must build
     # its shingles from its own rows, not interleave with its twins
-    w_win = Window.partitionBy("id", *extra).orderBy("pos")
-    parts = [F.col("w")] + [F.lead("w", k).over(w_win) for k in range(1, n)]
-    cnt = F.count(F.lit(1)).over(Window.partitionBy("id", *extra))
-    shingled = words.select(
-        "id", *extra,
-        F.concat_ws(" ", *parts).alias("s"),
-        F.lead("w", n - 1).over(w_win).isNotNull().alias("full"),
-        (F.col("pos") == 0).alias("first"),
-        (cnt < n).alias("short"),
+    over = f"OVER (PARTITION BY id{ecols} ORDER BY pos)"
+    parts = ", ".join(["w"] + [f"lead(w, {k}) {over}"
+                               for k in range(1, n)])
+    shingled = words.selectExpr(
+        "id", *[f"`{c}`" for c in extra],
+        f"concat_ws(' ', {parts}) AS s",
+        f"(lead(w, {n - 1}) {over} IS NOT NULL) AS full",
+        "(pos = 0) AS first",
+        f"(count(1) OVER (PARTITION BY id{ecols}) < {n}) AS short",
     )
     kept = (
-        shingled.where(F.col("full") | (F.col("first") & F.col("short")))
+        shingled.where("full OR (first AND short)")
         .select("id", *extra, "s")
     )
     return kept.distinct() if distinct else kept
@@ -106,6 +114,13 @@ def sid16_set(sids: Column) -> Column:
         lambda x: F.shiftright(F.shiftleft(x, 48), 48).cast("smallint")))
 
 
+def sid16_set_sql(sids: str) -> str:
+    """SQL-string form of :func:`sid16_set` (one parse instead of a
+    py4j lambda build — the r14 construction rule)."""
+    return (f"array_distinct(transform({sids}, "
+            f"x -> CAST(shiftright(shiftleft(x, 48), 48) AS SMALLINT)))")
+
+
 def tiered_jaccard_verify(cand: DataFrame, sets_a: DataFrame,
                           sets_b: DataFrame, min_jaccard: float,
                           a_col: str = "id_a",
@@ -129,19 +144,23 @@ def tiered_jaccard_verify(cand: DataFrame, sets_a: DataFrame,
     values identical (each caller's oracle re-proves it).  Corpus-sized
     array sides: shuffle_hash hints, never AQE-broadcast (see
     ``minhash_lsh_pairs``)."""
+    # SQL expression STRINGS throughout (the r14 construction rule —
+    # ~5 ms py4j RTT on this box makes wide Column chains build-bound);
+    # parses to the identical expression trees the Column forms built.
     def proj16(sets: DataFrame, idc: str, sfx: str) -> DataFrame:
         return sets.select(F.col("id").alias(idc),
-                           sid16_set(F.col("sids")).alias(f"s16_{sfx}"),
-                           F.size("sids").alias(f"n_{sfx}"))
+                           F.expr(sid16_set_sql("sids"))
+                           .alias(f"s16_{sfx}"),
+                           F.expr("size(sids)").alias(f"n_{sfx}"))
 
+    tier1 = F.expr(
+        "(size(s16_a) < n_a) OR (size(s16_b) < n_b) OR "
+        + H.jaccard_prebound_sql("size(array_intersect(s16_a, s16_b))",
+                                 "n_a", "n_b", min_jaccard))
     surv = (cand
             .join(proj16(sets_a, a_col, "a").hint("shuffle_hash"), a_col)
             .join(proj16(sets_b, b_col, "b").hint("shuffle_hash"), b_col)
-            .where((F.size("s16_a") < F.col("n_a"))
-                   | (F.size("s16_b") < F.col("n_b"))
-                   | H.jaccard_prebound(
-                       F.size(F.array_intersect("s16_a", "s16_b")),
-                       F.col("n_a"), F.col("n_b"), min_jaccard))
+            .where(tier1)
             .select(a_col, b_col))
     return (surv
             .join(sets_a.select(F.col("id").alias(a_col),
@@ -153,9 +172,9 @@ def tiered_jaccard_verify(cand: DataFrame, sets_a: DataFrame,
             # ordered bound-then-exact predicate: Catalyst folds this
             # into the second join's condition, where the one-intersect
             # bound short-circuits the 3-intersect exact check
-            .where(H.jaccard_ge(F.col("s_a"), F.col("s_b"), min_jaccard))
+            .where(F.expr(H.jaccard_ge_sql("s_a", "s_b", min_jaccard)))
             .withColumn("jaccard",
-                        F.round(H.jaccard(F.col("s_a"), F.col("s_b")), 6))
+                        F.expr(f"round({H.jaccard_sql('s_a', 's_b')}, 6)"))
             .select(a_col, b_col, "jaccard"))
 
 
@@ -209,12 +228,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     else:
         base_h = H.minhash_base(F.col("s"))
 
-    def hash_i(i: int):
-        # expression STRING, not nested Column calls — the r14
-        # simhash_table lesson: per-op py4j round-trips + eager
-        # re-analysis dominate construction of wide aggregate lists
-        return F.expr(H.minhash_perm_sql(str(i), "_mhb"))
-
     # ONE aggregation pass builds everything per-document: the minhash
     # signature (min is duplicate-insensitive, so the shingle rows skip
     # the distinct shuffle) and the exact-verify shingle set
@@ -235,7 +248,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)
     per_doc = exploded.withColumn("_mhb", base_h).groupBy("id").agg(
-        *[F.min(hash_i(i)).alias(f"h{i}") for i in range(num_hashes)],
+        *[F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')}) AS h{i}")
+          for i in range(num_hashes)],
         F.collect_set(F.xxhash64("s")).alias("shingles"),
     )
     # Verify INLINE in the band self-join: each banded row carries its
@@ -278,8 +292,8 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     hcols = [f"h{i}" for i in range(num_hashes)]
     banded = per_doc.select(
         "id", "shingles", *hcols,
-        F.posexplode(H.lsh_bands(
-            F.array(*[F.col(h) for h in hcols]), bands, rows)
+        F.posexplode(F.expr(H.lsh_bands_sql(
+            f"array({', '.join(hcols)})", bands, rows))
         ).alias("band_i", "band"),
     )
     a_side, b_side = banded.alias("a"), banded.alias("b")
@@ -288,12 +302,6 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         return " AND ".join(f"(a.h{i * rows + r} <=> b.h{i * rows + r})"
                             for r in range(rows))
 
-    # one parsed CASE chain, not bands x rows nested Column calls (the
-    # construction-cost rule above); `<=>` is SQL null-safe equality,
-    # identical to the eqNullSafe chain it replaces
-    first_band = F.expr(
-        "CASE " + " ".join(f"WHEN {band_eq(i)} THEN {i}"
-                           for i in range(bands)) + " END")
     # The whole predicate is ONE ordered And chain, because Catalyst
     # folds it into the join CONDITION where common subexpressions are
     # NOT eliminated and evaluation is per matched row — the first cut
@@ -305,17 +313,22 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # both keeps the join inputs column-identical after pruning), then
     # a ONE-intersect necessary bound (``jaccard_ge``'s exact integer
     # cutoff), and the exact rounded check only on pairs the bound
-    # admits.
-    jac = F.round(H.jaccard(F.col("a.shingles"), F.col("b.shingles")), 6)
-    cond = ((F.col("a.id") < F.col("b.id"))
-            & (first_band ==
-               F.greatest(F.col("a.band_i"), F.col("b.band_i")))
-            & H.jaccard_ge(F.col("a.shingles"), F.col("b.shingles"),
-                           min_jaccard))
+    # admits.  The WHOLE condition (band equality included) is one
+    # parsed SQL string — ExtractEquiJoinKeys still lifts
+    # `a.band = b.band` into the equi-join key after resolution, so
+    # the join stays a shuffled-hash equi-join (plan-asserted by
+    # tests/test_plan_audit.py's shuffle_hash unit).
+    jac = F.expr(
+        f"round({H.jaccard_sql('a.shingles', 'b.shingles')}, 6)")
+    cond = F.expr(
+        "(a.band = b.band) AND (a.id < b.id) AND ("
+        + "CASE " + " ".join(f"WHEN {band_eq(i)} THEN {i}"
+                             for i in range(bands)) + " END"
+        + " = greatest(a.band_i, b.band_i)) AND "
+        + H.jaccard_ge_sql("a.shingles", "b.shingles", min_jaccard))
     verified = (
         a_side.hint("shuffle_hash")
-        .join(b_side.hint("shuffle_hash"),
-              (F.col("a.band") == F.col("b.band")) & cond)
+        .join(b_side.hint("shuffle_hash"), cond)
         .select(F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"), jac.alias("jaccard"))
     )
@@ -356,8 +369,8 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                  extra_cols=["_attr"], distinct=False)
     sig = (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
            .groupBy("_attr", "id").agg(
-               *[F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')})")
-                 .alias(f"h{i}") for i in range(num_hashes)],
+               *[F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')}) "
+                        f"AS h{i}") for i in range(num_hashes)],
                F.collect_set(F.xxhash64("s")).alias("sids"),
            ))
     # run-once callers pay persist()'s InMemoryRelation columnar build
@@ -367,9 +380,9 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
            else sig.persist())
     banded = sig.select(
         "id", "_attr",
-        F.explode(H.lsh_bands(
-            F.array(*[F.col(f"h{i}") for i in range(num_hashes)]),
-            bands, rows)).alias("band"),
+        F.explode(F.expr(H.lsh_bands_sql(
+            f"array({', '.join(f'h{i}' for i in range(num_hashes))})",
+            bands, rows))).alias("band"),
     ).select("id", F.concat_ws("|", "_attr", "band").alias("blk"))
     cand = (
         banded.alias("a").join(banded.alias("b"), on="blk")
@@ -418,19 +431,19 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     sets are xxhash64 ids (8 B/shingle; counts equal string counts
     barring a ~n²/2⁶⁵ collision, the ngram_jaccard argument).
     """
+    # SQL expression strings throughout (the r14 construction rule —
+    # this builder measured ~1,700 py4j commands in Column form)
     sh = (exploded_shingles(df, text_col, id_col, shingle_words)
-          .select("id", F.xxhash64("s").alias("sid")))
-    freq = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("id").orderBy("df", "sid")
+          .selectExpr("id", "xxhash64(s) AS sid"))
+    freq = sh.groupBy("sid").agg(F.expr("count(1) AS df"))
     # ONE materialized frame feeds the a-side prefix, the b-side
     # positional index AND the verify sets — persisting thin `sh`
     # instead made the b-side recompute the freq-join + rank window
     # (r12 probe: +3.8 GB of duplicated shuffle at sf10)
-    ranked_n = (sh.join(freq, "sid")
-                .withColumn("rk", F.row_number().over(w))
-                .withColumn("n", F.count(F.lit(1))
-                            .over(Window.partitionBy("id")))
-                .select("id", "sid", "rk", "n"))
+    ranked_n = (sh.join(freq, "sid").selectExpr(
+        "id", "sid",
+        "row_number() OVER (PARTITION BY id ORDER BY df, sid) AS rk",
+        "count(1) OVER (PARTITION BY id) AS n"))
     if stage_dir is None:
         # default (bench/driver scale): keep the frame in the block
         # manager — no filesystem side effects
@@ -450,8 +463,9 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
         (ranked_n.write.mode("overwrite")
          .option("compression", "zstd").parquet(stage_dir))
         ranked_n = spark.read.parquet(stage_dir)
-    thresh = F.expr(f"({tau_num} * n + {tau_den} - 1) div {tau_den}")
-    prefix = ranked_n.where(F.col("rk") <= F.col("n") - thresh + 1)
+    prefix = ranked_n.where(
+        f"rk <= ((n - (({tau_num} * n + {tau_den} - 1) div {tau_den}))"
+        f" + 1)")
     # Candidate join with the PPJoin-style LENGTH and POSITIONAL
     # filters fused into the condition — both LOSSLESS (r12: they cut
     # candidates 1.5x on this corpus, and candidate count is exactly
@@ -467,19 +481,15 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     #   satisfies the bound at EVERY shared token, so at least its
     #   prefix match survives — no recall loss (the brute-force oracle
     #   of dd_containment re-proves it at every driver sample).
-    idx_b = ranked_n.select(F.col("id").alias("id_b"), "sid",
-                            F.col("rk").alias("rk_b"),
-                            F.col("n").alias("n_b"))
-    t_a = F.expr(f"({tau_num} * n_a + {tau_den} - 1) div {tau_den}")
-    cand = (prefix.select(F.col("id").alias("id_a"), "sid",
-                          F.col("rk").alias("rk_a"),
-                          F.col("n").alias("n_a"))
+    idx_b = ranked_n.selectExpr("id AS id_b", "sid", "rk AS rk_b",
+                                "n AS n_b")
+    t_a = f"(({tau_num} * n_a + {tau_den} - 1) div {tau_den})"
+    cand = (prefix.selectExpr("id AS id_a", "sid", "rk AS rk_a",
+                              "n AS n_a")
             .join(idx_b, "sid")
-            .where((F.col("id_a") != F.col("id_b"))
-                   & (F.col("n_b") >= t_a)
-                   & (F.least("rk_a", "rk_b")
-                      + F.least(F.col("n_a") - F.col("rk_a"),
-                                F.col("n_b") - F.col("rk_b")) >= t_a))
+            .where(f"(id_a != id_b) AND (n_b >= {t_a}) AND "
+                   f"((least(rk_a, rk_b) + least(n_a - rk_a, n_b - rk_b))"
+                   f" >= {t_a})")
             .select("id_a", "id_b").dropDuplicates())
     # Two-tier exact verify.  Tier 1 ships INT16 projections of the
     # shingle-id sets through the per-candidate exchanges — the
@@ -506,41 +516,33 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     # frame.  Sign-extending low-16 projection (shiftleft then
     # arithmetic shiftright keeps the value in SMALLINT range; a bare
     # & 0xFFFF overflows the ANSI smallint cast).
-    sid16 = F.shiftright(F.shiftleft(F.col("sid"), 48), 48) \
-        .cast("smallint")
     sets16 = ranked_n.groupBy("id").agg(
-        F.collect_set(sid16).alias("s16"),
-        F.count(F.lit(1)).alias("n_true"))
+        F.expr("collect_set(CAST(shiftright(shiftleft(sid, 48), 48) "
+               "AS SMALLINT)) AS s16"),
+        F.expr("count(1) AS n_true"))
     surv = (cand
-            .join(sets16.select(F.col("id").alias("id_a"),
-                                F.col("s16").alias("s16_a"),
-                                F.col("n_true").alias("n_a"))
+            .join(sets16.selectExpr("id AS id_a", "s16 AS s16_a",
+                                    "n_true AS n_a")
                   .hint("shuffle_hash"), "id_a")
-            .join(sets16.select(F.col("id").alias("id_b"),
-                                F.col("s16").alias("s16_b"),
-                                F.col("n_true").alias("n_b_true"))
+            .join(sets16.selectExpr("id AS id_b", "s16 AS s16_b",
+                                    "n_true AS n_b_true")
                   .hint("shuffle_hash"), "id_b")
-            .where((F.size("s16_a") < F.col("n_a"))
-                   | (F.size("s16_b") < F.col("n_b_true"))
-                   | (F.lit(tau_den)
-                      * F.size(F.array_intersect("s16_a", "s16_b"))
-                      >= F.lit(tau_num) * F.col("n_a")))
+            .where(f"(size(s16_a) < n_a) OR (size(s16_b) < n_b_true) OR "
+                   f"(({tau_den} * size(array_intersect(s16_a, s16_b)))"
+                   f" >= ({tau_num} * n_a))")
             .select("id_a", "id_b"))
-    sets = ranked_n.groupBy("id").agg(F.collect_set("sid").alias("sids"))
+    sets = ranked_n.groupBy("id").agg(F.expr("collect_set(sid) AS sids"))
     return (surv
-            .join(sets.select(F.col("id").alias("id_a"),
-                              F.col("sids").alias("s_a"))
+            .join(sets.selectExpr("id AS id_a", "sids AS s_a")
                   .hint("shuffle_hash"), "id_a")
-            .join(sets.select(F.col("id").alias("id_b"),
-                              F.col("sids").alias("s_b"))
+            .join(sets.selectExpr("id AS id_b", "sids AS s_b")
                   .hint("shuffle_hash"), "id_b")
-            .withColumn("n_int", F.size(F.array_intersect("s_a", "s_b")))
-            .withColumn("n_a", F.size("s_a").cast("long"))
-            .where(F.lit(tau_den) * F.col("n_int")
-                   >= F.lit(tau_num) * F.col("n_a"))
-            .select("id_a", "id_b", "n_a",
-                    (F.col("n_int").cast("double") / F.col("n_a"))
-                    .alias("containment")))
+            .selectExpr("id_a", "id_b",
+                        "size(array_intersect(s_a, s_b)) AS n_int",
+                        "CAST(size(s_a) AS BIGINT) AS n_a")
+            .where(f"({tau_den} * n_int) >= ({tau_num} * n_a)")
+            .selectExpr("id_a", "id_b", "n_a",
+                        "(CAST(n_int AS DOUBLE) / n_a) AS containment"))
 
 
 def minhash_state(df: DataFrame, text_col: str = "text",
@@ -557,8 +559,8 @@ def minhash_state(df: DataFrame, text_col: str = "text",
     CTEs (functions/hashing.py: minhash_base_sql/minhash_perm_sql)."""
     exploded = exploded_shingles(df, text_col, id_col, shingle_words,
                                  distinct=False)  # min is dup-insensitive
-    aggs = [F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')})")
-            .alias(f"h{i}") for i in range(num_hashes)]
+    aggs = [F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')}) AS h{i}")
+            for i in range(num_hashes)]
     if with_sids:
         aggs.append(F.collect_set(F.xxhash64("s")).alias("sids"))
     return (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
@@ -569,10 +571,10 @@ def lsh_band_rows(state: DataFrame, num_hashes: int,
                   bands: int) -> DataFrame:
     """(id, band) from a ``minhash_state`` frame — the exploded LSH
     band keys, exactly as ``minhash_lsh_pairs`` derives them."""
-    sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
     return state.select(
-        "id", F.explode(H.lsh_bands(sig, bands,
-                                    num_hashes // bands)).alias("band"))
+        "id", F.explode(F.expr(H.lsh_bands_sql(
+            f"array({', '.join(f'h{i}' for i in range(num_hashes))})",
+            bands, num_hashes // bands))).alias("band"))
 
 
 def minhash_band_keys(df: DataFrame, text_col: str = "text",

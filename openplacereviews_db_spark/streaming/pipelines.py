@@ -169,7 +169,11 @@ def apply_changelog_stream(ops_stream: DataFrame, snapshot_dir: str,
         if _snapshot_swap_preamble(snapshot_dir, tmp, old, int(epoch_id)):
             return
         try:
-            docs = spark.read.parquet(snapshot_dir)
+            # explicit schema (the snapshot is apply_operations output,
+            # written by this body): skips the per-batch
+            # schema-inference job of a bare read.parquet
+            docs = spark.read.schema("obj_id string, doc string") \
+                .parquet(snapshot_dir)
         except Exception:
             docs = spark.createDataFrame([], "obj_id string, doc string")
         apply_operations(docs, ops).write.mode("overwrite").parquet(tmp)
@@ -702,6 +706,12 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
     from ..operators.dedup import minhash_state, tiered_jaccard_verify
 
     state_dir = os.path.join(index_dir, "state")
+    # per-stream constants hoisted out of the per-batch body: one
+    # parsed band expression (unresolved Columns are reusable across
+    # frames) — the r14 construction rule (~5 ms py4j RTT on this box)
+    bands_sql = H.lsh_bands_sql(
+        f"array({', '.join(f'h{i}' for i in range(num_hashes))})",
+        bands, num_hashes // bands)
 
     def verify(cand: DataFrame, sets: DataFrame) -> DataFrame:
         # two-tier exact verify via the shared helper (r14: the int16
@@ -732,11 +742,8 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
         per_doc = minhash_state(batch, "text", "doc_id", shingle_words,
                                 num_hashes, with_sids=True).persist()
         try:
-            sig = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
             new_state = per_doc.select(
-                "id", H.lsh_bands(sig, bands,
-                                  num_hashes // bands).alias("bands"),
-                "sids")
+                "id", F.expr(bands_sql).alias("bands"), "sids")
             new_bands = new_state.select(
                 "id", F.explode("bands").alias("band"))
             new_sets = per_doc.select("id", "sids")
@@ -748,7 +755,15 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
             # between its bands and sets appends, r13 ADVICE) can no
             # longer exist: one table, one write, epoch-overwrite.
             if os.path.isdir(state_dir):
-                old = (spark.read.parquet(state_dir)
+                # explicit schema derived from THIS batch's state frame
+                # (+ the epoch partition column): skips the per-batch
+                # schema-inference job a bare read.parquet runs
+                # (~0.1 s/batch on this box), robust to any id type
+                from pyspark.sql import types as T
+                st_schema = T.StructType(
+                    list(new_state.schema.fields)
+                    + [T.StructField("epoch", T.IntegerType())])
+                old = (spark.read.schema(st_schema).parquet(state_dir)
                        .where(F.col("epoch") < F.lit(epoch)))
                 old_bands = old.select(
                     "id", F.explode("bands").alias("band"))
@@ -875,7 +890,14 @@ def _exact_dedup_batch(index_dir: str, counts_dir: str):
         # stack trace per run.  The epoch < current filter is partition
         # PRUNING — a torn current-epoch directory is never opened.
         if os.path.isdir(index_dir):
-            seen = (spark.read.parquet(index_dir)
+            # explicit schema (fp/keep_id from this batch's agg frame +
+            # the epoch partition column): skips the per-batch
+            # schema-inference job of a bare read.parquet (~0.1 s)
+            from pyspark.sql import types as T
+            idx_schema = T.StructType(
+                [firsts.schema["fp"], firsts.schema["keep_id"],
+                 T.StructField("epoch", T.IntegerType())])
+            seen = (spark.read.schema(idx_schema).parquet(index_dir)
                     .where(F.col("epoch") < F.lit(epoch)).select("fp"))
         else:
             seen = spark.createDataFrame([], "fp string")
@@ -1167,7 +1189,10 @@ def scd2_upsert_batch(snapshot_dir: str):
         if _snapshot_swap_preamble(snapshot_dir, tmp, old, epoch):
             return
         try:
-            prev = spark.read.parquet(snapshot_dir)
+            # explicit schema (the snapshot is written by THIS body, so
+            # _SCD2_DDL is its schema by construction): skips the
+            # per-batch schema-inference job of a bare read.parquet
+            prev = spark.read.schema(_SCD2_DDL).parquet(snapshot_dir)
         except Exception:
             prev = spark.createDataFrame([], _SCD2_DDL)
         closed = prev.where(F.col("is_current") == 0)

@@ -416,6 +416,98 @@ def test_jaccard_ge_exact_threshold_boundary(spark):
     assert got == [True, False]
 
 
+def test_jaccard_family_sql_matches_column(spark):
+    """The r14 SQL-string forms (jaccard_sql / jaccard_ge_sql /
+    jaccard_prebound_sql / sid16_set_sql / lsh_bands_sql) must evaluate
+    identically to the Column forms they replace on the edge cases:
+    empty arrays, disjoint, identical, exact-threshold, near-threshold
+    both sides, and negative hash ids (sid16 sign extension)."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions import hashing as H
+    from openplacereviews_db_spark.operators.dedup import (sid16_set,
+                                                           sid16_set_sql)
+
+    rows = [
+        ([], []),                              # both empty (union 0)
+        ([1, 2, 3], []),                       # one empty
+        ([1, 2, 3], [4, 5, 6]),                # disjoint
+        ([1, 2, 3], [1, 2, 3]),                # identical
+        ([1, 2, 3], [1, 2, 4]),                # j = 2/4 = 0.5 exactly
+        ([1, 2, 3, 4, 5], [1, 6, 7, 8, 9]),    # j = 1/9 just above 0.1
+        ([1, 2, 3, 4, 5, 6], [7, 8, 9, 10, 1, 11]),  # j = 1/11 < 0.1
+        ([-(2**63) + 7, -1, 2**62], [-1, 5, -(2**63) + 7]),  # negatives
+    ]
+    df = spark.createDataFrame(rows, "sa array<bigint>, sb array<bigint>")
+    for t in (0.1, 0.5, 0.9):
+        got = df.select(
+            H.jaccard(F.col("sa"), F.col("sb")).alias("c_j"),
+            F.expr(H.jaccard_sql("sa", "sb")).alias("e_j"),
+            H.jaccard_ge(F.col("sa"), F.col("sb"), t).alias("c_ge"),
+            F.expr(H.jaccard_ge_sql("sa", "sb", t)).alias("e_ge"),
+            H.jaccard_prebound(
+                F.size(F.array_intersect("sa", "sb")), F.size("sa"),
+                F.size("sb"), t).alias("c_pre"),
+            F.expr(H.jaccard_prebound_sql(
+                "size(array_intersect(sa, sb))", "size(sa)", "size(sb)",
+                t)).alias("e_pre"),
+            F.sort_array(sid16_set(F.col("sa"))).alias("c_16"),
+            F.sort_array(F.expr(sid16_set_sql("sa"))).alias("e_16"),
+        ).collect()
+        for r in got:
+            assert r["c_j"] == r["e_j"], (t, r)
+            assert r["c_ge"] == r["e_ge"], (t, r)
+            assert r["c_pre"] == r["e_pre"], (t, r)
+            assert r["c_16"] == r["e_16"], (t, r)
+    sig = spark.createDataFrame(
+        [([str(i * 37) for i in range(16)],), ([None] * 16,)],
+        "hs array<string>")
+    bands = sig.select(
+        H.lsh_bands(F.col("hs").cast("array<string>"), 8, 2).alias("c"),
+        F.expr(H.lsh_bands_sql("hs", 8, 2)).alias("e")).collect()
+    for r in bands:
+        assert r["c"] == r["e"], r
+
+
+def test_exploded_shingles_expr_matches_word_shingles(spark):
+    """The r14 selectExpr rewrite of exploded_shingles must stay
+    semantically identical to hashing.word_shingles on the edges:
+    empty text, whitespace/case normalization, fewer words than n,
+    exactly n words, repeated shingles (distinct=True path), and the
+    extra_cols partitioning."""
+    from pyspark.sql import functions as F
+
+    from openplacereviews_db_spark.functions import hashing as H
+    from openplacereviews_db_spark.operators.dedup import exploded_shingles
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, ""), (3, "   "), (4, "One"),
+         (5, "x  Y"), (6, "a b a b a b"), (7, "A b C"),
+         (8, "  pad   ding  strip  ")],
+        "doc_id long, text string")
+    for n in (2, 3):
+        got = sorted(
+            (r["id"], r["s"])
+            for r in exploded_shingles(docs, "text", "doc_id", n).collect())
+        want = sorted(
+            (r["doc_id"], s)
+            for r in docs.select(
+                "doc_id",
+                H.word_shingles(F.col("text"), n).alias("sh")).collect()
+            for s in r["sh"])
+        assert got == want, n
+    # extra_cols: shingles must build per (id, extra) copy independently
+    blk = spark.createDataFrame(
+        [(1, "p", "a b c"), (1, "q", "a b c")],
+        "doc_id long, blk string, text string")
+    rows = sorted(
+        (r["id"], r["blk"], r["s"])
+        for r in exploded_shingles(
+            blk, "text", "doc_id", 2, extra_cols=["blk"]).collect())
+    assert rows == [(1, "p", "a b"), (1, "p", "b c"),
+                    (1, "q", "a b"), (1, "q", "b c")]
+
+
 def test_generator_plants_neardup_structure(spark, tmp_path):
     """The scale generator must plant EXACTLY (copies-1)*floor(n/100)
     near-dup pairs at cos ~ 0.95: copy 0 verbatim, each copy c>=1
