@@ -107,6 +107,9 @@ def main() -> None:
         log(f"{name}@{entry['sf']}: {entry.get('wall_s')}s "
             f"rows={entry.get('rows')} err={entry.get('error')} "
             f"freed={entry['freed_mb']}MB")
+        if out_path:  # incremental flush: a killed session keeps every
+            with open(out_path, "w") as fh:  # completed kernel's row
+                fh.write(json.dumps(results))
 
     # round-logged CC twins: the round_log list is captured per call so
     # the JSON attributes wall to round depth x per-round cost (item 3)
