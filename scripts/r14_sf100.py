@@ -137,9 +137,17 @@ def main() -> None:
             n_hint=_parquet_num_rows(sf, "embeddings"))
         return dedup_groups(pairs)
 
-    waves = [SF10, sf100]
+    # Wave selection (resume support): SPARK_GRAFT_WAVES=sf10,sf100.
+    # Within the sf100 wave the O(n^2) exact census runs LAST — the
+    # attribution/decade kernels (verdict items 3/5) must not queue
+    # behind a multi-hour GEMM if the session is time-boxed.
+    sel = os.environ.get("SPARK_GRAFT_WAVES", "sf10,sf100").split(",")
+    waves = [w for w in (SF10, sf100)
+             if ("sf10" in sel and w == SF10)
+             or ("sf100" in sel and w == sf100)]
     for sf in waves:
-        run("emb_neardup_hi", qs["emb_neardup_hi"], sf, collect1=True)
+        if sf == SF10:
+            run("emb_neardup_hi", qs["emb_neardup_hi"], sf, collect1=True)
         run("ann_ivf_topk", qs["ann_ivf_topk"], sf)
         run("dd_incremental", qs["dd_incremental"], sf)
         run("history_report", qs["history_report"], sf)
@@ -159,6 +167,7 @@ def main() -> None:
                 "instead — linear planted structure")
         else:
             run("emb_semdedup_hi09", semdedup_hi09, sf)
+            run("emb_neardup_hi", qs["emb_neardup_hi"], sf, collect1=True)
 
     results["load_end"] = [round(x, 2) for x in os.getloadavg()]
     results["tmp_free_end_gb"] = round(
