@@ -33,7 +33,8 @@ from ..functions import hashing as H
 def exploded_shingles(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", n: int = 3,
                       extra_cols: list[str] | None = None,
-                      distinct: bool = True) -> DataFrame:
+                      distinct: bool = True,
+                      parts: int | None = None) -> DataFrame:
     """(id, s [, extra_cols...]) — one row per distinct n-word shingle.
 
     Semantically identical to ``functions.hashing.word_shingles`` (docs
@@ -47,6 +48,12 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
     consumers whose aggregates are duplicate-insensitive (``min`` minhash,
     ``collect_set``): the window already hash-partitions by (id, extra),
     so a following ``groupBy(id, extra)`` runs exchange-free.
+
+    ``parts`` pins the shingle window's exchange (and, via the
+    partitioning it establishes, every downstream groupBy on the same
+    keys) to a bytes-derived count in the tiny-data regime — see
+    ``functions.sizing.small_exchange_parts``; ``None`` keeps the
+    session-partitioned plan (the at-scale shape).
     """
     # SQL expression strings, not nested Column calls — this builder
     # feeds every member of the shingle family (minhash_state / LSH /
@@ -64,6 +71,11 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
         f"lower(trim(regexp_replace(`{text_col}`, '\\\\s+', ' '))), ' '),"
         f" w -> w != '')) AS (pos, w)",
     )
+    if parts:
+        # pinned count replaces the window's ENSURE_REQUIREMENTS
+        # exchange (same keys, so the requirement is satisfied and no
+        # second exchange is planned)
+        words = words.repartition(parts, "id", *extra)
     # partition by the extra cols too: if a caller feeds one document in
     # several blocks (overlapping banded blocking), each copy must build
     # its shingles from its own rows, not interleave with its twins
@@ -81,6 +93,10 @@ def exploded_shingles(df: DataFrame, text_col: str = "text",
         shingled.where("full OR (first AND short)")
         .select("id", *extra, "s")
     )
+    # the distinct needs NO pin of its own: ClusteredDistribution(id,
+    # extra, s) is satisfied by the window's hash(id, extra)
+    # partitioning (partitioning exprs ⊆ clustering keys), so it is
+    # exchange-free at whatever count the window ran at
     return kept.distinct() if distinct else kept
 
 
@@ -124,7 +140,8 @@ def sid16_set_sql(sids: str) -> str:
 def tiered_jaccard_verify(cand: DataFrame, sets_a: DataFrame,
                           sets_b: DataFrame, min_jaccard: float,
                           a_col: str = "id_a",
-                          b_col: str = "id_b") -> DataFrame:
+                          b_col: str = "id_b",
+                          parts: int | None = None) -> DataFrame:
     """Two-tier exact-Jaccard verify of candidate id pairs — the r13
     dd_containment/dd_ngram_jaccard int16 pattern, shared so every
     member of the MinHash hash family (``dd_incremental``,
@@ -143,7 +160,28 @@ def tiered_jaccard_verify(cand: DataFrame, sets_a: DataFrame,
     re-verifies survivors + bypasses against the full int64 sets —
     values identical (each caller's oracle re-proves it).  Corpus-sized
     array sides: shuffle_hash hints, never AQE-broadcast (see
-    ``minhash_lsh_pairs``)."""
+    ``minhash_lsh_pairs``).
+
+    ``parts`` (r15, guide §2.2): pins the verify's exchange sizes to a
+    bytes-derived count in the tiny-data regime where per-task
+    constants dominate (``sizing.small_exchange_parts``); ``None``
+    (every at-scale regime) keeps the session-partitioned plan.  The
+    mechanics are partitioning-PROPAGATION, not blanket repartition:
+    EnsureRequirements re-shuffles an exchange-rooted join child whose
+    user count sits below ``spark.sql.shuffle.partitions`` back up to
+    the conf (measured r15; the co-partitioning bestSpec filter), but
+    ACCEPTS a small partitioning that is established below a
+    non-exchange operator — so callers pin the CANDIDATE stream by
+    repartitioning on ``a_col`` before their dedup aggregation (the
+    agg rides the pinned exchange and its output partitioning pulls
+    the first join, and the first join's side, down with it), and the
+    tier-2 joins are ordered b-then-a so the first rides tier 1's
+    output partitioning outright (one fewer exchange of the survivor
+    stream at ANY parts, but only taken on the pinned path to keep the
+    at-scale plan byte-identical to r14's proven shape).  Values are
+    partition-count and join-order invariant (inner equi-joins; the
+    r15 A/B fingerprints both variants equal, and each caller's oracle
+    re-proves it)."""
     # SQL expression STRINGS throughout (the r14 construction rule —
     # ~5 ms py4j RTT on this box makes wide Column chains build-bound);
     # parses to the identical expression trees the Column forms built.
@@ -153,28 +191,43 @@ def tiered_jaccard_verify(cand: DataFrame, sets_a: DataFrame,
                            .alias(f"s16_{sfx}"),
                            F.expr("size(sids)").alias(f"n_{sfx}"))
 
+    def full(sets: DataFrame, idc: str, sfx: str) -> DataFrame:
+        return sets.select(F.col("id").alias(idc),
+                           F.col("sids").alias(f"s_{sfx}"))
+
     tier1 = F.expr(
         "(size(s16_a) < n_a) OR (size(s16_b) < n_b) OR "
         + H.jaccard_prebound_sql("size(array_intersect(s16_a, s16_b))",
                                  "n_a", "n_b", min_jaccard))
+    exact = F.expr(H.jaccard_ge_sql("s_a", "s_b", min_jaccard))
+    jac = F.expr(f"round({H.jaccard_sql('s_a', 's_b')}, 6)")
     surv = (cand
             .join(proj16(sets_a, a_col, "a").hint("shuffle_hash"), a_col)
             .join(proj16(sets_b, b_col, "b").hint("shuffle_hash"), b_col)
             .where(tier1)
             .select(a_col, b_col))
+    if parts:
+        # tier-2 b-first: surv leaves tier 1 hash-partitioned by b_col,
+        # so this join plans NO new exchange for the survivor stream
+        return (surv
+                .join(full(sets_b, b_col, "b").hint("shuffle_hash"),
+                      b_col)
+                .join(full(sets_a, a_col, "a").hint("shuffle_hash"),
+                      a_col)
+                # ordered bound-then-exact predicate: Catalyst folds
+                # this into the last join's condition, where the one-
+                # intersect bound short-circuits the 3-intersect check
+                .where(exact)
+                .withColumn("jaccard", jac)
+                .select(a_col, b_col, "jaccard"))
     return (surv
-            .join(sets_a.select(F.col("id").alias(a_col),
-                                F.col("sids").alias("s_a"))
-                  .hint("shuffle_hash"), a_col)
-            .join(sets_b.select(F.col("id").alias(b_col),
-                                F.col("sids").alias("s_b"))
-                  .hint("shuffle_hash"), b_col)
+            .join(full(sets_a, a_col, "a").hint("shuffle_hash"), a_col)
+            .join(full(sets_b, b_col, "b").hint("shuffle_hash"), b_col)
             # ordered bound-then-exact predicate: Catalyst folds this
             # into the second join's condition, where the one-intersect
             # bound short-circuits the 3-intersect exact check
-            .where(F.expr(H.jaccard_ge_sql("s_a", "s_b", min_jaccard)))
-            .withColumn("jaccard",
-                        F.expr(f"round({H.jaccard_sql('s_a', 's_b')}, 6)"))
+            .where(exact)
+            .withColumn("jaccard", jac)
             .select(a_col, b_col, "jaccard"))
 
 
@@ -341,7 +394,8 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                                shingle_words: int = 3,
                                num_hashes: int = 16, bands: int = 4,
                                min_jaccard: float = 0.2,
-                               materialize: str = "persist") -> DataFrame:
+                               materialize: str = "persist",
+                               parts: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard within (attr × MinHash-band) blocks, with
     ONE shingle pass.
 
@@ -366,7 +420,8 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # (id, _attr) partitioning exchange-free.  Only the compact per-doc
     # sig frame is persisted.
     exploded = exploded_shingles(base, text_col, id_col, shingle_words,
-                                 extra_cols=["_attr"], distinct=False)
+                                 extra_cols=["_attr"], distinct=False,
+                                 parts=parts)
     sig = (exploded.withColumn("_mhb", H.minhash_base(F.col("s")))
            .groupBy("_attr", "id").agg(
                *[F.expr(f"min({H.minhash_perm_sql(str(i), '_mhb')}) "
@@ -388,21 +443,32 @@ def banded_ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         banded.alias("a").join(banded.alias("b"), on="blk")
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
+    if parts:
+        # pin the candidate-dedup exchange too (the band join itself is
+        # left alone: at bench scale it is a BroadcastHashJoin of the
+        # ids-only banded side — a repartition would force a shuffle
+        # where none is planned).  id_a ALONE: hash(id_a) satisfies the
+        # dedup's (id_a, id_b) clustering, and the agg-established
+        # partitioning then pulls the verify's first join down to
+        # ``parts`` (see tiered_jaccard_verify / containment_pairs)
+        cand = cand.repartition(parts, "id_a")
+    cand = cand.dropDuplicates(["id_a", "id_b"])
     # Two-tier exact verify — the shared helper (the dd_containment
     # int16 pattern, r13; see tiered_jaccard_verify for the bound /
     # size-guard / tier-2 argument).  Values identical to a one-tier
     # exact verify, proven by the banded-candidate oracle at every
     # driver sample.
     sets = sig.select("id", "sids")
-    return tiered_jaccard_verify(cand, sets, sets, min_jaccard)
+    return tiered_jaccard_verify(cand, sets, sets, min_jaccard,
+                                 parts=parts)
 
 
 def containment_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", shingle_words: int = 3,
                       tau_num: int = 4, tau_den: int = 5,
-                      stage_dir: str | None = None) -> DataFrame:
+                      stage_dir: str | None = None,
+                      parts: int | None = None) -> DataFrame:
     """EXACT one-sided containment join: every ordered pair (a, b) with
     ``|S(a) ∩ S(b)| / |S(a)| >= tau_num/tau_den`` over distinct word
     shingles — the "document a is mostly inside document b" dedup that
@@ -433,13 +499,24 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     """
     # SQL expression strings throughout (the r14 construction rule —
     # this builder measured ~1,700 py4j commands in Column form)
-    sh = (exploded_shingles(df, text_col, id_col, shingle_words)
+    def _rp(d: DataFrame, *cols: str) -> DataFrame:
+        # pin an exchange to the bytes-derived count in the tiny-data
+        # regime (sizing.small_exchange_parts); parts=None (every
+        # at-scale regime) keeps the session-partitioned plan unchanged
+        return d.repartition(parts, *cols) if parts else d
+
+    sh = (exploded_shingles(df, text_col, id_col, shingle_words,
+                            parts=parts)
           .selectExpr("id", "xxhash64(s) AS sid"))
     freq = sh.groupBy("sid").agg(F.expr("count(1) AS df"))
     # ONE materialized frame feeds the a-side prefix, the b-side
     # positional index AND the verify sets — persisting thin `sh`
     # instead made the b-side recompute the freq-join + rank window
     # (r12 probe: +3.8 GB of duplicated shuffle at sf10)
+    # NO pin on the freq join or the rank window: freq is broadcast
+    # (bounded distinct-shingle counts) and the window rides the
+    # shingle window's hash(id) partitioning — both exchange-free in
+    # the before-plan (plans/r15/dd_containment_before.txt)
     ranked_n = (sh.join(freq, "sid").selectExpr(
         "id", "sid",
         "row_number() OVER (PARTITION BY id ORDER BY df, sid) AS rk",
@@ -490,7 +567,18 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
             .where(f"(id_a != id_b) AND (n_b >= {t_a}) AND "
                    f"((least(rk_a, rk_b) + least(n_a - rk_a, n_b - rk_b))"
                    f" >= {t_a})")
-            .select("id_a", "id_b").dropDuplicates())
+            .select("id_a", "id_b"))
+    # the prefix⋈index join itself is NOT pinned (at bench scale one
+    # side broadcasts — a repartition would force a shuffle where none
+    # is planned).  The dedup IS: repartition on id_a ALONE — hash(id_a)
+    # satisfies the dedup's (id_a, id_b) clustering (subset rule), the
+    # aggregation rides the pinned exchange, and because the agg is a
+    # non-exchange operator its hash(id_a, parts) output partitioning
+    # survives into the verify joins (EnsureRequirements lifts a bare
+    # user exchange below a join back to the session count — measured
+    # r15 — but accepts agg-established partitionings and matches the
+    # other join side to them)
+    cand = _rp(cand, "id_a").dropDuplicates()
     # Two-tier exact verify.  Tier 1 ships INT16 projections of the
     # shingle-id sets through the per-candidate exchanges — the
     # per-candidate set payload IS the one-box disk wall (r12: the
@@ -516,7 +604,13 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
     # frame.  Sign-extending low-16 projection (shiftleft then
     # arithmetic shiftright keeps the value in SMALLINT range; a bare
     # & 0xFFFF overflows the ANSI smallint cast).
-    sets16 = ranked_n.groupBy("id").agg(
+    # the per-id set aggregations are repartitioned BEFORE the groupBy
+    # when pinned (the cached rank frame's partitioning is hidden
+    # behind its AdaptiveSparkPlan, so the aggs exchange either way —
+    # pre-agg repartition keeps it ONE exchange at the pinned count;
+    # post-agg repartition would stack a second exchange on top)
+    grp_src = _rp(ranked_n, "id")
+    sets16 = grp_src.groupBy("id").agg(
         F.expr("collect_set(CAST(shiftright(shiftleft(sid, 48), 48) "
                "AS SMALLINT)) AS s16"),
         F.expr("count(1) AS n_true"))
@@ -531,12 +625,23 @@ def containment_pairs(df: DataFrame, text_col: str = "text",
                    f"(({tau_den} * size(array_intersect(s16_a, s16_b)))"
                    f" >= ({tau_num} * n_a))")
             .select("id_a", "id_b"))
-    sets = ranked_n.groupBy("id").agg(F.expr("collect_set(sid) AS sids"))
-    return (surv
-            .join(sets.selectExpr("id AS id_a", "sids AS s_a")
-                  .hint("shuffle_hash"), "id_a")
-            .join(sets.selectExpr("id AS id_b", "sids AS s_b")
-                  .hint("shuffle_hash"), "id_b")
+    sets = grp_src.groupBy("id").agg(F.expr("collect_set(sid) AS sids"))
+    s_a = sets.selectExpr("id AS id_a", "sids AS s_a")
+    s_b = sets.selectExpr("id AS id_b", "sids AS s_b")
+    if parts:
+        # tier-2 b-first on the pinned path: surv leaves tier 1
+        # hash-partitioned by id_b, so the first tier-2 join plans no
+        # new exchange for the survivor stream (values are join-order
+        # invariant — inner equi-joins; the brute-force oracle
+        # re-proves it); the at-scale path keeps r14's proven order
+        verified = (surv
+                    .join(s_b.hint("shuffle_hash"), "id_b")
+                    .join(s_a.hint("shuffle_hash"), "id_a"))
+    else:
+        verified = (surv
+                    .join(s_a.hint("shuffle_hash"), "id_a")
+                    .join(s_b.hint("shuffle_hash"), "id_b"))
+    return (verified
             .selectExpr("id_a", "id_b",
                         "size(array_intersect(s_a, s_b)) AS n_int",
                         "CAST(size(s_a) AS BIGINT) AS n_a")

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import hashing as H
+from ..functions.sizing import small_exchange_parts, table_bytes
 from ..operators import dedup, kmeans, similarity, textstats
 from ..sources.testdata import load_table
 
@@ -27,6 +28,15 @@ _WORDS = f"list_filter(string_split({_NORM}, ' '), w -> w <> '')"
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, "documents", sf_dir).where(F.length("text") > 0)
+
+
+def _docs_parts(spark: SparkSession, sf_dir: str) -> int | None:
+    """Bytes-derived exchange pin for the documents-corpus dedup
+    operators (r15 item 1 — the measured per-task-constant tail at
+    bench scale; functions/sizing.py).  None in every at-scale regime
+    (≥ ~32 MB of documents parquet) keeps the session-partitioned
+    plans the sf10/sf100 sessions proved."""
+    return small_exchange_parts(spark, table_bytes(sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -55,7 +65,8 @@ def dd_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     proves the prefix filter is lossless (j3_border_correct pattern).
     """
     return dedup.containment_pairs(_docs(spark, sf_dir), shingle_words=3,
-                                   tau_num=4, tau_den=5)
+                                   tau_num=4, tau_den=5,
+                                   parts=_docs_parts(spark, sf_dir))
 
 
 def dd_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +157,7 @@ def dd_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.banded_ngram_jaccard_pairs(
         _docs(spark, sf_dir), attr_col="lang", shingle_words=2,
         num_hashes=16, bands=8, min_jaccard=0.15,
+        parts=_docs_parts(spark, sf_dir),
     )
 
 
@@ -2087,8 +2099,18 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .select(F.col("id").alias("id_old"), "band"))
     new_bands = bands_of(per_new).select(F.col("id").alias("id_new"),
                                          "band")
-    cand = (new_bands.join(old_bands, on="band")
-            .select("id_new", "id_old").dropDuplicates())
+    cand = new_bands.join(old_bands, on="band").select("id_new", "id_old")
+    # r15 item 1: pin the candidate-dedup + verify exchanges to the
+    # bytes-derived count in the tiny-data regime (None at scale keeps
+    # this exact plan — functions/sizing.py); the band join itself is
+    # left alone (broadcast at bench scale)
+    parts = _docs_parts(spark, sf_dir)
+    if parts:
+        # id_new alone: hash(id_new) satisfies the dedup's clustering
+        # and the agg-established partitioning pulls the verify's first
+        # join down to `parts` (dedup.tiered_jaccard_verify)
+        cand = cand.repartition(parts, "id_new")
+    cand = cand.dropDuplicates()
     # Two-tier exact verify via the shared helper (r14: the int16
     # tier-1 transfer to the whole MinHash family — dedup.py's
     # tiered_jaccard_verify): the staged sets index is CORPUS-sized,
@@ -2103,7 +2125,8 @@ def dd_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     sets_old = spark.read.parquet(sets_dir)
     sets_new = per_new.select("id", "sids")
     return dd.tiered_jaccard_verify(cand, sets_new, sets_old, 0.1,
-                                    a_col="id_new", b_col="id_old")
+                                    a_col="id_new", b_col="id_old",
+                                    parts=parts)
 
 
 QUERIES["dd_incremental"] = dd_incremental
