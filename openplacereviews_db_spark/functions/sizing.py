@@ -35,10 +35,9 @@ import os
 from pyspark.sql import SparkSession
 
 
-def table_bytes(sf_dir: str, table: str) -> int:
-    """On-disk bytes of ``<sf_dir>/<table>.parquet`` (file or directory
-    of part files — the /tmp scale corpora are directories)."""
-    path = os.path.join(sf_dir, f"{table}.parquet")
+def path_bytes(path: str) -> int:
+    """On-disk bytes of a file or directory tree (staged parquet dirs,
+    scale-corpus table directories)."""
     if os.path.isfile(path):
         return os.path.getsize(path)
     total = 0
@@ -49,6 +48,12 @@ def table_bytes(sf_dir: str, table: str) -> int:
             except OSError:
                 pass
     return total
+
+
+def table_bytes(sf_dir: str, table: str) -> int:
+    """On-disk bytes of ``<sf_dir>/<table>.parquet`` (file or directory
+    of part files — the /tmp scale corpora are directories)."""
+    return path_bytes(os.path.join(sf_dir, f"{table}.parquet"))
 
 
 def small_exchange_parts(spark: SparkSession, nbytes: int,

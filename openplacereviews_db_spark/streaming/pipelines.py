@@ -652,8 +652,16 @@ def neardup_once(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = spark.read.parquet(pairs_dir)
     lo = F.least("id_a", "id_b")
     hi = F.greatest("id_a", "id_b")
-    return (pairs.select(lo.alias("id_a"), hi.alias("id_b"), "jaccard")
-            .dropDuplicates(["id_a", "id_b"]))
+    canon = pairs.select(lo.alias("id_a"), hi.alias("id_b"), "jaccard")
+    # pin the readback-dedup exchange to a bytes-derived count: it runs
+    # AFTER the batch-sized conf is restored, so a bare dropDuplicates
+    # pays session-count task constants on a few thousand pairs (r15
+    # item 2; hash(id_a) satisfies the (id_a, id_b) clustering)
+    from ..functions.sizing import path_bytes, small_exchange_parts
+    parts = small_exchange_parts(spark, path_bytes(pairs_dir))
+    if parts:
+        canon = canon.repartition(parts, "id_a")
+    return canon.dropDuplicates(["id_a", "id_b"])
 
 
 def neardup_dedup_stream(docs_stream: DataFrame, index_dir: str,
@@ -720,8 +728,15 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
         # projections per candidate and tier 2 ships full int64 sets
         # for survivors + bypasses only; shuffle_hash inside the
         # helper keeps AQE from broadcast-converting either array side
-        # (the dd_minhash_lsh sf10 OOM class, operators/dedup.py)
-        return tiered_jaccard_verify(cand, sets, sets, min_jaccard)
+        # (the dd_minhash_lsh sf10 OOM class, operators/dedup.py).
+        # parts = the batch-derived session count (r15): takes the
+        # helper's tier-2 b-first path, whose first join rides tier
+        # 1's output partitioning — one fewer survivor-stream exchange
+        # per micro-batch at every scale, values join-order invariant
+        spark = cand.sparkSession
+        parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        return tiered_jaccard_verify(cand, sets, sets, min_jaccard,
+                                     parts=parts)
 
     def on_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -782,8 +797,16 @@ def _neardup_batch(index_dir: str, pairs_dir: str, shingle_words: int,
             vs_new = (a.join(new_bands.select(F.col("id").alias("id_b"),
                                               "band"), "band")
                       .where(F.col("id_a") < F.col("id_b")))
+            # repartition on id_a alone before the dedup: hash(id_a)
+            # satisfies the (id_a, id_b) clustering, the agg rides it,
+            # and its output partitioning carries straight into the
+            # verify's first join (the r15 laundering mechanics,
+            # operators/dedup.py tiered_jaccard_verify) — one fewer
+            # candidate-stream exchange per micro-batch
+            n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
             cand = (vs_old.unionByName(vs_new)
-                    .select("id_a", "id_b").dropDuplicates())
+                    .select("id_a", "id_b")
+                    .repartition(n_parts, "id_a").dropDuplicates())
             pairs = verify(cand, old_sets.unionByName(new_sets))
             # bound the index's file growth: un-coalesced 32-task
             # writes spray 32 files per table per batch, and a
